@@ -1,0 +1,246 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSession
+
+import graft.xmq._
+
+/** Catalyst expressions wrapping the xmq engine (SURVEY.md §4.3).
+  * All deterministic, null-safe, UTF8String in/out, CodegenFallback for v1
+  * (the per-row work is parser/printer-bound, not expression-dispatch-bound).
+  */
+object XmqExprs {
+
+  private[expr] def ctOf(lang: String): Xmq.ContentType = lang match {
+    case "xml" => Xmq.XML
+    case "html" => Xmq.HTML
+    case "json" => Xmq.JSON
+    case "xmq" | "htmq" => Xmq.XMQ
+    case "text" => Xmq.TEXT
+    case _ => null // auto-detect
+  }
+
+  /** parse content as `lang`, print back in the same format (the round-trip
+    * kernel; null on parse error). */
+  def roundtrip(content: String, lang: String): String = {
+    try {
+      val ct = ctOf(lang)
+      val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ct))
+      val effective = if (ct != null) ct else Xmq.detect(content)
+      effective match {
+        case Xmq.XML => XmqEngine.toXml(doc)
+        case Xmq.HTML => XmqEngine.toHtml(doc)
+        case Xmq.JSON => XmqEngine.toJson(doc)
+        case _ => XmqEngine.toXmq(doc)
+      }
+    } catch { case _: Exception => null }
+  }
+
+  def convert(content: String, lang: String, to: String, compact: Boolean): String = {
+    try {
+      val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+      to match {
+        case "xml" => XmqEngine.toXml(doc)
+        case "html" => XmqEngine.toHtml(doc)
+        case "json" => XmqEngine.toJson(doc)
+        case "text" => XmqEngine.toText(doc)
+        case "clines" => XmqEngine.toClines(doc)
+        case _ => XmqEngine.toXmq(doc, compact)
+      }
+    } catch { case _: Exception => null }
+  }
+}
+
+/** xmq_roundtrip(content, lang): re-print content in its own format. */
+case class XmqRoundTrip(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(c: Any, l: Any): Any = {
+    val out = XmqExprs.roundtrip(c.toString, l.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "xmq_roundtrip"
+}
+
+/** xmq_roundtrip_ok(content, lang): sha256-invariance check done inline. */
+case class XmqRoundTripOk(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val c = left.eval(input)
+    val l = right.eval(input)
+    if (c == null || l == null) return false
+    val out = XmqExprs.roundtrip(c.toString, l.toString)
+    out != null && out == c.toString
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "xmq_roundtrip_ok"
+}
+
+/** xmq_convert(content, lang, to, compact) */
+case class XmqConvert(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val out = XmqExprs.convert(vals(0).toString, vals(1).toString, vals(2).toString,
+      vals(3).asInstanceOf[Boolean])
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+  override def prettyName: String = "xmq_convert"
+}
+
+/** xmq_detect(content): XMQ|XML|HTML|JSON */
+case class XmqDetect(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(c: Any): Any =
+    UTF8String.fromString(Xmq.detect(c.toString) match {
+      case Xmq.XML => "xml"
+      case Xmq.HTML => "html"
+      case Xmq.JSON => "json"
+      case _ => "xmq"
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "xmq_detect"
+}
+
+/** xmq_tokenize(content): array<struct<type,text,line,col>> mirroring
+  * `tokenize --type=debugtokens` (SURVEY.md §1.5/§2.2). */
+case class XmqTokenize(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = XmqTokenize.schema
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(c: Any): Any = {
+    try {
+      val bytes = c.toString.getBytes("UTF-8")
+      val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      val sink = new TokenSink {
+        def token(tpe: String, line: Int, col: Int, start: Int, stop: Int, suffix: Int): Unit = {
+          val text = new String(bytes, start, stop - start, "UTF-8")
+          rows += InternalRow(UTF8String.fromString(tpe), UTF8String.fromString(text), line, col)
+        }
+      }
+      new XmqTokenizer(bytes, sink).tokenize()
+      new GenericArrayData(rows.toArray[Any])
+    } catch { case _: Exception => null }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "xmq_tokenize"
+}
+object XmqTokenize {
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("type", StringType), StructField("text", StringType),
+    StructField("line", IntegerType), StructField("col", IntegerType))))
+}
+
+/** zorder_interleave(h1, h2, lang): 28+28+8-bit interleaved Z-value. The two
+  * hashes contribute alternating bits; the lang byte is folded into the low
+  * bits so files of the same language cluster within a (repo,path) locality
+  * cell. Pure, deterministic (SURVEY.md §4.3 item 2). */
+case class ZOrderInterleave(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    ZOrderInterleave.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Long])
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "zorder_interleave"
+}
+object ZOrderInterleave {
+  /** interleave the top 28 bits of a and b, plus low 8 bits of lang. */
+  def interleave(a: Long, b: Long, lang: Long): Long = {
+    var z = 0L
+    var i = 0
+    while (i < 28) {
+      val abit = (a >>> (63 - i)) & 1L
+      val bbit = (b >>> (63 - i)) & 1L
+      z = (z << 2) | (abit << 1) | bbit
+      i += 1
+    }
+    (z << 8) | (lang & 0xffL)
+  }
+}
+
+/** hilbert_index(x, y, order): 2-D Hilbert curve index — locality-preserving
+  * fallback for skewed repo distributions (SURVEY.md §4.3). Standard public
+  * x/y-to-d algorithm (Wikipedia "Hilbert curve"). */
+case class HilbertIndex(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    HilbertIndex.xy2d(a.asInstanceOf[Long], b.asInstanceOf[Long], c.asInstanceOf[Int])
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "hilbert_index"
+}
+object HilbertIndex {
+  /** order = bits per dimension (<=31). x,y are masked to that many bits. */
+  def xy2d(x0: Long, y0: Long, order: Int): Long = {
+    val n = 1L << order
+    var x = x0 & (n - 1)
+    var y = y0 & (n - 1)
+    var rx = 0L
+    var ry = 0L
+    var d = 0L
+    var s = n / 2
+    while (s > 0) {
+      rx = if ((x & s) > 0) 1L else 0L
+      ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+}
+
+/** Column wrappers + SQL registration. */
+object XmqFunctions {
+  import org.apache.spark.sql.GraftInternal.{col => mkCol, expr => exprOf}
+
+  def xmq_roundtrip(content: Column, lang: Column): Column =
+    mkCol(XmqRoundTrip(exprOf(content), exprOf(lang)))
+  def xmq_roundtrip_ok(content: Column, lang: Column): Column =
+    mkCol(XmqRoundTripOk(exprOf(content), exprOf(lang)))
+  def xmq_convert(content: Column, lang: Column, to: Column, compact: Column): Column =
+    mkCol(XmqConvert(Seq(exprOf(content), exprOf(lang), exprOf(to), exprOf(compact))))
+  def xmq_detect(content: Column): Column = mkCol(XmqDetect(exprOf(content)))
+  def xmq_tokenize(content: Column): Column = mkCol(XmqTokenize(exprOf(content)))
+  def zorder_interleave(a: Column, b: Column, lang: Column): Column =
+    mkCol(ZOrderInterleave(exprOf(a), exprOf(b), exprOf(lang)))
+  def hilbert_index(x: Column, y: Column, order: Column): Column =
+    mkCol(HilbertIndex(exprOf(x), exprOf(y), exprOf(order)))
+
+  /** register as SQL functions on the session. */
+  def register(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.GraftInternal.registerFunction
+    registerFunction(spark, "xmq_roundtrip", es => XmqRoundTrip(es(0), es(1)))
+    registerFunction(spark, "xmq_roundtrip_ok", es => XmqRoundTripOk(es(0), es(1)))
+    registerFunction(spark, "xmq_convert", es => XmqConvert(es))
+    registerFunction(spark, "xmq_detect", es => XmqDetect(es.head))
+    registerFunction(spark, "xmq_tokenize", es => XmqTokenize(es.head))
+    registerFunction(spark, "zorder_interleave", es => ZOrderInterleave(es(0), es(1), es(2)))
+    registerFunction(spark, "hilbert_index", es => HilbertIndex(es(0), es(1), es(2)))
+  }
+}
