@@ -1,0 +1,107 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.lake.{GraftTable, Maintenance}
+import graft.synth.SourceFiles
+import graft.expr.XmqFunctions
+
+/** The end-to-end maintenance pipeline (north_rule): ingest a skewed
+  * source-code table as many small files, then compact → z-order cluster →
+  * manifest rewrite → MERGE INTO → snapshot expire → pruned scan, reporting
+  * per-phase wall time and rows/sec as one JSON line.
+  *
+  * Run via spark-submit or sbt:
+  *   runMain graft.bench.MaintenancePipeline <tableDir> <rows> [cores]
+  * The same job at two parallelism levels (e.g. 8 and 32 cores) on identical
+  * input evidences the N→4N scaling-efficiency requirement (BASELINE.md).
+  */
+object MaintenancePipeline {
+
+  def main(args: Array[String]): Unit = {
+    val tableDir = if (args.length > 0) args(0)
+      else java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val rows = if (args.length > 1) args(1).toInt else 20000
+    val cores = if (args.length > 2) args(2) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-maintenance")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val metrics = run(spark, tableDir, rows)
+    val qs = metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"maintenance_pipeline","rows":$rows,"cores":"$cores","phases":$qs}""")
+    spark.stop()
+  }
+
+  /** Runs the full pipeline; returns (phase -> seconds) + throughput rows. */
+  def run(spark: SparkSession, tableDir: String, rows: Int): Seq[(String, Double)] = {
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def timed[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      out += name -> (System.nanoTime() - t0) / 1e9
+      r
+    }
+
+    val t = new GraftTable(spark, tableDir)
+    val jobId = s"pipeline-$rows"
+
+    // 0. synthesize + ingest as deliberately many small files
+    val df = timed("synthesize") {
+      val nRepos = math.max(4, math.sqrt(rows.toDouble).toInt)
+      spark.range(rows).select($"id")
+        .mapPartitions(_.map(r => SourceFiles.row(42L, r.getLong(0), nRepos)))
+        .toDF()
+    }
+    timed("ingest")(t.append(df.repartition(64)))
+
+    // 1. compaction
+    val c = timed("compact")(Maintenance.compact(t, jobId,
+      smallBytes = 4L << 20, targetBytes = 16L << 20))
+
+    // 2. z-order clustering
+    timed("cluster")(Maintenance.cluster(t, jobId))
+
+    // 3. manifest rewrite
+    timed("manifest_rewrite")(t.rewriteManifests())
+
+    // 4. merge new-commit upserts (2% updates + 1% inserts, half into top repo)
+    val upd = t.scan().limit(rows / 50)
+      .select("repo", "path", "commit", "lang", "content")
+      .withColumn("content", graft.expr.XmqFunctions.xmq_convert(
+        col("content"), col("lang"), col("lang"), lit(false)))
+    val ins = spark.range(rows / 100).select($"id")
+      .mapPartitions(_.map(r => SourceFiles.row(777L, r.getLong(0), 40))).toDF()
+    timed("merge")(Maintenance.mergeInto(t, jobId, upd.unionByName(ins)))
+
+    // 5. snapshot expire
+    timed("expire")(t.expireSnapshots(System.currentTimeMillis() + 1000))
+
+    // 6. post-maintenance pruned scan + round-trip verification throughput
+    // prune by repo-hash range: the z-sort clusters files by hash prefix, so
+    // the per-file [min_rh, max_rh] bounds are tight (SURVEY.md §4.3 item 3)
+    val repo = SourceFiles.repoName(1)
+    val (scanned, total, kept) = timed("pruned_scan_plan") {
+      t.prunedScan(col("min_rh") <= xxhash64(lit(repo)) && col("max_rh") >= xxhash64(lit(repo)))
+    }
+    out += "files_total" -> total.toDouble
+    out += "files_kept" -> kept.toDouble
+    val t0 = System.nanoTime()
+    val okCount = t.scan()
+      .filter(XmqFunctions.xmq_roundtrip_ok(col("content"), col("lang"))).count()
+    val scanSecs = (System.nanoTime() - t0) / 1e9
+    out += "roundtrip_scan" -> scanSecs
+    out += "roundtrip_rows_per_sec" -> okCount / scanSecs
+    val prunedCount = scanned.filter(col("repo") === repo).count()
+    out += "pruned_rows" -> prunedCount.toDouble
+    out += "roundtrip_ok" -> okCount.toDouble
+    out.toSeq
+  }
+}
