@@ -118,6 +118,162 @@ object SparkEntry {
       .orderBy($"hour")
   }
 
+  // ----------------------------------------------------------------------
+  // xmq payload queries (SURVEY.md §2.1-2.4): round-trip, tokenize, convert
+  // over the deterministic synthesized source_files table.
+  // ----------------------------------------------------------------------
+
+  private def synthFiles(s: SparkSession, n: Int) = {
+    import s.implicits._
+    graft.synth.SourceFiles.generate(n, seed = 42).toDF()
+  }
+
+  private def q9XmqRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    synthFiles(s, 2000)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(xmq_roundtrip_ok($"content", $"lang"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+           sum(length($"content")).as("total_bytes"))
+      .orderBy($"lang")
+  }
+
+  private def q10XmqTokenize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    synthFiles(s, 500).filter($"lang" === "xmq")
+      .select(explode(xmq_tokenize($"content")).as("t"))
+      .groupBy($"t.type".as("token_type"))
+      .agg(count(lit(1)).as("n_tokens"))
+      .orderBy($"token_type")
+  }
+
+  private def q11XmqConvert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    synthFiles(s, 1000)
+      .select($"lang", $"repo",
+        xmq_convert($"content", $"lang", lit("json"), lit(false)).as("as_json"),
+        xmq_convert($"content", $"lang", lit("xmq"), lit(true)).as("as_xmq_compact"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length($"as_json")).as("json_bytes"),
+           sum(length($"as_xmq_compact")).as("xmq_bytes"))
+      .orderBy($"lang")
+  }
+
+  private def q12XmqDetect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    synthFiles(s, 1000)
+      .select(xmq_detect($"content").as("detected"), $"lang")
+      .groupBy($"detected", $"lang").agg(count(lit(1)).as("n"))
+      .orderBy($"detected", $"lang")
+  }
+
+  // ----------------------------------------------------------------------
+  // Training-data pipeline operators over documents/embeddings.
+  // ----------------------------------------------------------------------
+
+  private def q13DedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy($"keep_id")
+      .select($"text_hash", $"keep_id", $"dup_count")
+  }
+
+  private def q14TokenStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select($"doc_id",
+        length($"text").cast("long").as("n_chars_actual"),
+        (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long").as("n_words"))
+      .orderBy($"doc_id")
+  }
+
+  private def q15QualityByLang(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg(length($"text")), 4).as("avg_chars"),
+           round(avg(length($"text") - length(regexp_replace($"text", " ", "")) + 1), 4).as("avg_words"),
+           min($"n_chars").as("min_chars"), max($"n_chars").as("max_chars"))
+      .orderBy($"lang")
+  }
+
+  private def q16TextAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.TextFunctions._
+    t(s, dir, "documents")
+      .select($"doc_id", $"text")
+      .withColumn("lang_guess", language_id($"text"))
+      .withColumn("quality", round(quality_score($"text"), 4))
+      .withColumn("tokens", token_estimate($"text"))
+      .withColumn("fingerprint", text_fingerprint($"text"))
+      .groupBy($"lang_guess")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg($"quality"), 4).as("avg_quality"),
+           sum($"tokens").as("total_tokens"),
+           countDistinct($"fingerprint").as("distinct_fingerprints"))
+      .orderBy($"lang_guess")
+  }
+
+  private def q17AnnTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    graft.pipeline.Ann.bruteForceTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", query, 10)
+      .select($"vec_id", round($"cos", 4).as("cos_sim"))
+  }
+
+  private def q18MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.Dedup.minHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        bands = 16, rowsPerBand = 4, shingleSize = 2, threshold = 0.2)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private def q19SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private def q20EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // top-20 most-similar pairs (the data has no pairs above 0.52, so a
+    // fixed threshold would be empty; top-k is deterministic and oracle-able)
+    graft.pipeline.Dedup.embeddingPairs(t(s, dir, "embeddings"), "vec_id", "embedding", -1.0)
+      .orderBy($"cos".desc, $"id_a".asc, $"id_b".asc)
+      .limit(20)
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
+  }
+
+  private def q21AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    graft.pipeline.Ann.lshTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding", query, 10)
+      .select($"vec_id", round($"cos", 4).as("cos_sim"))
+  }
+
+  private def q22Multimodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = graft.pipeline.Multimodal.synthesize(s, 300)
+    val decoded = graft.pipeline.Multimodal.decodeStub(media)
+    decoded.groupBy($"kind")
+      .agg(count(lit(1)).as("n_media"),
+           sum(when($"decoded_width" === $"meta.width" &&
+                    $"decoded_height" === $"meta.height", 1L).otherwise(0L)).as("n_decode_ok"),
+           sum($"decoded_frames").as("total_frames"))
+      .orderBy($"kind")
+  }
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"           -> (q1Agg(_, _)),
@@ -128,6 +284,20 @@ object SparkEntry {
     "q6_filter_agg"    -> (q6Filter(_, _)),
     "q7_events_agg"    -> (q7EventsAgg(_, _)),
     "q8_events_hourly" -> (q8EventsHourly(_, _)),
+    "q9_xmq_roundtrip"  -> (q9XmqRoundtrip(_, _)),
+    "q10_xmq_tokenize"  -> (q10XmqTokenize(_, _)),
+    "q11_xmq_convert"   -> (q11XmqConvert(_, _)),
+    "q12_xmq_detect"    -> (q12XmqDetect(_, _)),
+    "q13_dedup_exact"   -> (q13DedupExact(_, _)),
+    "q14_token_stats"   -> (q14TokenStats(_, _)),
+    "q15_quality_by_lang" -> (q15QualityByLang(_, _)),
+    "q16_text_analysis" -> (q16TextAnalysis(_, _)),
+    "q17_ann_topk"      -> (q17AnnTopK(_, _)),
+    "q18_minhash_pairs" -> (q18MinhashPairs(_, _)),
+    "q19_simhash_pairs" -> (q19SimhashPairs(_, _)),
+    "q20_embedding_neardup" -> (q20EmbeddingNearDup(_, _)),
+    "q21_ann_lsh"       -> (q21AnnLsh(_, _)),
+    "q22_multimodal"    -> (q22Multimodal(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -183,5 +353,34 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
         | count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id,
+        | count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "q14_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_actual,
+        | length(text) - length(replace(text, ' ', '')) + 1 AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q15_quality_by_lang" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(length(text)), 4) AS avg_chars,
+        | round(avg(length(text) - length(replace(text, ' ', '')) + 1), 4) AS avg_words,
+        | min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q17_ann_topk" ->
+      """SELECT vec_id,
+        | round(list_cosine_similarity(embedding::DOUBLE[], q.qe), 4) AS cos_sim
+        |FROM embeddings, (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0) q
+        |WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(embedding::DOUBLE[], q.qe) DESC, vec_id ASC
+        |LIMIT 10""".stripMargin,
+    "q20_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
+        |         id_a ASC, id_b ASC
+        |LIMIT 20""".stripMargin,
   )
 }

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines (builder-prompt
+  * first-class components). All are shuffle-conscious:
+  * - exact: one hash-aggregate
+  * - minhash-LSH: per-row signatures (no shuffle) → band explode →
+  *   bucket join on (band, bandHash) → jaccard verify on candidates only
+  * - simhash: per-row 64-bit hash → chunk-band blocking → hamming verify
+  */
+object Dedup {
+
+  /** exact dedup: one row per distinct text, keeping the smallest id. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** latest-wins variant via window (keeps whole rows). */
+  def exactKeepRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** minhash-LSH candidate pairs with exact jaccard verification.
+    * numHashes = bands * rowsPerBand. Returns (id_a, id_b, jaccard). */
+  def minHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 16, rowsPerBand: Int = 4,
+                   shingleSize: Int = 5, threshold: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", TextFunctions.minhash_sig(col("text"), lit(numHashes), lit(shingleSize)))
+
+    // explode into (band, bandHash) buckets — one row per band per doc
+    val banded = sigs.select(col("id"), col("text"),
+        posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+          s"xxhash64(slice(sig, b * $rowsPerBand + 1, $rowsPerBand)))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
+    // candidates: same (band, band_hash); dedupe pairs across bands
+    val a = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_a"), col("text").as("text_a"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("id").as("id_b"), col("text").as("text_b"))
+    val cand = a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "text_a", "text_b").distinct()
+
+    cand.withColumn("jaccard",
+        TextFunctions.ngram_jaccard(col("text_a"), col("text_b"), lit(shingleSize)))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** simhash near-dup pairs: 4x16-bit chunk blocking (any pair within hamming
+    * distance <= maxHamming shares at least one exact chunk when maxHamming < 4). */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", TextFunctions.simhash(col("text")))
+    val chunked = hashed.select(col("id"), col("sh"),
+        posexplode(expr("transform(sequence(0,3), c -> (sh >> (c * 16)) & 65535)")))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(expr("sh_a ^ sh_b")).as("hamming")).distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** cosine similarity of two float-array embedding columns (double math). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    dot / (na * nb)
+  }
+
+  /** embedding near-dup pairs above a cosine threshold. Brute-force
+    * (self-join) baseline; for scale use Ann.lshBuckets blocking first. */
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,230 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.GraftInternal.{col => mkCol, expr => exprOf}
+
+/** Text-analysis expressions for training-data pipelines: minhash signatures,
+  * simhash, n-gram jaccard, language-ID, rolling-hash fingerprints. All are
+  * single-pass per-row computations (no shuffle) so signature generation
+  * scales linearly with the corpus.
+  */
+object TextOps {
+
+  // xxhash-style avalanche for shingle hashing (splitmix64 finalizer)
+  @inline def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** word shingles of size k, hashed. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.length < k) {
+      if (words.isEmpty) return Array.empty
+      return Array(mix(words.mkString(" ").hashCode.toLong))
+    }
+    val out = new Array[Long](words.length - k + 1)
+    var i = 0
+    while (i + k <= words.length) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = mix(h ^ words(i + j).hashCode.toLong); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    out
+  }
+
+  /** minhash signature: numHashes permutations via h_i(x) = mix(x ^ seed_i). */
+  def minHashSig(text: String, numHashes: Int, shingleSize: Int): Array[Long] = {
+    val shingles = shingleHashes(text, shingleSize)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val x = shingles(s)
+      var i = 0
+      while (i < numHashes) {
+        val h = mix(x ^ (0xabcdef1234L * (i + 1)))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /** 64-bit simhash over word-level features. */
+  def simHash(text: String): Long = {
+    val counts = new Array[Int](64)
+    text.split("\\s+").foreach { w =>
+      if (w.nonEmpty) {
+        val h = mix(w.hashCode.toLong)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** exact word n-gram jaccard similarity of two texts. */
+  def ngramJaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingleHashes(a, n).toSet
+    val sb = shingleHashes(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) return 1.0
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    val inter = sa.intersect(sb).size
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** character n-gram language-ID heuristic over a fixed stopword table. */
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Set("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"),
+    "zh" -> Set.empty)
+
+  def languageId(text: String): String = {
+    // CJK codepoints dominate → zh
+    var cjk = 0
+    var total = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.codePointAt(i)
+      if (!Character.isWhitespace(c)) {
+        total += 1
+        if (c >= 0x4e00 && c <= 0x9fff) cjk += 1
+      }
+      i += Character.charCount(c)
+    }
+    if (total > 0 && cjk * 3 > total) return "zh"
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (words.isEmpty) return "und"
+    val scores = stopwords.map { case (lang, sw) =>
+      lang -> words.count(sw.contains)
+    }
+    val (best, score) = scores.maxBy(_._2)
+    if (score == 0) "und" else best
+  }
+
+  /** quality heuristics: (chars, words, avgWordLen, punctRatio, upperRatio, stopwordRatio) */
+  def qualityScore(text: String): Double = {
+    if (text.isEmpty) return 0.0
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return 0.0
+    val avgLen = words.map(_.length).sum.toDouble / words.length
+    val punct = text.count(c => ".,;:!?".indexOf(c) >= 0).toDouble / text.length
+    val upper = text.count(_.isUpper).toDouble / text.length
+    val sw = stopwords("en")
+    val swRatio = words.count(w => sw.contains(w.toLowerCase)).toDouble / words.length
+    // crude composite in [0,1]: reasonable word length, some punctuation, not shouting
+    val lenScore = math.max(0.0, 1.0 - math.abs(avgLen - 5.0) / 10.0)
+    val punctScore = math.min(1.0, punct * 10)
+    val caseScore = math.max(0.0, 1.0 - upper * 4)
+    val swScore = math.min(1.0, swRatio * 4)
+    (lenScore + punctScore + caseScore + swScore) / 4.0
+  }
+
+  /** rolling (polynomial) hash fingerprint of the word sequence. */
+  def fingerprint(text: String): Long = {
+    var h = 1125899906842597L
+    text.split("\\s+").foreach { w =>
+      if (w.nonEmpty) h = h * 31 + mix(w.hashCode.toLong)
+    }
+    h
+  }
+
+  /** BPE-ish token estimate: whitespace words plus sub-word splits on
+    * case/digit/punct boundaries (a deterministic proxy for a real BPE). */
+  def tokenEstimate(text: String): Int = {
+    var count = 0
+    val m = java.util.regex.Pattern
+      .compile("[A-Z]?[a-z]+|[A-Z]+(?![a-z])|\\d{1,4}|[^\\sA-Za-z0-9]").matcher(text)
+    while (m.find()) count += 1
+    count
+  }
+}
+
+// ---- expressions ----
+
+case class MinHashSigExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(t: Any, n: Any, k: Any): Any =
+    new GenericArrayData(TextOps.minHashSig(t.toString, n.asInstanceOf[Int], k.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "minhash_sig"
+}
+
+case class SimHashExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any = TextOps.simHash(t.toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash"
+}
+
+case class NgramJaccardExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any, n: Any): Any =
+    TextOps.ngramJaccard(a.toString, b.toString, n.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "ngram_jaccard"
+}
+
+case class LanguageIdExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any): Any =
+    UTF8String.fromString(TextOps.languageId(t.toString))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "language_id"
+}
+
+case class QualityScoreExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(t: Any): Any = TextOps.qualityScore(t.toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "quality_score"
+}
+
+case class FingerprintExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any = TextOps.fingerprint(t.toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "text_fingerprint"
+}
+
+case class TokenEstimateExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override protected def nullSafeEval(t: Any): Any = TextOps.tokenEstimate(t.toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "token_estimate"
+}
+
+object TextFunctions {
+  def minhash_sig(text: Column, numHashes: Column, shingleSize: Column): Column =
+    mkCol(MinHashSigExpr(exprOf(text), exprOf(numHashes), exprOf(shingleSize)))
+  def simhash(text: Column): Column = mkCol(SimHashExpr(exprOf(text)))
+  def ngram_jaccard(a: Column, b: Column, n: Column): Column =
+    mkCol(NgramJaccardExpr(exprOf(a), exprOf(b), exprOf(n)))
+  def language_id(text: Column): Column = mkCol(LanguageIdExpr(exprOf(text)))
+  def quality_score(text: Column): Column = mkCol(QualityScoreExpr(exprOf(text)))
+  def text_fingerprint(text: Column): Column = mkCol(FingerprintExpr(exprOf(text)))
+  def token_estimate(text: Column): Column = mkCol(TokenEstimateExpr(exprOf(text)))
+}

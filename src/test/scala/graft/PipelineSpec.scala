@@ -1,0 +1,95 @@
+package graft
+
+import graft.pipeline.{Dedup, Ann, TextOps, Multimodal}
+import org.apache.spark.sql.functions._
+
+/** Correctness checks for the training-data operators beyond rows>0:
+  * LSH vs brute-force agreement, dedup exactness, stub decode fidelity. */
+class PipelineSpec extends SparkTestBase {
+
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup finds injected duplicates") {
+    import spark.implicits._
+    val withDups = docs.select($"doc_id", $"text")
+      .unionByName(docs.select(($"doc_id" + 100000).as("doc_id"), $"text").limit(5))
+    val dups = Dedup.exact(withDups, "doc_id", "text").filter($"dup_count" > 1)
+    assert(dups.count() == 5)
+    // keep_id is always the original (smaller) id
+    assert(dups.filter($"keep_id" >= 100000).count() == 0)
+  }
+
+  test("minhash-LSH finds an injected near-duplicate with high jaccard") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text").limit(30)
+    // near-dup: copy of doc 0 with one word appended
+    val near = base.filter($"doc_id" === 0)
+      .select(lit(900000L).as("doc_id"), concat($"text", lit(" extra")).as("text"))
+    val pairs = Dedup.minHashPairs(base.unionByName(near), "doc_id", "text",
+      bands = 16, rowsPerBand = 4, shingleSize = 3, threshold = 0.8)
+    val hit = pairs.filter($"id_a" === 0 && $"id_b" === 900000L).collect()
+    assert(hit.length == 1, "LSH missed the injected near-duplicate")
+    assert(hit.head.getDouble(2) > 0.8)
+  }
+
+  test("simhash of a near-duplicate is within small hamming distance") {
+    val t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val t2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val h = java.lang.Long.bitCount(TextOps.simHash(t1) ^ TextOps.simHash(t2))
+    assert(h <= 16, s"hamming $h too large")
+    assert(TextOps.simHash(t1) == TextOps.simHash(t1)) // deterministic
+  }
+
+  test("ANN: LSH recalls injected true near neighbors of the query") {
+    import spark.implicits._
+    val query = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+    // inject 10 vectors that are genuinely close to the query (cos > 0.99)
+    val near = (1 to 10).map { i =>
+      val v = query.zipWithIndex.map { case (x, d) =>
+        x + (TextOps.mix(i * 131L + d) % 1000).toFloat / 100000f
+      }
+      (10000L + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val corpus = emb.filter($"vec_id" =!= 0).select($"vec_id", $"embedding").unionByName(near)
+
+    val bf = Ann.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(bf.count(_ >= 10000L) == 10, "brute force must rank the injected neighbors first")
+    val lsh = Ann.lshTopK(corpus, "vec_id", "embedding", query, 10)
+      .select($"vec_id").as[Long].collect()
+    val recall = lsh.count(bf.contains)
+    assert(recall >= 8, s"LSH recall too low: $recall/10")
+  }
+
+  test("language id: CJK and stopword heuristics") {
+    assert(TextOps.languageId("这是一个中文句子 它有很多汉字") == "zh")
+    assert(TextOps.languageId("the cat sat on the mat and it was happy") == "en")
+    assert(TextOps.languageId("der hund ist nicht in der küche und das ist gut") == "de")
+    assert(TextOps.languageId("xyzzy plugh") == "und")
+  }
+
+  test("token estimate splits camelCase, digits and punctuation") {
+    assert(TextOps.tokenEstimate("helloWorld42!") == 4) // hello World 42 !
+    assert(TextOps.tokenEstimate("a b c") == 3)
+    assert(TextOps.tokenEstimate("") == 0)
+  }
+
+  test("multimodal: stub decode recovers header metadata; frame sampling bounded") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(spark, 100)
+    val decoded = Multimodal.decodeStub(media)
+    val bad = decoded.filter($"decoded_width" =!= $"meta.width" ||
+                             $"decoded_height" =!= $"meta.height" ||
+                             $"decoded_frames" =!= $"meta.n_frames").count()
+    assert(bad == 0)
+    val frames = Multimodal.sampleFrames(media, 4)
+    assert(frames.count() > 0)
+    val perVideo = frames.groupBy($"media_id").agg(count(lit(1)).as("n"))
+      .agg(max($"n")).head().getLong(0)
+    assert(perVideo <= 8, s"sampled too many frames: $perVideo")
+    // feature extraction keeps batch shape: one row per media, fixed width
+    val feats = Multimodal.featureStub(media)
+    assert(feats.columns.length == 9 && feats.count() == 100)
+  }
+}
