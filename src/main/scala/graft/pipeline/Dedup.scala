@@ -72,14 +72,9 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** cosine similarity of two float-array embedding columns (double math). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
-  }
+  /** cosine similarity of two float-array embedding columns (double math,
+    * native expression — see CosineSimExpr). */
+  def cosine(a: Column, b: Column): Column = TextFunctions.cosine_sim(a, b)
 
   /** embedding near-dup pairs above a cosine threshold. Brute-force
     * (self-join) baseline; for scale use Ann.lshBuckets blocking first. */

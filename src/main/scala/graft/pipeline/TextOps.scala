@@ -217,6 +217,31 @@ case class TokenEstimateExpr(child: Expression) extends UnaryExpression with Cod
   override def prettyName: String = "token_estimate"
 }
 
+/** cosine_sim(a, b) over two float-array embeddings — a tight primitive loop
+  * instead of interpreted zip_with/aggregate lambdas (~50x faster on
+  * brute-force pair scans). */
+case class CosineSimExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val va = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    val vb = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    val n = math.min(va.length, vb.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = va(i).toDouble; val y = vb(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
 object TextFunctions {
   def minhash_sig(text: Column, numHashes: Column, shingleSize: Column): Column =
     mkCol(MinHashSigExpr(exprOf(text), exprOf(numHashes), exprOf(shingleSize)))
@@ -227,4 +252,5 @@ object TextFunctions {
   def quality_score(text: Column): Column = mkCol(QualityScoreExpr(exprOf(text)))
   def text_fingerprint(text: Column): Column = mkCol(FingerprintExpr(exprOf(text)))
   def token_estimate(text: Column): Column = mkCol(TokenEstimateExpr(exprOf(text)))
+  def cosine_sim(a: Column, b: Column): Column = mkCol(CosineSimExpr(exprOf(a), exprOf(b)))
 }

@@ -51,11 +51,29 @@ object Cli {
     }
   }
 
+  /** split command string honoring single-quoted segments (for --shell='...'). */
+  private[xmq] def splitArgs(s: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQuote = !inQuote
+      else if (!inQuote && (c == ' ' || c == '\t' || c == '\n')) {
+        if (cur.nonEmpty) { out += cur.toString; cur.clear() }
+      } else cur.append(c)
+      i += 1
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toList
+  }
+
   private def runOne(input: Array[Byte], flags: XmqEngine.ParseFlags, cmds: String): String = {
     var doc = XmqEngine.parse(input, flags)
     var output: String = null
     val toks = {
-      val t = cmds.trim.split("\\s+").filter(_.nonEmpty).toList
+      val t = splitArgs(cmds)
       if (t.isEmpty) List("to-xmq") else t
     }
 
@@ -119,6 +137,32 @@ object Cli {
         if (opts.contains("--type=debugtokens")) output = Xmq.debugTokens(input)
         else if (opts.contains("--type=debugcontent")) output = Xmq.debugContent(input)
         exec(more)
+      case "delete-entity" :: name :: rest =>
+        deleteEntities(doc, name); exec(rest)
+      case "add" :: snippet :: rest =>
+        // parse snippet as xmq, append its roots as doc siblings (xmq-cli.c:2772)
+        val frag = XmqBuilder.parse(snippet.getBytes(StandardCharsets.UTF_8))
+        frag.children.foreach(doc.appendChild)
+        exec(rest)
+      case "add-root" :: name :: rest =>
+        val root = new XElem(name)
+        doc.children.foreach(root.appendChild)
+        val nd = new XDoc
+        nd.appendChild(root)
+        doc = nd
+        exec(rest)
+      case "statistics" :: rest =>
+        doc = Statistics.compute(doc, input.length)
+        exec(rest)
+      case "substitute-char-entities" :: rest =>
+        substituteEntities(doc, null, charOnly = true); exec(rest)
+      case "substitute-entity" :: name :: rest =>
+        substituteEntities(doc, name, charOnly = false); exec(rest)
+      case "for-each" :: path :: rest =>
+        val (opts, more) = rest.span(_.startsWith("--"))
+        val shellCmd = opts.find(_.startsWith("--shell=")).map(_.substring(8))
+        shellCmd.foreach { cmdline => output = forEachShell(doc, path, cmdline) }
+        exec(more)
       case "print" :: rest => exec(rest) // output already buffered
       case "no-output" :: rest => output = ""; exec(rest)
       case other :: _ => throw new UnsupportedOperationException(s"cmd $other")
@@ -126,6 +170,94 @@ object Cli {
     exec(toks)
     if (output == null) output = XmqEngine.toXmq(doc)
     output
+  }
+
+  /** delete entity-ref nodes by name everywhere (xmq-cli.c delete_entities). */
+  private def deleteEntities(doc: XDoc, name: String): Unit = {
+    def clean(list: scala.collection.mutable.ArrayBuffer[XNode]): Unit = {
+      var i = 0
+      while (i < list.length) {
+        list(i) match {
+          case r: XEntityRef if r.name == name => list.remove(i); i -= 1
+          case e: XElem => clean(e.children)
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    clean(doc.children)
+  }
+
+  /** decode entity refs into text (xmq-cli.c:3247-3316). */
+  private def substituteEntities(doc: XDoc, name: String, charOnly: Boolean): Unit = {
+    def subst(list: scala.collection.mutable.ArrayBuffer[XNode]): Unit = {
+      var i = 0
+      while (i < list.length) {
+        list(i) match {
+          case r: XEntityRef if (charOnly && r.name.startsWith("#")) ||
+                                (!charOnly && r.name == name) =>
+            val cp = TextUtil.decodeEntityRef(r.name)
+            if (cp > 0) {
+              val txt = new String(Character.toChars(cp))
+              // merge with neighbors like xmlTextMerge
+              val prev = if (i > 0) list(i - 1) else null
+              val next = if (i + 1 < list.length) list(i + 1) else null
+              (prev, next) match {
+                case (p: XText, n: XText) =>
+                  p.content += txt + n.content; list.remove(i, 2); i -= 2
+                case (p: XText, _) => p.content += txt; list.remove(i); i -= 1
+                case (_, n: XText) => n.content = txt + n.content; list.remove(i); i -= 1
+                case _ => list(i) = new XText(txt)
+              }
+            }
+          case e: XElem => subst(e.children)
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    subst(doc.children)
+  }
+
+  /** for-each <xpath> --shell='cmd': run shell per match with ${child} and
+    * ${.} interpolation (xmq-cli.c:2730-2770). */
+  private def forEachShell(doc: XDoc, path: String, cmdline: String): String = {
+    val sb = new StringBuilder
+    XPath.matches(doc, path).foreach {
+      case XPath.ElemHit(e) =>
+        var cmd = cmdline
+        // ${name} → value of child key-value node; ${.} → all text content
+        val re = """\$\{([^}]+)\}""".r
+        cmd = re.replaceAllIn(cmd, m => {
+          val key = m.group(1)
+          val v =
+            if (key == ".") collectText(e)
+            else if (key == "..") e.name
+            else e.children.collectFirst {
+              case c: XElem if c.name == key => collectText(c)
+            }.getOrElse("")
+          java.util.regex.Matcher.quoteReplacement(v)
+        })
+        val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+        proc.waitFor()
+        sb.append(out)
+      case _ =>
+    }
+    sb.toString
+  }
+
+  private def collectText(e: XElem): String = {
+    val sb = new StringBuilder
+    def walk(n: XNode): Unit = n match {
+      case t: XText => sb.append(t.content)
+      case el: XElem => el.children.foreach(walk)
+      case _ =>
+    }
+    e.children.foreach(walk)
+    sb.toString
   }
 
   /** index of the unescaped closing double quote, or -1. */

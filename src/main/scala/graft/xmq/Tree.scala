@@ -48,7 +48,11 @@ final class XElem(var name: String, var nsPrefix: String = null) extends XNode {
   def lastChild: XNode = if (children.isEmpty) null else children.last
 }
 
-final class XText(var content: String) extends XNode
+final class XText(var content: String) extends XNode {
+  /** true when this text was a CDATA section (html script/style raw text) —
+    * only used by the statistics command; printing treats both the same. */
+  var cdata: Boolean = false
+}
 final class XEntityRef(var name: String) extends XNode  // "#10", "#x41" or "nbsp"
 final class XComment(var content: String) extends XNode
 final class XPi(var name: String, var content: String) extends XNode

@@ -11,6 +11,7 @@ object XPath {
   sealed trait Hit
   final case class ElemHit(e: XElem) extends Hit
   final case class AttrHit(owner: XElem, a: XAttr) extends Hit
+  final case class TextHit(t: XText) extends Hit
 
   def matches(doc: XDoc, path: String): Seq[Hit] = {
     val hits = ArrayBuffer.empty[Hit]
@@ -24,6 +25,10 @@ object XPath {
 
     def walk(e: XElem, partIdx: Int, anchored: Boolean): Unit = {
       val pat = parts(partIdx)
+      if (pat == "text()") {
+        e.children.foreach { case t: XText => hits += TextHit(t); case _ => }
+        return
+      }
       if (pat.startsWith("@")) {
         val an = pat.substring(1)
         e.attrs.foreach { a =>
@@ -35,7 +40,13 @@ object XPath {
       }
       if (nameMatches(e, pat)) {
         if (partIdx == parts.length - 1) hits += ElemHit(e)
-        else e.children.foreach { case c: XElem => walk(c, partIdx + 1, anchored = true); case _ => }
+        else {
+          val next = parts(partIdx + 1)
+          if (next.startsWith("@") || next == "text()")
+            walk(e, partIdx + 1, anchored = true) // attr/text steps bind to e itself
+          else
+            e.children.foreach { case c: XElem => walk(c, partIdx + 1, anchored = true); case _ => }
+        }
       }
       if (!anchored && descendant)
         e.children.foreach { case c: XElem => walk(c, partIdx, anchored = false); case _ => }
@@ -61,6 +72,11 @@ object XPath {
   /** delete: unlink all matches (xmq-cli.c:3061-3093). */
   def delete(doc: XDoc, path: String): XDoc = {
     matches(doc, path).foreach {
+      case TextHit(t) =>
+        if (t.parent != null) {
+          val idx = t.parent.children.indexWhere(_ eq t)
+          if (idx >= 0) t.parent.children.remove(idx)
+        }
       case ElemHit(e) =>
         val list = if (e.parent == null) doc.children else e.parent.children
         val idx = list.indexWhere(_ eq e)
@@ -78,6 +94,7 @@ object XPath {
     val out = new XDoc
     matches(doc, path).foreach {
       case ElemHit(e) => out.appendChild(deepCopy(e))
+      case TextHit(t) => out.appendChild(new XText(t.content))
       case AttrHit(_, a) =>
         val w = new XElem(a.key)
         w.appendChild(new XText(a.stringValue))

@@ -310,7 +310,11 @@ final class XmlParser(s: String, html: Boolean) {
         val close = "</" + e.name
         val idx0 = indexOfIC(close, i)
         val end = if (idx0 < 0) stop else idx0
-        if (end > i) e.appendChild(new XText(s.substring(i, end)))
+        if (end > i) {
+          val t = new XText(s.substring(i, end))
+          t.cdata = true // libxml2 html parser makes script/style content CDATA
+          e.appendChild(t)
+        }
         i = if (idx0 < 0) stop else {
           val gt = s.indexOf('>', idx0)
           if (gt < 0) stop else gt + 1

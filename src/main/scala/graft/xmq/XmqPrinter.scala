@@ -291,6 +291,7 @@ final class XmqPrinter(os: XmqSettings) {
   // ---------- node printing ----------
 
   def printDoc(doc: XDoc): Unit = {
+    if (doc.children.isEmpty) return // xmq_print_xmq: empty doc emits nothing
     printNodesList(doc.children)
     sb.append('\n')
   }

@@ -1,0 +1,65 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+/** Structured-streaming operators: windowed agg over a real MemoryStream
+  * (incremental micro-batches + watermark) and gap-based sessionization. */
+class StreamingSpec extends SparkTestBase {
+  import EventStream._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("windowed counts over a MemoryStream produce the same result as batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(0), 1, "click", 1.0, "{}"),
+      Event(2, ts(3), 1, "click", 2.0, "{}"),
+      Event(3, ts(12), 2, "view", 3.0, "{}"),
+      Event(4, ts(15), 2, "click", 4.0, "{}"),
+      Event(5, ts(25), 1, "view", 5.0, "{}"))
+
+    val stream = MemoryStream[Event]
+    stream.addData(events.take(3): _*) // two micro-batches
+    val query = windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    query.processAllAvailable()
+    stream.addData(events.drop(3): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    val streamed = spark.sql("SELECT * FROM win_counts")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val batch = windowedCounts(events.toDF())
+      .orderBy("window_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 4) // (w0 click), (w10 view), (w10 click), (w20 view)
+  }
+
+  test("sessionization splits on the inactivity gap") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0, "{}"),
+      Event(2, ts(5), 1, "a", 2.0, "{}"),
+      Event(3, ts(90), 1, "a", 3.0, "{}"),   // new session after 85 min gap
+      Event(4, ts(95), 1, "a", 4.0, "{}"),
+      Event(5, ts(0), 2, "b", 9.0, "{}")).toDS()
+    val sessions = EventStream.sessionize(events, gapMinutes = 30).collect()
+    val u1 = sessions.filter(_.user_id == 1).sortBy(_.session_end_ts)
+    assert(u1.length == 2)
+    assert(u1(0).n_events == 2 && u1(0).total_value == 3.0)
+    assert(u1(1).n_events == 2 && u1(1).total_value == 7.0)
+    assert(sessions.count(_.user_id == 2) == 1)
+  }
+
+  test("windowed counts on the real events table (batch form of the stream)") {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    val out = windowedCounts(df)
+    assert(out.count() > 0)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.xmq
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.StandardCharsets
+
+/** Replays the remaining CLI fixture families: cmd_*, select_*, noinput_*,
+  * statistics_*, pipe_* (runners tests/test_cmds.sh etc.). */
+class CliFixtureSpec extends AnyFunSuite {
+  assume(Fixtures.available, "reference corpus not present")
+
+  private def grep(content: String, n: String) =
+    content.split("\n").filter(_.startsWith(n)).map(_.drop(n.length + 1)).mkString("")
+
+  // cmd_*: INPUT → CMDS → OUTPUT
+  for (p <- Fixtures.list("""cmd_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"cmd $name") {
+      val content = Fixtures.read(p)
+      val input = Fixtures.section(content, "INPUT.*", "OUTPUT")
+      val expected = Fixtures.section(content, "OUTPUT", "END")
+      val args = grep(content, "ARGS")
+      val cmds = grep(content, "CMDS")
+      val r = Cli.run(input.getBytes(StandardCharsets.UTF_8), args, cmds)
+      assert(r.ok, s"failed: ${r.error}")
+      assert(r.output == expected, s"\n--- expected:\n$expected--- got:\n${r.output}")
+    }
+  }
+
+  // select_*: START → select XPATH to-xmq --compact → expected (single line)
+  for (p <- Fixtures.list("""select_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"select $name") {
+      val content = Fixtures.read(p)
+      val input = Fixtures.section(content, "START.*", "SELECT.*")
+      val sel = content.split("\n").find(_.startsWith("SELECT")).get.drop(7)
+      val xpath = sel.split(" ", 2)(0)
+      val expected = sel.split(" ", 2)(1) + "\n"
+      val r = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", s"select $xpath to-xmq --compact")
+      assert(r.ok, s"failed: ${r.error}")
+      assert(r.output == expected, s"\n--- expected:\n$expected--- got:\n${r.output}")
+    }
+  }
+
+  // noinput_*: xmq -z ARGS CMDS → XMQ section
+  for (p <- Fixtures.list("""noinput_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"noinput $name") {
+      val content = Fixtures.read(p)
+      val expected = Fixtures.section(content, "XMQ", "END")
+      val args = grep(content, "ARGS")
+      val cmds = grep(content, "CMDS")
+      val r = Cli.run(Array.empty[Byte], args, cmds)
+      assert(r.ok, s"failed: ${r.error}")
+      assert(r.output == expected, s"\n--- expected:\n$expected--- got:\n${r.output}")
+    }
+  }
+
+  // statistics_*: START → statistics → STATISTICS section
+  for (p <- Fixtures.list("""statistics_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"statistics $name") {
+      val content = Fixtures.read(p)
+      val input = Fixtures.section(content, "START.*", "STATISTICS")
+      val expected = Fixtures.section(content, "STATISTICS", "END")
+      val r = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "statistics")
+      assert(r.ok, s"failed: ${r.error}")
+      assert(r.output == expected, s"\n--- expected:\n$expected--- got:\n${r.output}")
+    }
+  }
+
+  // pipe_001: tokenizer sections (same shape as NNN_ fixtures)
+  for (p <- Fixtures.list("""pipe_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"pipe $name") {
+      val content = Fixtures.read(p)
+      val input = Fixtures.section(content, "START.*", "DEBUG")
+      val expTokens = Fixtures.section(content, "DEBUG", "CONTENT")
+      val expContent = Fixtures.section(content, "CONTENT", "END")
+      val bytes = input.getBytes(StandardCharsets.UTF_8)
+      assert(Xmq.debugTokens(bytes) == expTokens)
+      assert(Xmq.debugContent(bytes) == expContent)
+    }
+  }
+}
