@@ -137,6 +137,23 @@ object Cli {
         if (opts.contains("--type=debugtokens")) output = Xmq.debugTokens(input)
         else if (opts.contains("--type=debugcontent")) output = Xmq.debugContent(input)
         exec(more)
+      case "replace" :: spec :: rest =>
+        // replace <xpath>=<value>: set content of first match (xmq-cli.c:3095)
+        val eq = spec.indexOf('=')
+        if (eq > 0) {
+          val (path, value) = (spec.substring(0, eq), spec.substring(eq + 1))
+          XPath.matches(doc, path).headOption.foreach {
+            case XPath.ElemHit(e) =>
+              e.children.clear()
+              e.appendChild(new XText(value))
+            case XPath.AttrHit(_, a) =>
+              a.values = scala.collection.mutable.ArrayBuffer(new XText(value))
+            case XPath.TextHit(t) => t.content = value
+          }
+        }
+        exec(rest)
+      case "replace-entity" :: name :: value :: rest if !value.startsWith("--") =>
+        replaceEntities(doc, name, value); exec(rest)
       case "delete-entity" :: name :: rest =>
         deleteEntities(doc, name); exec(rest)
       case "add" :: snippet :: rest =>
@@ -186,6 +203,35 @@ object Cli {
       }
     }
     clean(doc.children)
+  }
+
+  /** replace entity refs with text, merging adjacent text (xmq-cli.c:3138). */
+  private def replaceEntities(doc: XDoc, name: String, value: String): Unit = {
+    def repl(list: scala.collection.mutable.ArrayBuffer[XNode]): Unit = {
+      var i = 0
+      while (i < list.length) {
+        list(i) match {
+          case r: XEntityRef if r.name == name =>
+            val prev = if (i > 0) list(i - 1) else null
+            val next = if (i + 1 < list.length) list(i + 1) else null
+            (prev, next) match {
+              case (p: XText, n: XText) =>
+                p.content += value + n.content; list.remove(i, 2); i -= 2
+              case (p: XText, _) => p.content += value; list.remove(i); i -= 1
+              case (_, n: XText) => n.content = value + n.content; list.remove(i); i -= 1
+              case _ => list(i) = new XText(value)
+            }
+          case e: XElem =>
+            repl(e.children)
+            e.attrs.foreach { a =>
+              if (a.values != null) repl(a.values)
+            }
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    repl(doc.children)
   }
 
   /** decode entity refs into text (xmq-cli.c:3247-3316). */

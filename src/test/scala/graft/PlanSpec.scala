@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that must survive a 100x
+  * scale-up — filter/projection pushdown into parquet, broadcast joins for
+  * small dims, no unnecessary shuffles, codegen coverage. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q6 pushes the shipdate filter and prunes columns at the parquet scan") {
+    val df = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp"))
+      .select(col("l_extendedprice"))
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(formatted.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"no pushed filter:\n$formatted")
+    assert(formatted.contains("ReadSchema: struct<l_extendedprice:double,l_shipdate:timestamp"),
+      s"column pruning missing:\n$formatted")
+  }
+
+  test("q2 join uses broadcast for the dimension tables") {
+    val p = planOf("q2_join_agg")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q3 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf("q3_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator:\n$p")
+  }
+
+  test("q5 semi join stays a join, not a distinct+join") {
+    val p = planOf("q5_semijoin")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+  }
+
+  test("q13 exact dedup is a single hash aggregate (partial + final)") {
+    val p = planOf("q13_dedup_exact")
+    assert(p.contains("HashAggregate"), p)
+    // partial aggregation (map-side combine) must appear before the shuffle
+    assert(p.indexOf("HashAggregate") != p.lastIndexOf("HashAggregate"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q17 brute-force ANN is scan + project + TakeOrdered — zero shuffles") {
+    val p = planOf("q17_ann_topk")
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("merge into broadcasts the source key set") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString
+    val t = new graft.lake.GraftTable(spark, dir)
+    t.append(graft.synth.SourceFiles.generate(200, 42).toDF().repartition(4))
+    val keys = Seq("repo", "path", "commit")
+    val src = graft.synth.SourceFiles.generate(10, 7).toDF()
+    val plan = t.scan().join(broadcast(src.select(keys.map(col): _*)), keys, "left_semi")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("whole-stage codegen covers the relational queries") {
+    // AQE finalizes the plan only on execution
+    val df = SparkEntry.queries("q1_agg")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // whole-stage-codegen stages render as "*(n) Operator" in toString
+    assert(p.contains("*(") , s"no codegen spans:\n$p")
+  }
+}
