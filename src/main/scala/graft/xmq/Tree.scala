@@ -95,6 +95,9 @@ final case class NsDef(prefix: String, var href: String) // prefix null = defaul
 
 /** A parsed document: a sequence of top-level nodes (doctype, comments, one root element...). */
 final class XDoc {
+  /** xml-decl standalone: -1 unset, 1 yes, 0 no. libxml2's html parser marks
+    * documents standalone=yes, which shows in the to-xml declaration. */
+  var standalone: Int = -1
   val children = new ArrayBuffer[XNode]()
   def appendChild(n: XNode): Unit = children += n
   def root: XElem = children.collectFirst { case e: XElem => e }.orNull

@@ -71,6 +71,7 @@ final class XmlParser(s: String, html: Boolean) {
     if (at("﻿")) i += 1
     parseMisc(doc.children, topLevel = true)
     applyAttDefaults()
+    if (html) doc.standalone = 1 // htmlReadMemory marks the doc standalone
     if (html && !doc.children.exists(_.isInstanceOf[XDoctype])) {
       // htmlParseDocument inserts the default HTML 4.0 Transitional doctype
       // when the input has none.
@@ -86,6 +87,12 @@ final class XmlParser(s: String, html: Boolean) {
     while (i < stop) {
       if (topLevel && at("<?xml") &&
           (i + 5 >= stop || TextUtil.isXmlWhitespace(s.charAt(i + 5)) || s.charAt(i + 5) == '?')) {
+        val declEnd = s.indexOf("?>", i)
+        if (declEnd > 0) {
+          val decl = s.substring(i, declEnd)
+          if (decl.contains("standalone=\"yes\"") || decl.contains("standalone='yes'")) doc.standalone = 1
+          else if (decl.contains("standalone=\"no\"") || decl.contains("standalone='no'")) doc.standalone = 0
+        }
         skipPast("?>")
       } else if (at("<!DOCTYPE") || (html && at("<!doctype")) || (html && regionIC("<!DOCTYPE"))) {
         parseDoctype(list)

@@ -13,7 +13,12 @@ object XmlPrinter {
 
   def printXml(doc: XDoc, withDecl: Boolean = true): String = {
     val sb = new StringBuilder
-    if (withDecl) sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"?>\n")
+    if (withDecl) {
+      sb.append("<?xml version=\"1.0\" encoding=\"utf-8\"")
+      if (doc.standalone == 1) sb.append(" standalone=\"yes\"")
+      else if (doc.standalone == 0) sb.append(" standalone=\"no\"")
+      sb.append("?>\n")
+    }
     doc.children.foreach { n =>
       writeNode(sb, n)
       sb.append('\n')
