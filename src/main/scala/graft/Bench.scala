@@ -21,7 +21,10 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // materialize every output column (noop sink) — count() would let
+      // Spark prune the very columns a query exists to compute
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
 

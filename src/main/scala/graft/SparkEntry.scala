@@ -262,6 +262,17 @@ object SparkEntry {
       .select($"vec_id", round($"cos", 4).as("cos_sim"))
   }
 
+  private def q23LshNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the 100-TB near-dup path: LSH-banded blocking (linear work) + exact
+    // cosine verify; the DuckDB oracle replicates the ±1 plane matrix, so
+    // the gate checks the full bucketing + verify pipeline cross-engine.
+    graft.pipeline.Dedup.embeddingPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, planes = 8, bands = 4)
+      .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   private def q22Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = graft.pipeline.Multimodal.synthesize(s, 300)
@@ -298,7 +309,22 @@ object SparkEntry {
     "q20_embedding_neardup" -> (q20EmbeddingNearDup(_, _)),
     "q21_ann_lsh"       -> (q21AnnLsh(_, _)),
     "q22_multimodal"    -> (q22Multimodal(_, _)),
+    "q23_lsh_neardup"   -> (q23LshNearDup(_, _)),
   )
+
+  // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
+  // matrix (TextOps.planeSign) is emitted as SQL literals so DuckDB
+  // recomputes the identical buckets independently. ----
+
+  private def duckPlane(band: Int, p: Int, dim: Int = 64, seed: Long = 0L): String =
+    (0 until dim).map(d =>
+        if (graft.pipeline.TextOps.planeSign(seed, band, p, d) < 0) "-1" else "1")
+      .mkString("[", ",", "]") + "::DOUBLE[]"
+
+  private def duckBucket(e: String, planes: Int, band: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN list_dot_product($e, ${duckPlane(band, p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -382,5 +408,27 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
         |         id_a ASC, id_b ASC
         |LIMIT 20""".stripMargin,
+    "q21_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         | ${duckBucket("embedding::DOUBLE[]", planes = 10, band = 0)} AS bucket
+         | FROM embeddings),
+         |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT vec_id, round(list_cosine_similarity(e, qe), 4) AS cos_sim
+         |FROM b, q
+         |WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 2
+         |ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+    "q23_lsh_neardup" -> {
+      val bandSelects = (0 until 4).map { band =>
+        s"SELECT vec_id, e, $band AS band, ${duckBucket("e", planes = 8, band = band)} AS bucket FROM v"
+      }.mkString("\n UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

@@ -5,28 +5,16 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>): brute-force cosine top-k as the correctness baseline and
-  * a random-hyperplane LSH bucketing as the scale path (probe only matching
-  * buckets instead of the full corpus).
+  * sign-random-projection LSH bucketing as the scale path (probe only buckets
+  * within a small hamming ball of the query's bucket instead of the full
+  * corpus).
   */
 object Ann {
 
-  /** deterministic pseudo-random hyperplanes: plane p, dim d from splitmix. */
-  private def planeComponent(p: Int, d: Int): Double = {
-    val h = TextOps.mix(p.toLong * 1000003L + d)
-    // map to [-1, 1)
-    (h >>> 11).toDouble / (1L << 52).toDouble - 1.0
-  }
-
-  /** sign-bit LSH bucket id from `planes` random hyperplanes. */
-  def lshBucket(vecCol: Column, planes: Int, dim: Int): Column = {
-    val terms = (0 until planes).map { p =>
-      val dot = (0 until dim).map { d =>
-        element_at(vecCol, d + 1).cast("double") * lit(planeComponent(p, d))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    terms.reduce(_ + _)
-  }
+  /** sign-bit LSH bucket id from `planes` ±1 hyperplanes — one native
+    * expression (LshBucketsExpr), not planes x dim unrolled Catalyst nodes. */
+  def lshBucket(vecCol: Column, planes: Int, seed: Long = 0L): Column =
+    element_at(TextFunctions.lsh_buckets(vecCol, planes, 1, seed), 1)
 
   /** brute-force top-k by cosine vs one query vector (exact baseline).
     * One scan, one TakeOrderedAndProject — no shuffle of the corpus. */
@@ -38,24 +26,18 @@ object Ann {
       .limit(k)
   }
 
-  /** LSH-bucketed ANN: pre-bucket the corpus; probe the query's bucket and
-    * all buckets within hamming distance 2 (multi-probe) then rank exactly.
-    * True near neighbors (high cosine) land in low-hamming buckets with high
-    * probability; sub-linear scan for clustered corpora. */
+  /** LSH-bucketed ANN: bucket the corpus, probe every bucket within hamming
+    * distance `probeRadius` of the query's bucket (multi-probe), rank the
+    * candidates exactly. True near neighbors flip few sign bits, so they land
+    * in low-hamming buckets with high probability; candidate set is sub-linear
+    * for clustered corpora. The bucket column is a plain derived column — at
+    * scale, persist it once (e.g. as a table column) and reuse across queries. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
-              query: Array[Float], k: Int, planes: Int = 10): DataFrame = {
-    val dim = query.length
-    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), planes, dim))
-    // query bucket computed driver-side with the same plane function
-    var qb = 0L
-    for (p <- 0 until planes) {
-      var dot = 0.0
-      for (d <- 0 until dim) dot += query(d) * planeComponent(p, d)
-      if (dot >= 0) qb |= (1L << p)
-    }
-    val probes = (qb +: (0 until planes).flatMap(p =>
-      (qb ^ (1L << p)) +: (p + 1 until planes).map(p2 => qb ^ (1L << p) ^ (1L << p2)))).distinct
-    val cand = bucketed.filter(col("_bucket").isin(probes: _*))
+              query: Array[Float], k: Int, planes: Int = 10,
+              probeRadius: Int = 2, seed: Long = 0L): DataFrame = {
+    val qb = TextOps.lshBucketLocal(query, planes, band = 0, seed)
+    val cand = df.filter(
+      bit_count(lshBucket(col(vecCol), planes, seed).bitwiseXOR(lit(qb))) <= probeRadius)
     val q = typedLit(query.toSeq)
     cand.select(col(idCol), Dedup.cosine(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

@@ -76,15 +76,52 @@ object Dedup {
     * native expression — see CosineSimExpr). */
   def cosine(a: Column, b: Column): Column = TextFunctions.cosine_sim(a, b)
 
-  /** embedding near-dup pairs above a cosine threshold. Brute-force
-    * (self-join) baseline; for scale use Ann.lshBuckets blocking first. */
+  /** EXACT embedding all-pairs above a cosine threshold via triangle-block
+    * self-join: vectors are assigned block g = id % blocks; the unordered
+    * block pair (i, j), i <= j, is one join key, so every vector pair lands
+    * in exactly one join group. An equi-join on the block-pair key (not a
+    * CartesianProduct/BroadcastNestedLoopJoin) spreads the O(n²) compute
+    * evenly over blocks(blocks+1)/2 shuffle groups. Exact all-pairs is
+    * inherently quadratic — for 100-TB corpora use embeddingPairsLsh. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+                     threshold: Double, blocks: Int = 16): DataFrame = {
+    val B = blocks
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        pmod(col(idCol), lit(B)).cast("int").as("ba"))
+      // left row in block i joins keys (i, j) for j in i..B-1 (contiguous)
+      .withColumn("k", explode(expr(s"sequence(ba * $B + ba, ba * $B + ${B - 1})")))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        pmod(col(idCol), lit(B)).cast("int").as("bb"))
+      // right row in block j joins keys (i, j) for i in 0..j
+      .withColumn("k", explode(expr(s"transform(sequence(0, bb), i -> i * $B + bb)")))
+    a.join(b, "k")
+      // intra-block groups see both orientations; keep one. Cross-block
+      // groups see each pair once, in arbitrary id order — canonicalize.
+      .filter(col("ba") =!= col("bb") || col("id_a") < col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+              greatest(col("id_a"), col("id_b")).as("id_b"),
+              cosine(col("v_a"), col("v_b")).as("cos"))
       .filter(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos")
+  }
+
+  /** APPROXIMATE embedding near-dup pairs — the 100-TB scale path: `bands`
+    * independent sign-random-projection tables of `planes` bits each;
+    * candidates share a band bucket, then exact cosine verify. Work is
+    * ~bands × corpus (linear), not corpus². Recall for a pair at cosine c is
+    * 1-(1-p^planes)^bands with p = 1 - acos(c)/π. */
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planes: Int = 8, bands: Int = 4,
+                        seed: Long = 0L): DataFrame = {
+    val banded = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(TextFunctions.lsh_buckets(col(vecCol), planes, bands, seed)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("v_a"), col("v_b")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct() // a pair colliding in several bands appears once
   }
 }

@@ -156,6 +156,28 @@ object TextOps {
     while (m.find()) count += 1
     count
   }
+
+  // ---- sign-random-projection LSH (Charikar 2002; ±1 sparse planes per
+  // Achlioptas 2001). Components are ±1 so the identical plane matrix is
+  // cheap to replicate as SQL literals in the DuckDB oracle. ----
+
+  /** deterministic ±1 hyperplane component for (seed, band, plane, dim). */
+  @inline def planeSign(seed: Long, band: Int, plane: Int, d: Int): Double =
+    if (mix(mix(mix(seed + band) + plane) + d) < 0) -1.0 else 1.0
+
+  /** bucket id of one band: bit p set iff dot(vec, plane_p) >= 0. */
+  def lshBucketLocal(vec: Array[Float], planes: Int, band: Int, seed: Long): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < vec.length) { dot += vec(d).toDouble * planeSign(seed, band, p, d); d += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
 }
 
 // ---- expressions ----
@@ -242,6 +264,25 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def prettyName: String = "cosine_sim"
 }
 
+/** lsh_buckets(vec, planes, bands, seed): array of `bands` independent
+  * sign-random-projection bucket ids. A single native expression replacing
+  * the planes x dim unrolled Catalyst tree that dominated round-1 q21
+  * (~50 s of plan optimization for 640 nodes — VERDICT.md What's-wrong #3). */
+case class LshBucketsExpr(child: Expression, planes: Int, bands: Int, seed: Long)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val vec = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toFloatArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) { out(b) = TextOps.lshBucketLocal(vec, planes, b, seed); b += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "lsh_buckets"
+}
+
 object TextFunctions {
   def minhash_sig(text: Column, numHashes: Column, shingleSize: Column): Column =
     mkCol(MinHashSigExpr(exprOf(text), exprOf(numHashes), exprOf(shingleSize)))
@@ -253,4 +294,6 @@ object TextFunctions {
   def text_fingerprint(text: Column): Column = mkCol(FingerprintExpr(exprOf(text)))
   def token_estimate(text: Column): Column = mkCol(TokenEstimateExpr(exprOf(text)))
   def cosine_sim(a: Column, b: Column): Column = mkCol(CosineSimExpr(exprOf(a), exprOf(b)))
+  def lsh_buckets(vec: Column, planes: Int, bands: Int, seed: Long = 0L): Column =
+    mkCol(LshBucketsExpr(exprOf(vec), planes, bands, seed))
 }

@@ -62,6 +62,38 @@ class PipelineSpec extends SparkTestBase {
     assert(recall >= 8, s"LSH recall too low: $recall/10")
   }
 
+  test("embeddingPairs triangle-block join is exact: equals the naive cross join") {
+    import spark.implicits._
+    val small = emb.filter($"vec_id" < 100).select($"vec_id", $"embedding")
+    val naive = {
+      val a = small.select($"vec_id".as("id_a"), $"embedding".as("v_a"))
+      val b = small.select($"vec_id".as("id_b"), $"embedding".as("v_b"))
+      a.crossJoin(b).filter($"id_a" < $"id_b")
+        .select($"id_a", $"id_b", round(Dedup.cosine($"v_a", $"v_b"), 6).as("cos"))
+        .filter($"cos" >= 0.2)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val blocked = Dedup.embeddingPairs(small, "vec_id", "embedding", 0.2, blocks = 7)
+      .select($"id_a", $"id_b", round($"cos", 6).as("cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == naive, s"blocked=${blocked.size} naive=${naive.size}")
+    // and every pair appears exactly once
+    val n = Dedup.embeddingPairs(small, "vec_id", "embedding", -1.0, blocks = 7).count()
+    val rows = small.count()
+    assert(n == rows * (rows - 1) / 2, s"pair multiplicity wrong: $n")
+  }
+
+  test("embeddingPairsLsh candidates are a verified subset of exact pairs") {
+    import spark.implicits._
+    val small = emb.filter($"vec_id" < 200).select($"vec_id", $"embedding")
+    val exact = Dedup.embeddingPairs(small, "vec_id", "embedding", 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairsLsh(small, "vec_id", "embedding", 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(lsh.length == lsh.distinct.length, "LSH emitted duplicate pairs")
+    assert(lsh.forall(exact.contains), "LSH produced a pair below the verify threshold")
+  }
+
   test("language id: CJK and stopword heuristics") {
     assert(TextOps.languageId("这是一个中文句子 它有很多汉字") == "zh")
     assert(TextOps.languageId("the cat sat on the mat and it was happy") == "en")

@@ -55,6 +55,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q20/q21/q23 plans contain no cartesian product or nested-loop join") {
+    for (q <- Seq("q20_embedding_neardup", "q21_ann_lsh", "q23_lsh_neardup")) {
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q has a nested-loop join:\n$p")
+    }
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString
