@@ -239,7 +239,10 @@ object SparkEntry {
 
   private def q19SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.pipeline.Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+    // maxHamming=3 with maxHamming+1 chunk blocking — full recall by
+    // pigeonhole (round 1 used maxHamming=16 over 4 chunks: silent misses)
+    graft.pipeline.Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b", $"hamming".cast("long").as("hamming"))
       .orderBy($"id_a", $"id_b")
   }
 
@@ -326,6 +329,42 @@ object SparkEntry {
       s"(CASE WHEN list_dot_product($e, ${duckPlane(band, p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
 
+  // ---- DuckDB fragments replicating the text feature hashes (TextOps):
+  // sha60 = first 15 hex chars of sha256 (always-positive 60-bit BIGINT),
+  // splitmix64 finalizer via HUGEINT modular arithmetic (DuckDB BIGINT
+  // arithmetic is overflow-checked, so 64-bit wraparound needs % 2^64). ----
+
+  private val duckWords =
+    """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+  private def duckSha60(s: String): String =
+    s"('0x' || substr(sha256($s), 1, 15))::BIGINT"
+
+  /** the 60 per-bit majority-vote terms of TextOps.simHash, as one SQL sum. */
+  private def duckSimhashBits: String =
+    (0 until graft.pipeline.TextOps.SimHashBits).map(b =>
+      s"(CASE WHEN sum(CASE WHEN (wh >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)")
+      .mkString("(", "\n + ", ")")
+
+  /** (z * c) mod 2^64 in SQL: a full 64x64 product can overflow INT128, so
+    * split z into 32-bit halves — every intermediate stays under 2^97. */
+  private def duckMulMod(c: String): String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    s"""((((z & 4294967295)::HUGEINT * $c::HUGEINT) % $M
+       |  + (((z >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)
+       | % $M)::UBIGINT""".stripMargin
+  }
+
+  /** splitmix64 finalizer (TextOps.mix) as chained CTEs over column z. */
+  private def duckMixCtes: String = {
+    val M = "18446744073709551616::HUGEINT" // 2^64
+    s"""m2 AS (SELECT doc_id, i, ((z::HUGEINT + 11400714819323198485::HUGEINT) % $M)::UBIGINT AS z FROM m1),
+       |m3 AS (SELECT doc_id, i, xor(z, z >> 30) AS z FROM m2),
+       |m4 AS (SELECT doc_id, i, ${duckMulMod("13787848793156543929")} AS z FROM m3),
+       |m5 AS (SELECT doc_id, i, xor(z, z >> 27) AS z FROM m4),
+       |m6 AS (SELECT doc_id, i, ${duckMulMod("10723151780598845931")} AS z FROM m5),
+       |m7 AS (SELECT doc_id, i, xor(z, z >> 31) AS z FROM m6)""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -408,6 +447,57 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
         |         id_a ASC, id_b ASC
         |LIMIT 20""".stripMargin,
+    "q19_simhash_pairs" -> {
+      // recompute the 60-bit simhash from word-level sha60 features, then
+      // chunk-block exactly like Dedup.simHashPairs (4 chunks of 15 bits)
+      s"""WITH w AS (
+         | SELECT doc_id, ${duckSha60("word")} AS wh
+         | FROM (SELECT doc_id, unnest($duckWords) AS word FROM documents)),
+         |s AS (SELECT doc_id, $duckSimhashBits AS sh FROM w GROUP BY doc_id),
+         |c AS (SELECT doc_id, sh, unnest(range(4)) AS chunk,
+         |        unnest([(sh >> 0) & 32767, (sh >> 15) & 32767,
+         |                (sh >> 30) & 32767, (sh >> 45) & 32767]) AS chunk_val
+         |      FROM s)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         | bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+         |FROM c a JOIN c b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+    "q18_minhash_pairs" -> {
+      // full minhash-LSH replication: sha60 word-2-shingles -> 64 splitmix
+      // minhashes -> 16 bands of 4 (string keys) -> candidate pairs ->
+      // exact jaccard over distinct shingle sets, threshold 0.2
+      s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |sh AS (
+         | SELECT doc_id, ${duckSha60("sgl")} AS x
+         | FROM (SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+         |   ELSE list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) END) AS sgl
+         |   FROM ws)),
+         |m1 AS (SELECT doc_id, i, xor(x::UBIGINT, ((i + 1)::UBIGINT * 737894404660::UBIGINT)) AS z
+         |       FROM (SELECT doc_id, x, unnest(range(64)) AS i FROM sh)),
+         |$duckMixCtes,
+         |sig AS (SELECT doc_id, i,
+         |   min(CASE WHEN z >= 9223372036854775808::UBIGINT
+         |            THEN (z::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT
+         |            ELSE z::BIGINT END) AS h
+         |  FROM m7 GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, (i // 4) AS band,
+         |            string_agg(h::VARCHAR, ',' ORDER BY i) AS band_key
+         |          FROM sig GROUP BY doc_id, (i // 4)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+         |         WHERE a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, list(DISTINCT x) AS sx FROM sh GROUP BY doc_id)
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard
+         |FROM (SELECT c.id_a, c.id_b,
+         |        len(list_intersect(sa.sx, sb.sx))::DOUBLE /
+         |        (len(sa.sx) + len(sb.sx) - len(list_intersect(sa.sx, sb.sx))) AS jac
+         |      FROM cand c
+         |      JOIN sets sa ON sa.doc_id = c.id_a
+         |      JOIN sets sb ON sb.doc_id = c.id_b)
+         |WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin
+    },
     "q21_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          | ${duckBucket("embedding::DOUBLE[]", planes = 10, band = 0)} AS bucket

@@ -23,20 +23,40 @@ object TextOps {
     z ^ (z >>> 31)
   }
 
-  /** word shingles of size k, hashed. */
+  private val digestTL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** 60-bit feature hash: first 15 hex chars of sha256 — chosen because the
+    * identical value is cheap in the DuckDB oracle
+    * (`('0x' || substr(sha256(s),1,15))::BIGINT`), so the whole
+    * minhash/simhash pipeline is verifiable cross-engine. Always positive. */
+  def sha60(s: String): Long = {
+    val d = digestTL.get()
+    d.reset()
+    val h = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 7.5 bytes = 15 hex chars = 60 bits
+    ((h(0) & 0xffL) << 52) | ((h(1) & 0xffL) << 44) | ((h(2) & 0xffL) << 36) |
+      ((h(3) & 0xffL) << 28) | ((h(4) & 0xffL) << 20) | ((h(5) & 0xffL) << 12) |
+      ((h(6) & 0xffL) << 4) | ((h(7) & 0xffL) >> 4)
+  }
+
+  /** word shingles of size k: sha60 of the space-joined k consecutive words
+    * (texts shorter than k words hash as one whole-text shingle). */
   def shingleHashes(text: String, k: Int): Array[Long] = {
     val words = text.split("\\s+").filter(_.nonEmpty)
     if (words.length < k) {
       if (words.isEmpty) return Array.empty
-      return Array(mix(words.mkString(" ").hashCode.toLong))
+      return Array(sha60(words.mkString(" ")))
     }
     val out = new Array[Long](words.length - k + 1)
     var i = 0
     while (i + k <= words.length) {
-      var h = 0L
-      var j = 0
-      while (j < k) { h = mix(h ^ words(i + j).hashCode.toLong); j += 1 }
-      out(i) = h
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(words(i + j)); j += 1 }
+      out(i) = sha60(sb.toString)
       i += 1
     }
     out
@@ -60,14 +80,17 @@ object TextOps {
     sig
   }
 
-  /** 64-bit simhash over word-level features. */
+  /** simhash bit width: 60 (= the sha60 feature-hash width). */
+  val SimHashBits = 60
+
+  /** 60-bit simhash over word-level sha60 features (per-occurrence weighted). */
   def simHash(text: String): Long = {
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](SimHashBits)
     text.split("\\s+").foreach { w =>
       if (w.nonEmpty) {
-        val h = mix(w.hashCode.toLong)
+        val h = sha60(w)
         var b = 0
-        while (b < 64) {
+        while (b < SimHashBits) {
           if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -75,7 +98,7 @@ object TextOps {
     }
     var out = 0L
     var b = 0
-    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    while (b < SimHashBits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
     out
   }
 

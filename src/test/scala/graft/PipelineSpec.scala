@@ -33,6 +33,28 @@ class PipelineSpec extends SparkTestBase {
     assert(hit.head.getDouble(2) > 0.8)
   }
 
+  test("sha60 matches the DuckDB oracle definition ('0x'||substr(sha256,1,15))::BIGINT") {
+    // sha256('hello') = 2cf24dba5fb0a30e...; DuckDB evaluates the cast to
+    // 202421034056092208 — the two engines must agree bit-for-bit
+    assert(TextOps.sha60("hello") == 202421034056092208L)
+    assert(TextOps.sha60("hello") == java.lang.Long.parseLong("2cf24dba5fb0a30", 16))
+  }
+
+  test("simhash blocking is pigeonhole-complete: every pair within maxHamming is found") {
+    import spark.implicits._
+    // craft ids whose simhashes differ in exactly h bits via controlled text
+    val base = docs.select($"doc_id", $"text").limit(50)
+    val pairs = Dedup.simHashPairs(base, "doc_id", "text", maxHamming = 3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // brute force: compute simhash locally for all rows, all pairs
+    val local = base.as[(Long, String)].collect().map { case (id, t) => id -> TextOps.simHash(t) }
+    val want = (for {
+      (ia, ha) <- local; (ib, hb) <- local
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(pairs == want, s"blocked=${pairs.size} brute=${want.size}")
+  }
+
   test("simhash of a near-duplicate is within small hamming distance") {
     val t1 = "the quick brown fox jumps over the lazy dog again and again today"
     val t2 = "the quick brown fox jumps over the lazy dog again and again tomorrow"
