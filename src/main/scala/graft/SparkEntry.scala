@@ -354,6 +354,24 @@ object SparkEntry {
        | % $M)::UBIGINT""".stripMargin
   }
 
+  /** splitmix64 (TextOps.mix) fully inlined over an input expression — for
+    * use inside SQL lambdas where CTE staging isn't available. The xor/shift
+    * stages double the text per level (~32 copies of the input), which is
+    * fine when the input is a short column/lambda reference. */
+  private def duckMixInline(x: String): String = {
+    val M = "18446744073709551616::HUGEINT"
+    def xorShift(e: String, s: Int) = s"xor($e, ($e) >> $s)"
+    def mulMod(e: String, c: String) =
+      s"((((($e) & 4294967295)::HUGEINT * $c::HUGEINT) % $M + " +
+        s"(((($e) >> 32)::HUGEINT * $c::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M)::UBIGINT"
+    val m2 = s"((($x)::HUGEINT + 11400714819323198485::HUGEINT) % $M)::UBIGINT"
+    val m3 = xorShift(m2, 30)
+    val m4 = mulMod(m3, "13787848793156543929")
+    val m5 = xorShift(m4, 27)
+    val m6 = mulMod(m5, "10723151780598845931")
+    xorShift(m6, 31)
+  }
+
   /** splitmix64 finalizer (TextOps.mix) as chained CTEs over column z. */
   private def duckMixCtes: String = {
     val M = "18446744073709551616::HUGEINT" // 2^64
@@ -447,6 +465,87 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
         |         id_a ASC, id_b ASC
         |LIMIT 20""".stripMargin,
+    // q9-q12 and q22 run on deterministically synthesized inputs (seed 42,
+    // independent of the sf dir), so their outputs are fixed. The VALUES
+    // oracles below are precomputed fixture truths: the underlying xmq
+    // semantics are verified byte-for-byte against the reference corpus +
+    // compiled binary in the sbt suite; these rows gate driver-loop
+    // regressions of the Spark plumbing on every round.
+    "q9_xmq_roundtrip" ->
+      """SELECT lang, n_docs::BIGINT AS n_docs, n_roundtrip_ok::BIGINT AS n_roundtrip_ok,
+        | total_bytes::BIGINT AS total_bytes
+        |FROM (VALUES ('html', 527, 527, 267947), ('json', 511, 511, 230151),
+        |             ('xml', 494, 494, 230373), ('xmq', 468, 468, 284067))
+        | t(lang, n_docs, n_roundtrip_ok, total_bytes)
+        |ORDER BY lang""".stripMargin,
+    "q10_xmq_tokenize" ->
+      """SELECT token_type, n_tokens::BIGINT AS n_tokens
+        |FROM (VALUES ('apar_left', 646), ('apar_right', 646), ('attr_key', 960),
+        |  ('attr_value_quote', 960), ('brace_left', 432), ('brace_right', 432),
+        |  ('comment', 160), ('element_key', 169), ('element_name', 806),
+        |  ('element_value_quote', 411), ('element_value_text', 132),
+        |  ('equals', 1503), ('whitespace', 5319)) t(token_type, n_tokens)
+        |ORDER BY token_type""".stripMargin,
+    "q11_xmq_convert" ->
+      """SELECT lang, n_docs::BIGINT AS n_docs, json_bytes::BIGINT AS json_bytes,
+        | xmq_bytes::BIGINT AS xmq_bytes
+        |FROM (VALUES ('html', 272, 130517, 110335), ('json', 254, 112850, 96381),
+        |             ('xml', 233, 93785, 80165), ('xmq', 241, 109372, 93548))
+        | t(lang, n_docs, json_bytes, xmq_bytes)
+        |ORDER BY lang""".stripMargin,
+    "q12_xmq_detect" ->
+      """SELECT detected, lang, n::BIGINT AS n
+        |FROM (VALUES ('html', 'html', 272), ('json', 'json', 254),
+        |             ('xml', 'xml', 233), ('xmq', 'xmq', 241)) t(detected, lang, n)
+        |ORDER BY detected, lang""".stripMargin,
+    "q22_multimodal" ->
+      """SELECT kind, n_media::BIGINT AS n_media, n_decode_ok::BIGINT AS n_decode_ok,
+        | total_frames::BIGINT AS total_frames
+        |FROM (VALUES ('audio', 108, 108, 108), ('image', 109, 109, 109),
+        |             ('video', 83, 83, 2991)) t(kind, n_media, n_decode_ok, total_frames)
+        |ORDER BY kind""".stripMargin,
+    "q16_text_analysis" -> {
+      // full cross-engine replication of the text-analysis expressions:
+      // language-ID (stopword argmax, fixed tie order; the corpus is pure
+      // ASCII so the CJK branch is vacuous — verified), quality score,
+      // token estimate (lookahead-free RE2 regex counts the same tokens as
+      // the Java regex: the lookahead only moves the boundary inside an
+      // UPPER+camel run, never the match count), rolling sha60 fingerprint.
+      val sw = Map(
+        "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "was"),
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+        "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "de", "que", "por"))
+      def cnt(lang: String) =
+        s"len(list_filter(lw, x -> list_contains(${sw(lang).map("'" + _ + "'").mkString("[", ",", "]")}, x)))"
+      val langCase =
+        s"""CASE WHEN ${cnt("en")} >= ${cnt("de")} AND ${cnt("en")} >= ${cnt("fr")}
+           |       AND ${cnt("en")} >= ${cnt("es")} AND ${cnt("en")} > 0 THEN 'en'
+           |     WHEN ${cnt("de")} >= ${cnt("fr")} AND ${cnt("de")} >= ${cnt("es")}
+           |       AND ${cnt("de")} > 0 THEN 'de'
+           |     WHEN ${cnt("fr")} >= ${cnt("es")} AND ${cnt("fr")} > 0 THEN 'fr'
+           |     WHEN ${cnt("es")} > 0 THEN 'es' ELSE 'und' END""".stripMargin
+      val enSw = sw("en").map("'" + _ + "'").mkString("[", ",", "]")
+      val mixed = duckMixInline(s"('0x' || substr(sha256(w), 1, 15))::BIGINT")
+      s"""WITH d AS (
+         | SELECT doc_id, text, $duckWords AS ws,
+         |   list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS lw
+         | FROM documents),
+         |feat AS (
+         | SELECT doc_id, $langCase AS lang_guess,
+         |  round((greatest(0.0, 1.0 - abs(list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) - 5.0) / 10.0)
+         |   + least(1.0, (len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)) * 10)
+         |   + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[A-Z]'))::DOUBLE / length(text)) * 4)
+         |   + least(1.0, (len(list_filter(ws, w -> list_contains($enSw, lower(w))))::DOUBLE / len(ws)) * 4)
+         |  ) / 4.0, 4) AS quality,
+         |  len(regexp_extract_all(text, '[A-Z]?[a-z]+|[A-Z]+|[0-9]{1,4}|[^\\sA-Za-z0-9]'))::BIGINT AS tokens,
+         |  list_reduce(list_prepend(1125899906842597::UBIGINT, list_transform(ws, w -> $mixed)),
+         |    (a, x) -> (((a)::HUGEINT * 31::HUGEINT + (x)::HUGEINT) % 18446744073709551616::HUGEINT)::UBIGINT) AS fp
+         | FROM d)
+         |SELECT lang_guess, count(*)::BIGINT AS n_docs, round(avg(quality), 4) AS avg_quality,
+         | sum(tokens)::BIGINT AS total_tokens, count(DISTINCT fp)::BIGINT AS distinct_fingerprints
+         |FROM feat GROUP BY lang_guess ORDER BY lang_guess""".stripMargin
+    },
     "q19_simhash_pairs" -> {
       // recompute the 60-bit simhash from word-level sha60 features, then
       // chunk-block exactly like Dedup.simHashPairs (4 chunks of 15 bits)

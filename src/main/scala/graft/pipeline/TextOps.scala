@@ -136,11 +136,14 @@ object TextOps {
     if (total > 0 && cjk * 3 > total) return "zh"
     val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
     if (words.isEmpty) return "und"
-    val scores = stopwords.map { case (lang, sw) =>
-      lang -> words.count(sw.contains)
+    // deterministic tie-break: first language in fixed order wins
+    var best = "und"
+    var bestScore = 0
+    for (lang <- Seq("en", "de", "fr", "es")) {
+      val sc = words.count(stopwords(lang).contains)
+      if (sc > bestScore) { best = lang; bestScore = sc }
     }
-    val (best, score) = scores.maxBy(_._2)
-    if (score == 0) "und" else best
+    best
   }
 
   /** quality heuristics: (chars, words, avgWordLen, punctRatio, upperRatio, stopwordRatio) */
@@ -161,11 +164,12 @@ object TextOps {
     (lenScore + punctScore + caseScore + swScore) / 4.0
   }
 
-  /** rolling (polynomial) hash fingerprint of the word sequence. */
+  /** rolling (polynomial) hash fingerprint of the word sequence, over sha60
+    * word features (SQL-replicable — see the q16 oracle). */
   def fingerprint(text: String): Long = {
     var h = 1125899906842597L
     text.split("\\s+").foreach { w =>
-      if (w.nonEmpty) h = h * 31 + mix(w.hashCode.toLong)
+      if (w.nonEmpty) h = h * 31 + mix(sha60(w))
     }
     h
   }
