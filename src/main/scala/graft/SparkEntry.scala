@@ -288,6 +288,67 @@ object SparkEntry {
       .orderBy($"kind")
   }
 
+  // ----------------------------------------------------------------------
+  // Lakehouse maintenance as driver-gated queries: a deterministic
+  // mini-pipeline (append -> MERGE INTO -> compact -> Z-order cluster ->
+  // manifest rewrite -> snapshot expire) derived from the documents table,
+  // with DuckDB recomputing the expected post-maintenance row set.
+  // ----------------------------------------------------------------------
+
+  private def lakeTableFor(s: SparkSession, dir: String, tag: String): graft.lake.GraftTable = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame, v2: Boolean) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang",
+      (if (v2) concat(lit("v2 "), $"text") else $"text").as("content"))
+    val base = shaped(docs.filter($"doc_id" % 3 =!= 0), v2 = false)
+    val source = shaped(docs.filter($"doc_id" % 5 === 0), v2 = true)
+    val loc = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    val table = new graft.lake.GraftTable(s, loc)
+    table.append(base.repartition(8))
+    graft.lake.Maintenance.mergeInto(table, tag, source)
+    graft.lake.Maintenance.compact(table, tag, smallBytes = Long.MaxValue, targetBytes = 4L << 20)
+    graft.lake.Maintenance.cluster(table, tag)
+    table.rewriteManifests()
+    table.expireSnapshots(System.currentTimeMillis() + 1000)
+    table
+  }
+
+  private def q24MergeRowset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lakeTableFor(s, dir, "q24").scan()
+      .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path")
+  }
+
+  private def q25PostMaintenanceScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = lakeTableFor(s, dir, "q25")
+    // manifest-stat pruning on the repo-hash bounds, then the row predicate
+    val rh = s.range(1).select(xxhash64(lit("repo_3"))).head().getLong(0)
+    val (df, total, kept) = table.prunedScan(col("min_rh") <= rh && col("max_rh") >= rh)
+    assert(kept <= total)
+    df.filter($"repo" === "repo_3")
+      .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"path")
+  }
+
+  /** the expected post-merge row set, recomputed by DuckDB from documents. */
+  private def duckMergedCte: String =
+    """WITH base AS (SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+      |   'f/' || doc_id::VARCHAR || '.txt' AS path, 'c0' AS "commit", lang, text AS content
+      | FROM documents WHERE doc_id % 3 <> 0),
+      |src AS (SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+      |   'f/' || doc_id::VARCHAR || '.txt' AS path, 'c0' AS "commit", lang, 'v2 ' || text AS content
+      | FROM documents WHERE doc_id % 5 = 0),
+      |merged AS (
+      | SELECT * FROM src
+      | UNION ALL
+      | SELECT b.* FROM base b ANTI JOIN src s
+      |   ON b.repo = s.repo AND b.path = s.path AND b."commit" = s."commit")""".stripMargin
+
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg"           -> (q1Agg(_, _)),
@@ -313,6 +374,8 @@ object SparkEntry {
     "q21_ann_lsh"       -> (q21AnnLsh(_, _)),
     "q22_multimodal"    -> (q22Multimodal(_, _)),
     "q23_lsh_neardup"   -> (q23LshNearDup(_, _)),
+    "q24_merge_rowset"  -> (q24MergeRowset(_, _)),
+    "q25_post_maintenance_scan" -> (q25PostMaintenanceScan(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -465,6 +528,14 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) DESC,
         |         id_a ASC, id_b ASC
         |LIMIT 20""".stripMargin,
+    "q24_merge_rowset" ->
+      s"""$duckMergedCte
+         |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+         |FROM merged ORDER BY repo, path""".stripMargin,
+    "q25_post_maintenance_scan" ->
+      s"""$duckMergedCte
+         |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+         |FROM merged WHERE repo = 'repo_3' ORDER BY path""".stripMargin,
     // q9-q12 and q22 run on deterministically synthesized inputs (seed 42,
     // independent of the sf dir), so their outputs are fixed. The VALUES
     // oracles below are precomputed fixture truths: the underlying xmq

@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** Sidecar lineage table (FIXTURES.md §3): one parquet per (job, phase) under
-  * <table>/lineage/, recording input files, output files, row count and an
-  * order-independent digest. A phase whose lineage exists and whose outputs
-  * are all present is skipped on re-run → idempotent resume. */
+  * <table>/lineage/, with ONE ROW PER OUTPUT PARTITION (= output file)
+  * recording that partition's input files, output file, row count and sha256
+  * digest (xor of per-row content hashes — order-independent), as the
+  * north_rule demands. A phase whose lineage exists and whose outputs are all
+  * present is skipped on re-run → idempotent resume. */
 object Lineage {
 
   final case class LineageRow(job_id: String, phase: String, partition_id: Int,
@@ -17,42 +19,59 @@ object Lineage {
   private def dir(table: GraftTable, jobId: String, phase: String) =
     Paths.get(table.location, "lineage", jobId, phase)
 
+  /** Per-partition lineage from the phase's manifest entries: one row per
+    * output file carrying its own row count and content digest (computed in
+    * the write job's stats pass — no extra read). An empty phase records a
+    * single marker row so resume still skips it. */
   def record(table: GraftTable, jobId: String, phase: String,
-             inputFiles: Seq[String], outputFiles: Seq[String],
-             rowCount: Long, digest: Long): Unit = {
+             inputFiles: Seq[String], added: Seq[ManifestEntry]): Unit = {
     val spark = table.spark
     import spark.implicits._
-    val row = LineageRow(jobId, phase, 0, inputFiles, outputFiles, rowCount,
-      java.lang.Long.toHexString(digest), System.currentTimeMillis())
-    Seq(row).toDS().coalesce(1).write.mode("overwrite").parquet(dir(table, jobId, phase).toString)
+    val now = System.currentTimeMillis()
+    val rows =
+      if (added.isEmpty)
+        Seq(LineageRow(jobId, phase, 0, inputFiles, Seq.empty, 0L, "0", now))
+      else added.zipWithIndex.map { case (e, i) =>
+        LineageRow(jobId, phase, i, inputFiles, Seq(e.file_path),
+          e.record_count, java.lang.Long.toHexString(e.digest), now)
+      }
+    rows.toDS().coalesce(1).write.mode("overwrite")
+      .parquet(dir(table, jobId, phase).toString)
   }
 
-  def get(table: GraftTable, jobId: String, phase: String): Option[LineageRow] = {
+  /** All lineage rows of a phase (empty if never recorded). */
+  def rows(table: GraftTable, jobId: String, phase: String): Seq[LineageRow] = {
     val d = dir(table, jobId, phase)
-    if (!Files.isDirectory(d)) return None
+    if (!Files.isDirectory(d)) return Seq.empty
     val spark = table.spark
     import spark.implicits._
-    try {
-      val rows = spark.read.parquet(d.toString).as[LineageRow].collect()
-      rows.headOption
-    } catch { case _: Exception => None }
+    try spark.read.parquet(d.toString).as[LineageRow].collect().toSeq
+    catch { case _: Exception => Seq.empty }
+  }
+
+  /** Phase summary for resumed results: (input files, output files, rows). */
+  final case class PhaseSummary(inputFiles: Seq[String], outputFiles: Seq[String],
+                                rowCount: Long)
+
+  def summary(table: GraftTable, jobId: String, phase: String): Option[PhaseSummary] = {
+    val rs = rows(table, jobId, phase)
+    if (rs.isEmpty) None
+    else Some(PhaseSummary(rs.flatMap(_.input_files).distinct,
+      rs.flatMap(_.output_files).distinct, rs.map(_.row_count).sum))
   }
 
   /** phase complete AND all of its outputs still exist. */
-  def isDone(table: GraftTable, jobId: String, phase: String): Boolean =
-    get(table, jobId, phase) match {
-      case None => false
-      case Some(r) =>
-        r.output_files.forall(f => Files.exists(Paths.get(table.location, f)))
-    }
+  def isDone(table: GraftTable, jobId: String, phase: String): Boolean = {
+    val rs = rows(table, jobId, phase)
+    rs.nonEmpty &&
+      rs.flatMap(_.output_files).forall(f => Files.exists(Paths.get(table.location, f)))
+  }
 
-  /** Order-independent content digest: xor of per-row hashes — deterministic
-    * regardless of partitioning/ordering (SURVEY.md §2.5 lineage row). */
+  /** Order-independent content digest of an arbitrary frame (verification
+    * helper; the write path gets digests from its stats pass instead). */
   def digestOf(spark: SparkSession, df: DataFrame): Long = {
     if (df.isEmpty) return 0L
-    val r = df.select(xxhash64(col("repo"), col("path"), col("commit"),
-        sha2(col("content"), 256)).as("h"))
-      .agg(expr("bit_xor(h)")).head()
+    val r = df.select(GraftTable.rowHash().as("h")).agg(expr("bit_xor(h)")).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 

@@ -154,17 +154,37 @@ class LakeSpec extends SparkTestBase {
     Maintenance.cluster(t, "jobr")
     assert(t.currentVersion == v2)
 
-    // lineage rows recorded with digests
+    // PER-PARTITION lineage (north_rule): one row per output file, each with
+    // its own row count and a real (non-zero) content digest
     val rows = Lineage.forJob(t, "jobr")
     assert(rows.map(_.phase).toSet == Set("compact", "cluster_zorder"))
-    assert(rows.forall(_.sha256_digest.nonEmpty))
+    val clusterRows = rows.filter(_.phase == "cluster_zorder")
+    assert(clusterRows.size > 1, s"expected per-partition lineage rows, got ${clusterRows.size}")
+    assert(clusterRows.forall(r => r.output_files.size == 1 && r.row_count > 0))
+    assert(clusterRows.forall(r => r.sha256_digest.nonEmpty && r.sha256_digest != "0"))
+    // xor of per-partition digests == whole-table digest (order-independent)
+    val combined = clusterRows.map(r => java.lang.Long.parseUnsignedLong(r.sha256_digest, 16))
+      .reduce(_ ^ _)
+    assert(combined == Lineage.digestOf(spark, t.scan()),
+      "per-partition digests do not combine to the table digest")
+  }
+
+  test("merge lineage records per-partition rows with real digests") {
+    val t = freshTable("graft-merge-lineage")
+    t.append(synthDf(300).repartition(6))
+    val src = synthDf(40, seed = 99)
+    Maintenance.mergeInto(t, "jobml", src)
+    val rows = Lineage.forJob(t, "jobml").filter(_.phase == "merge")
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.sha256_digest.nonEmpty && r.sha256_digest != "0"),
+      s"merge recorded placeholder digests: ${rows.map(_.sha256_digest)}")
   }
 
   test("resume semantics: vanished outputs force a re-run") {
     val t = freshTable("graft-rerun")
     t.append(synthDf(200).repartition(8))
     Maintenance.compact(t, "jobx", smallBytes = Long.MaxValue, targetBytes = 1L << 20)
-    val out = Lineage.get(t, "jobx", "compact").get.output_files.head
+    val out = Lineage.rows(t, "jobx", "compact").flatMap(_.output_files).head
     Files.delete(Paths.get(t.location, out))
     assert(!Lineage.isDone(t, "jobx", "compact"))
   }
