@@ -37,32 +37,56 @@ object EventStream {
       .groupBy(window(col("ts"), "5 minutes", "1 minute"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
 
-  /** sessionization via mapGroupsWithState: a session closes after
-    * `gapMinutes` of inactivity (processing-time timeout in streaming;
-    * in batch the state function is fed all events per user at once). */
+  /** sessionization via flatMapGroupsWithState: a session closes after
+    * `gapMinutes` of EVENT-TIME inactivity. In streaming, the still-open
+    * session is KEPT in state across microbatches and emitted only when a
+    * later event opens a gap or the event-time timeout fires (watermark
+    * passes lastTs + gap) — microbatch boundaries never fragment a session,
+    * and the timeout is deterministic in event time rather than wall clock.
+    * In batch (isStreaming == false) the function sees all events per user
+    * at once and the trailing session closes at end of input (timeouts never
+    * fire in batch execution). */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id)
+    val streaming = events.isStreaming
+    val withWm = if (streaming) events.withWatermark("ts", "0 seconds") else events
+    withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (userId, it, state: GroupState[SessionState]) =>
-          // batch semantics: split the ordered event stream into gap-based sessions
-          val evs = it.toSeq.sortBy(_.ts.getTime)
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-          var cur = state.getOption.getOrElse(SessionState(0, 0.0, Long.MinValue))
-          evs.foreach { e =>
-            val t = e.ts.getTime
-            if (cur.count > 0 && t - cur.lastTs > gapMs) {
-              sessions += UserSession(userId, cur.count, cur.total, cur.lastTs)
-              cur = SessionState(0, 0.0, Long.MinValue)
+          if (streaming && state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: close it
+            val open = state.getOption
+            state.remove()
+            open.filter(_.count > 0)
+              .map(c => UserSession(userId, c.count, c.total, c.lastTs)).iterator
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            val sessions = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var cur = state.getOption.getOrElse(SessionState(0, 0.0, Long.MinValue))
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              if (cur.count > 0 && t - cur.lastTs > gapMs) {
+                sessions += UserSession(userId, cur.count, cur.total, cur.lastTs)
+                cur = SessionState(0, 0.0, Long.MinValue)
+              }
+              cur = SessionState(cur.count + 1, cur.total + e.value, t)
             }
-            cur = SessionState(cur.count + 1, cur.total + e.value, t)
+            if (cur.count > 0) {
+              if (streaming) {
+                state.update(cur) // stay open across microbatches
+                // must stay above the current watermark or Spark rejects it
+                state.setTimeoutTimestamp(
+                  math.max(cur.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+              } else {
+                sessions += UserSession(userId, cur.count, cur.total, cur.lastTs)
+                state.remove()
+              }
+            } else state.remove()
+            sessions.iterator
           }
-          if (cur.count > 0) sessions += UserSession(userId, cur.count, cur.total, cur.lastTs)
-          state.update(SessionState(0, 0.0, Long.MinValue))
-          sessions.iterator
       }
   }
 

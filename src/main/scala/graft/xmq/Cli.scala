@@ -265,16 +265,21 @@ object Cli {
     subst(doc.children)
   }
 
-  /** for-each <xpath> --shell='cmd': run shell per match with ${child} and
-    * ${.} interpolation (xmq-cli.c:2730-2770). */
+  /** for-each <xpath> --shell='cmd': run shell per match. Like the reference
+    * (xmq-cli.c:3925 invoke_shell + make_shell_safe_name), the `${name}`
+    * references STAY in the command string (with unsafe characters of the
+    * name rewritten to '_') and the node values are passed as environment
+    * variables, so /bin/sh performs the expansion itself — document content
+    * is never textually spliced into the command (no command injection). */
   private def forEachShell(doc: XDoc, path: String, cmdline: String): String = {
     val sb = new StringBuilder
+    val re = """\$\{([^}]*)\}""".r
+    def shellSafe(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9') || c == '_'
     XPath.matches(doc, path).foreach {
       case XPath.ElemHit(e) =>
-        var cmd = cmdline
-        // ${name} → value of child key-value node; ${.} → all text content
-        val re = """\$\{([^}]+)\}""".r
-        cmd = re.replaceAllIn(cmd, m => {
+        val env = scala.collection.mutable.LinkedHashMap.empty[String, String]
+        val cmd = re.replaceAllIn(cmdline, m => {
           val key = m.group(1)
           val v =
             if (key == ".") collectText(e)
@@ -282,9 +287,13 @@ object Cli {
             else e.children.collectFirst {
               case c: XElem if c.name == key => collectText(c)
             }.getOrElse("")
-          java.util.regex.Matcher.quoteReplacement(v)
+          val safe = key.map(c => if (shellSafe(c)) c else '_')
+          if (safe.nonEmpty) env(safe) = v
+          java.util.regex.Matcher.quoteReplacement(
+            if (safe.isEmpty) "" else "$" + "{" + safe + "}")
         })
         val pb = new ProcessBuilder("/bin/sh", "-c", cmd)
+        env.foreach { case (k, v) => pb.environment().put(k, v) }
         pb.redirectErrorStream(true)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)

@@ -57,6 +57,30 @@ class StreamingSpec extends SparkTestBase {
     assert(sessions.count(_.user_id == 2) == 1)
   }
 
+  test("streaming sessionization: microbatch boundaries never fragment a session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStream.sessionize(stream.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // one logical session split across two microbatches (5-min event gap)
+    stream.addData(Event(1, ts(0), 1, "a", 1.0, "{}"), Event(2, ts(5), 1, "a", 2.0, "{}"))
+    query.processAllAvailable()
+    stream.addData(Event(3, ts(10), 1, "a", 3.0, "{}"))
+    query.processAllAvailable()
+    // nothing emitted yet: the session is open in state, not fragmented
+    assert(spark.sql("SELECT * FROM sessions").count() == 0,
+      "open session was emitted/fragmented at a microbatch boundary")
+    // an event after the gap closes the first session (4 would-be fragments = bug)
+    stream.addData(Event(4, ts(60), 1, "a", 4.0, "{}"))
+    query.processAllAvailable()
+    val closed = spark.sql("SELECT * FROM sessions").as[UserSession].collect()
+    query.stop()
+    assert(closed.length == 1, s"expected 1 closed session, got ${closed.length}")
+    assert(closed.head.n_events == 3 && closed.head.total_value == 6.0)
+  }
+
   test("windowed counts on the real events table (batch form of the stream)") {
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     val out = windowedCounts(df)

@@ -26,6 +26,18 @@ class CliFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("for-each --shell passes node values via environment, not interpolation (no command injection)") {
+    // document content containing shell metacharacters must reach the command
+    // as DATA (env var), never as executable shell syntax
+    val evil = "x; echo INJECTED; $(echo ALSO_INJECTED) `echo BACKTICK`"
+    val input = s"doc { item { v = '$evil' } }"
+    val r = Cli.run(input.getBytes(StandardCharsets.UTF_8), "",
+      "for-each /doc/item --shell='echo GOT=${v}'")
+    assert(r.ok, s"failed: ${r.error}")
+    assert(r.output == s"GOT=$evil\n", s"got: ${r.output}")
+    assert(!r.output.contains("INJECTED\n"), "document content was executed as shell")
+  }
+
   // select_*: START → select XPATH to-xmq --compact → expected (single line)
   for (p <- Fixtures.list("""select_\d+.*\.test""")) {
     val name = p.getFileName.toString
