@@ -172,6 +172,24 @@ object SparkEntry {
       .orderBy($"detected", $"lang")
   }
 
+  private def q26XmqGetters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    // typed getters + predicate xpath + well-formedness + offset annotation
+    // over the deterministic synthesized corpus; a half-truncated copy
+    // exercises the malformed path (html stays lenient, like htmlReadMemory)
+    synthFiles(s, 500)
+      .withColumn("corrupted", substring($"content", lit(1), (length($"content") / 2).cast("int")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(xmq_count($"content", $"lang", lit("//*"))).as("n_elems"),
+           sum(when(is_wellformed($"content", $"lang"), 1L).otherwise(0L)).as("n_wellformed"),
+           sum(when(is_wellformed($"corrupted", $"lang"), 1L).otherwise(0L)).as("n_corrupt_ok"),
+           sum(xmq_get_long($"content", $"lang", lit("//*/text()"))).as("sum_first_num"),
+           sum(length(xmq_annotate_offsets($"content", $"lang", lit("o")))).as("annotated_bytes"))
+      .orderBy($"lang")
+  }
+
   // ----------------------------------------------------------------------
   // Training-data pipeline operators over documents/embeddings.
   // ----------------------------------------------------------------------
@@ -375,6 +393,7 @@ object SparkEntry {
     "q22_multimodal"    -> (q22Multimodal(_, _)),
     "q23_lsh_neardup"   -> (q23LshNearDup(_, _)),
     "q24_merge_rowset"  -> (q24MergeRowset(_, _)),
+    "q26_xmq_getters"   -> (q26XmqGetters(_, _)),
     "q25_post_maintenance_scan" -> (q25PostMaintenanceScan(_, _)),
   )
 
@@ -536,6 +555,16 @@ object SparkEntry {
       s"""$duckMergedCte
          |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
          |FROM merged WHERE repo = 'repo_3' ORDER BY path""".stripMargin,
+    "q26_xmq_getters" ->
+      """SELECT lang, n_docs::BIGINT AS n_docs, n_elems::BIGINT AS n_elems,
+        | n_wellformed::BIGINT AS n_wellformed, n_corrupt_ok::BIGINT AS n_corrupt_ok,
+        | sum_first_num::BIGINT AS sum_first_num, annotated_bytes::BIGINT AS annotated_bytes
+        |FROM (VALUES ('html', 139, 1364, 139, 132, 14019034, 59819),
+        |             ('json', 143, 1233, 143, 7, 18940617, 61745),
+        |             ('xml', 101, 702, 101, 1, 10955173, 35689),
+        |             ('xmq', 117, 975, 117, 2, 13294748, 48932))
+        | t(lang, n_docs, n_elems, n_wellformed, n_corrupt_ok, sum_first_num, annotated_bytes)
+        |ORDER BY lang""".stripMargin,
     // q9-q12 and q22 run on deterministically synthesized inputs (seed 42,
     // independent of the sf dir), so their outputs are fixed. The VALUES
     // oracles below are precomputed fixture truths: the underlying xmq

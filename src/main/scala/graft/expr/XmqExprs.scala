@@ -42,6 +42,68 @@ object XmqExprs {
     } catch { case _: Exception => null }
   }
 
+  /** first xpath match's string content (reference xmqGetString →
+    * catch_single_content, xmq.c:4343): element → its direct text children
+    * concatenated; attribute → its value; text node → its content.
+    * null when nothing matches or the document does not parse. */
+  def getString(content: String, lang: String, path: String): String = try {
+    val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+    XPath.matches(doc, path).headOption.map {
+      case XPath.ElemHit(e) =>
+        e.children.collect { case t: XText => t.content }.mkString
+      case XPath.AttrHit(_, a) => a.stringValue
+      case XPath.TextHit(t) => t.content
+    }.orNull
+  } catch { case _: Exception => null }
+
+  /** C strtol/atol semantics of xmqGetLong (xmq.c:4319): "0x" → hex,
+    * leading "0" → octal, else leading decimal digits; 0 when absent. */
+  def parseLongC(s: String): Long = try {
+    val t = s.trim
+    if (t.startsWith("0x") || t.startsWith("0X"))
+      java.lang.Long.parseLong(t.drop(2).takeWhile(c => Character.digit(c, 16) >= 0), 16)
+    else if (t.length > 1 && t.head == '0' && t.forall(_.isDigit))
+      java.lang.Long.parseLong(t.takeWhile(c => c >= '0' && c <= '7'), 8)
+    else {
+      val neg = t.startsWith("-")
+      val digits = t.dropWhile(c => c == '-' || c == '+').takeWhile(_.isDigit)
+      if (digits.isEmpty) 0L else (if (neg) -1L else 1L) * digits.toLong
+    }
+  } catch { case _: Exception => 0L }
+
+  def getLong(content: String, lang: String, path: String): Long = {
+    val s = getString(content, lang, path)
+    if (s == null) 0L else parseLongC(s)
+  }
+
+  def getDouble(content: String, lang: String, path: String): Double = {
+    val s = getString(content, lang, path)
+    if (s == null) return 0.0
+    // strtod: longest valid leading prefix, 0 on none
+    val m = java.util.regex.Pattern.compile("^\\s*[-+]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][-+]?\\d+)?")
+      .matcher(s)
+    if (m.find()) m.group(0).trim.toDouble else 0.0
+  }
+
+  def countMatches(content: String, lang: String, path: String): Long = try {
+    val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+    XPath.matches(doc, path).size.toLong
+  } catch { case _: Exception => 0L }
+
+  /** structural well-formedness: does the content parse as `lang`?
+    * (the v1 slice of the reference's validate command — SURVEY.md §2.3) */
+  def isWellformed(content: String, lang: String): Boolean = try {
+    XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+    true
+  } catch { case _: Exception => false }
+
+  /** xmqAnnotateOffsets as a conversion: parse, annotate, print compact xmq. */
+  def annotateOffsets(content: String, lang: String, attr: String): String = try {
+    val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+    TreeOps.annotateOffsets(doc, attr)
+    XmqEngine.toXmq(doc, compact = true)
+  } catch { case _: Exception => null }
+
   def convert(content: String, lang: String, to: String, compact: Boolean): String = {
     try {
       val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
@@ -116,6 +178,90 @@ case class XmqDetect(child: Expression) extends UnaryExpression with CodegenFall
     })
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "xmq_detect"
+}
+
+/** xmq_get_string(content, lang, xpath): first match's string content
+  * (reference xmqGetString, xmq.c:4343). */
+case class XmqGetString(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(c: Any, l: Any, p: Any): Any = {
+    val out = XmqExprs.getString(c.toString, l.toString, p.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "xmq_get_string"
+}
+
+/** xmq_get_long(content, lang, xpath): C strtol semantics (xmq.c:4319). */
+case class XmqGetLong(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override protected def nullSafeEval(c: Any, l: Any, p: Any): Any =
+    XmqExprs.getLong(c.toString, l.toString, p.toString)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "xmq_get_long"
+}
+
+/** xmq_get_double(content, lang, xpath): strtod semantics (xmq.c:4357). */
+case class XmqGetDouble(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+  override protected def nullSafeEval(c: Any, l: Any, p: Any): Any =
+    XmqExprs.getDouble(c.toString, l.toString, p.toString)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "xmq_get_double"
+}
+
+/** xmq_count(content, lang, xpath): number of xpath matches (cmd_select's
+  * XPATH_NUMBER count() path, xmq-cli.c:2670). */
+case class XmqCount(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override protected def nullSafeEval(c: Any, l: Any, p: Any): Any =
+    XmqExprs.countMatches(c.toString, l.toString, p.toString)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "xmq_count"
+}
+
+/** is_wellformed(content, lang): does the content parse as lang? (v1 slice
+  * of the reference's validate command, xmq-cli.c:2589). */
+case class XmqWellformed(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = {
+    val c = left.eval(input)
+    val l = right.eval(input)
+    if (c == null || l == null) return false
+    XmqExprs.isWellformed(c.toString, l.toString)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "is_wellformed"
+}
+
+/** xmq_annotate_offsets(content, lang, attr): annotated compact xmq
+  * (reference xmqAnnotateOffsets, xmq.c:3400). */
+case class XmqAnnotate(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(c: Any, l: Any, a: Any): Any = {
+    val out = XmqExprs.annotateOffsets(c.toString, l.toString, a.toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "xmq_annotate_offsets"
 }
 
 /** xmq_tokenize(content): array<struct<type,text,line,col>> mirroring
@@ -227,6 +373,18 @@ object XmqFunctions {
     mkCol(XmqConvert(Seq(exprOf(content), exprOf(lang), exprOf(to), exprOf(compact))))
   def xmq_detect(content: Column): Column = mkCol(XmqDetect(exprOf(content)))
   def xmq_tokenize(content: Column): Column = mkCol(XmqTokenize(exprOf(content)))
+  def xmq_get_string(content: Column, lang: Column, xpath: Column): Column =
+    mkCol(XmqGetString(exprOf(content), exprOf(lang), exprOf(xpath)))
+  def xmq_get_long(content: Column, lang: Column, xpath: Column): Column =
+    mkCol(XmqGetLong(exprOf(content), exprOf(lang), exprOf(xpath)))
+  def xmq_get_double(content: Column, lang: Column, xpath: Column): Column =
+    mkCol(XmqGetDouble(exprOf(content), exprOf(lang), exprOf(xpath)))
+  def xmq_count(content: Column, lang: Column, xpath: Column): Column =
+    mkCol(XmqCount(exprOf(content), exprOf(lang), exprOf(xpath)))
+  def is_wellformed(content: Column, lang: Column): Column =
+    mkCol(XmqWellformed(exprOf(content), exprOf(lang)))
+  def xmq_annotate_offsets(content: Column, lang: Column, attr: Column): Column =
+    mkCol(XmqAnnotate(exprOf(content), exprOf(lang), exprOf(attr)))
   def zorder_interleave(a: Column, b: Column, lang: Column): Column =
     mkCol(ZOrderInterleave(exprOf(a), exprOf(b), exprOf(lang)))
   def hilbert_index(x: Column, y: Column, order: Column): Column =
@@ -240,6 +398,12 @@ object XmqFunctions {
     registerFunction(spark, "xmq_convert", es => XmqConvert(es))
     registerFunction(spark, "xmq_detect", es => XmqDetect(es.head))
     registerFunction(spark, "xmq_tokenize", es => XmqTokenize(es.head))
+    registerFunction(spark, "xmq_get_string", es => XmqGetString(es(0), es(1), es(2)))
+    registerFunction(spark, "xmq_get_long", es => XmqGetLong(es(0), es(1), es(2)))
+    registerFunction(spark, "xmq_get_double", es => XmqGetDouble(es(0), es(1), es(2)))
+    registerFunction(spark, "xmq_count", es => XmqCount(es(0), es(1), es(2)))
+    registerFunction(spark, "is_wellformed", es => XmqWellformed(es(0), es(1)))
+    registerFunction(spark, "xmq_annotate_offsets", es => XmqAnnotate(es(0), es(1), es(2)))
     registerFunction(spark, "zorder_interleave", es => ZOrderInterleave(es(0), es(1), es(2)))
     registerFunction(spark, "hilbert_index", es => HilbertIndex(es(0), es(1), es(2)))
   }

@@ -103,6 +103,34 @@ final class XDoc {
   def root: XElem = children.collectFirst { case e: XElem => e }.orNull
 }
 
+object TreeOps {
+  /** xmqAnnotateOffsets (xmq.c:3400 -> xmq_printer.c:1879 annotate_offsets):
+    * depth-first over the FIRST root element, set attribute `attrName` =
+    * cumulative text byte-offset on every element; text nodes advance the
+    * offset by their UTF-8 byte length (strlen). */
+  def annotateOffsets(doc: XDoc, attrName: String): Unit = {
+    var offset = 0
+    def setProp(e: XElem, v: String): Unit =
+      e.attrs.find(a => a.key == attrName && a.nsPrefix == null) match {
+        case Some(a) =>
+          a.values = ArrayBuffer(new XText(v))
+        case None =>
+          val a = new XAttr(null, attrName)
+          a.appendText(v)
+          e.attrs += a
+      }
+    def annotate(n: XNode): Unit = n match {
+      case e: XElem =>
+        setProp(e, offset.toString)
+        e.children.foreach(annotate)
+      case t: XText =>
+        offset += t.content.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+      case _ =>
+    }
+    doc.children.collectFirst { case e: XElem => e }.foreach(annotate)
+  }
+}
+
 object Nodes {
   /** element whose children are only text/entity-ref nodes (>=1), reference xml.c:153-178 */
   def isKeyValueNode(e: XElem): Boolean = {

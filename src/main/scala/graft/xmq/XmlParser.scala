@@ -368,6 +368,9 @@ final class XmlParser(s: String, html: Boolean) {
       else if (cur == '<') parseElement(e.children)
       else if (i < stop) parseText(e.children)
     }
+    // xmlReadMemory: "Premature end of data in tag X" — EOF with the element
+    // still open is a parse error in xml mode (html stays lenient)
+    if (!done && !html) err(s"premature end of data in tag ${e.name}")
     e.children.foreach(_.parent = e)
   }
 
