@@ -1,0 +1,73 @@
+package graft.bench
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-JVM N-vs-4N scaling evidence (north_rule hard gate: wall-clock
+  * throughput efficiency >= 0.8 from N to 4N executors).
+  *
+  * Run via spark-submit with a local-cluster master, which spawns SEPARATE
+  * EXECUTOR JVMs (own heaps, own GC) — removing the shared-GC/allocator
+  * artifact that depressed round-1's single-JVM local[N] wall numbers:
+  *
+  * {{{
+  * sbt package
+  * /opt/spark/bin/spark-submit --master 'local-cluster[2,4,3072]' \
+  *   --class graft.bench.ClusterScalingBench target/scala-2.13/xmqspark_2.13-0.1.0.jar 200000 3
+  * /opt/spark/bin/spark-submit --master 'local-cluster[8,4,3072]' \
+  *   --class graft.bench.ClusterScalingBench target/scala-2.13/xmqspark_2.13-0.1.0.jar 200000 3
+  * }}}
+  *
+  * Payload: the xmq round-trip verification scan (parse + reprint + compare
+  * every synthesized source file) — the engine's headline per-row transform;
+  * embarrassingly parallel, no shuffle, the shape that must scale linearly.
+  * Prints one JSON line with cores and best-of-k rows/sec.
+  */
+object ClusterScalingBench {
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.length > 0) args(0).toInt else 200000
+    val trials = if (args.length > 1) args(1).toInt else 3
+
+    val expectCores = if (args.length > 2) args(2).toInt else 0
+
+    val spark = SparkSession.builder().appName("graft-cluster-scaling").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    // wait for executor registration (defaultParallelism is 2 until the
+    // standalone workers connect)
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (expectCores > 0 && spark.sparkContext.defaultParallelism < expectCores &&
+           System.nanoTime() < deadline) Thread.sleep(200)
+    val cores = spark.sparkContext.defaultParallelism
+
+    val nRepos = math.max(4, math.sqrt(rows.toDouble).toInt)
+    // enough partitions that every core has several waves; generation is a
+    // pure function of (seed, idx) so the data is identical at every size
+    val parts = cores * 4
+    val df: DataFrame = spark.range(rows).repartition(parts).as[java.lang.Long]
+      .mapPartitions(_.map(id => graft.synth.SourceFiles.row(42L, Long2long(id), nRepos)))
+      .toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.count() // materialize on the executors before timing
+
+    def scan(): Double = {
+      val t0 = System.nanoTime()
+      val ok = df.filter(graft.expr.XmqFunctions.xmq_roundtrip_ok($"content", $"lang")).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(ok == rows, s"round-trip invariant broken: $ok != $rows")
+      secs
+    }
+
+    scan() // JIT warmup on the executors
+    var best = Double.MaxValue
+    val all = (1 to trials).map { _ =>
+      val s = scan()
+      if (s < best) best = s
+      s
+    }
+    println(s"""{"bench":"cluster_scaling","cores":$cores,"rows":$rows,""" +
+      s""""rows_per_sec":${rows / best},"best_secs":$best,""" +
+      s""""trials":[${all.mkString(",")}]}""")
+    spark.stop()
+  }
+}

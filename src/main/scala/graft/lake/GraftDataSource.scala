@@ -1,0 +1,193 @@
+package graft.lake
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 read path for GraftTable (SURVEY.md §4.3 item 3 /
+  * VERDICT r1 Next #7): `spark.read.format("graft").load(location)`.
+  *
+  * Catalyst pushes WHERE-clause filters into the ScanBuilder
+  * (SupportsPushDownFilters); filters over repo/path/lang prune MANIFEST
+  * entries against their per-file min/max stats before any data file is
+  * opened — the same pruning prunedScan() does, but driven by the query's
+  * own predicates, visible in the plan as PushedFilters. Column pruning
+  * (SupportsPushDownRequiredColumns) reaches the parquet reader as a
+  * projected read schema. Every pushed filter is also kept as a residual
+  * (pushFilters returns all), so row-level correctness never depends on the
+  * stats. One InputPartition per data file.
+  */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val location = Option(properties.get("path"))
+      .getOrElse(throw new IllegalArgumentException("graft source requires .load(<table location>)"))
+    new GraftSparkTable(location)
+  }
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object GraftDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("repo", StringType), StructField("path", StringType),
+    StructField("commit", StringType), StructField("lang", StringType),
+    StructField("content", StringType), StructField("z", LongType)))
+}
+
+class GraftSparkTable(location: String) extends Table with SupportsRead {
+  override def name(): String = s"graft.`$location`"
+  override def schema(): StructType = GraftDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(location)
+}
+
+class GraftScanBuilder(location: String)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = GraftDataSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftScanBuilder.supported)
+    filters // all filters stay residual: stats pruning is file-level only
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    if (requiredSchema.nonEmpty) required = requiredSchema
+  }
+
+  override def build(): Scan = new GraftScan(location, pushed, required)
+}
+
+object GraftScanBuilder {
+  /** filters usable against the manifest min/max stats. */
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => Set("repo", "path", "lang").contains(a)
+    case GreaterThan(a, _) => Set("repo", "path").contains(a)
+    case GreaterThanOrEqual(a, _) => Set("repo", "path").contains(a)
+    case LessThan(a, _) => Set("repo", "path").contains(a)
+    case LessThanOrEqual(a, _) => Set("repo", "path").contains(a)
+    case In(a, _) => Set("repo", "lang").contains(a)
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+}
+
+class GraftScan(location: String, pushed: Array[Filter], required: StructType)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]"
+
+  /** manifest-entry survival under the pushed filters' min/max stats. */
+  private def keeps(e: ManifestEntry): Boolean = pushed.forall(keep(e, _))
+
+  private def keep(e: ManifestEntry, f: Filter): Boolean = f match {
+    case EqualTo("repo", v: String) => e.min_repo <= v && v <= e.max_repo
+    case EqualTo("path", v: String) => e.min_path <= v && v <= e.max_path
+    case EqualTo("lang", v: String) => e.langs.contains(v)
+    case GreaterThan("repo", v: String) => e.max_repo > v
+    case GreaterThanOrEqual("repo", v: String) => e.max_repo >= v
+    case LessThan("repo", v: String) => e.min_repo < v
+    case LessThanOrEqual("repo", v: String) => e.min_repo <= v
+    case GreaterThan("path", v: String) => e.max_path > v
+    case GreaterThanOrEqual("path", v: String) => e.max_path >= v
+    case LessThan("path", v: String) => e.min_path < v
+    case LessThanOrEqual("path", v: String) => e.min_path <= v
+    case In("repo", vs) => vs.exists { case v: String => e.min_repo <= v && v <= e.max_repo; case _ => true }
+    case In("lang", vs) => vs.exists { case v: String => e.langs.contains(v); case _ => true }
+    case And(l, r) => keep(e, l) && keep(e, r)
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = SparkSession.active
+    val table = new GraftTable(spark, location)
+    table.currentSnapshot match {
+      case None => Array.empty
+      case Some(s) =>
+        table.manifestEntries(s).filter(keeps).map { e =>
+          GraftInputPartition(java.nio.file.Paths.get(location, e.file_path).toString)
+            .asInstanceOf[InputPartition]
+        }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required.fieldNames)
+}
+
+case class GraftInputPartition(absPath: String) extends InputPartition
+
+/** reads one parquet data file via parquet-mr's example Group API (no Spark
+  * internals), projecting only the required columns. */
+class GraftReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftPartitionReader(p.absPath, columns)
+  }
+}
+
+class GraftPartitionReader(absPath: String, columns: Array[String])
+  extends PartitionReader[InternalRow] {
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.example.data.Group
+  import org.apache.hadoop.conf.Configuration
+
+  private val conf = new Configuration()
+  locally {
+    // projection pushdown: request only the needed columns from parquet
+    if (columns.nonEmpty) {
+      val fields = columns.map {
+        case "z" => "optional int64 z;"
+        case c => s"optional binary $c (UTF8);"
+      }.mkString(" ")
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        s"message graft { $fields }")
+    }
+  }
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(absPath))
+      .withConf(conf).build()
+  private var cur: Group = _
+
+  override def next(): Boolean = { cur = reader.read(); cur != null }
+
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(columns.length)
+    var i = 0
+    while (i < columns.length) {
+      val c = columns(i)
+      val present = cur.getType.containsField(c) &&
+        cur.getFieldRepetitionCount(cur.getType.getFieldIndex(c)) > 0
+      if (!present) row.setNullAt(i)
+      else if (c == "z") row.setLong(i, cur.getLong(c, 0))
+      else row.update(i, UTF8String.fromString(cur.getString(c, 0)))
+      i += 1
+    }
+    row
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -139,6 +139,35 @@ class LakeSpec extends SparkTestBase {
     assert(keyset(t.scan()).size == 200)
   }
 
+  test("DSv2 read: WHERE-clause filters prune files via manifest stats, rows match scan()") {
+    import spark.implicits._
+    val t = freshTable("graft-dsv2")
+    t.append(synthDf(800).repartition(16))
+    Maintenance.cluster(t, "jobd", numFiles = 8) // locality: repo ranges per file
+    val total = t.manifestEntries(t.currentSnapshot.get).size
+
+    val repo = SourceFiles.repoName(1)
+    val df = spark.read.format("graft").load(t.location).filter($"repo" === repo)
+
+    // pushed filter reaches the scan and prunes input partitions
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    val desc = scan.toString + df.queryExecution.executedPlan.toString
+    assert(desc.contains("PushedFilters=[") && desc.contains("repo"),
+      s"no pushed filter in scan:\n$desc")
+    val partitions = df.rdd.getNumPartitions
+    assert(partitions < total, s"no file pruning: $partitions of $total files read")
+
+    // row-set equality vs the plan-time pruned scan path
+    val expected = keyset(t.scan().filter($"repo" === repo))
+    assert(keyset(df) == expected)
+
+    // column pruning: a two-column projection still returns correct values
+    val langs = spark.read.format("graft").load(t.location)
+      .filter($"repo" === repo).select($"lang", $"path")
+    assert(langs.count() == expected.size)
+    assert(langs.filter($"lang".isin("xml", "json", "xmq", "html")).count() == expected.size)
+  }
+
   test("lineage makes phases idempotent: re-running a done phase is a no-op") {
     val t = freshTable("graft-resume")
     t.append(synthDf(300).repartition(12))
