@@ -50,24 +50,41 @@ object ClusterScalingBench {
       .toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     df.count() // materialize on the executors before timing
 
-    def scan(): Double = {
+    // task-metric accounting: CPU and GC time per scan tell apart real work,
+    // GC churn, and host contention when reading the wall numbers
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+          gcMs.addAndGet(te.taskMetrics.jvmGCTime)
+        }
+    })
+
+    def scan(): (Double, Double, Double) = {
+      cpuNs.set(0); gcMs.set(0)
       val t0 = System.nanoTime()
       val ok = df.filter(graft.expr.XmqFunctions.xmq_roundtrip_ok($"content", $"lang")).count()
       val secs = (System.nanoTime() - t0) / 1e9
       require(ok == rows, s"round-trip invariant broken: $ok != $rows")
-      secs
+      Thread.sleep(100) // listener drain
+      (secs, cpuNs.get() / 1e9, gcMs.get() / 1e3)
     }
 
-    scan() // JIT warmup on the executors
-    var best = Double.MaxValue
+    scan(); scan() // JIT warmup on every executor JVM
+    var best = (Double.MaxValue, 0.0, 0.0)
     val all = (1 to trials).map { _ =>
       val s = scan()
-      if (s < best) best = s
+      if (s._1 < best._1) best = s
       s
     }
     println(s"""{"bench":"cluster_scaling","cores":$cores,"rows":$rows,""" +
-      s""""rows_per_sec":${rows / best},"best_secs":$best,""" +
-      s""""trials":[${all.mkString(",")}]}""")
+      s""""rows_per_sec":${rows / best._1},"best_secs":${best._1},""" +
+      s""""best_cpu_secs":${best._2},"best_gc_secs":${best._3},""" +
+      s""""trials":[${all.map(_._1).mkString(",")}],""" +
+      s""""cpu":[${all.map(_._2).mkString(",")}],""" +
+      s""""gc":[${all.map(_._3).mkString(",")}]}""")
     spark.stop()
   }
 }
