@@ -313,7 +313,16 @@ object SparkEntry {
   // with DuckDB recomputing the expected post-maintenance row set.
   // ----------------------------------------------------------------------
 
-  private def lakeTableFor(s: SparkSession, dir: String, tag: String): graft.lake.GraftTable = {
+  // the pipeline output is a pure function of the sf dir, so q24 and q25
+  // share one built table per (session, dir) instead of re-running the six
+  // maintenance phases twice per Verify/Bench pass
+  private val lakeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.lake.GraftTable]()
+
+  private def lakeTableFor(s: SparkSession, dir: String, tag: String): graft.lake.GraftTable =
+    lakeCache.computeIfAbsent((s, dir), _ => buildLakeTable(s, dir, tag))
+
+  private def buildLakeTable(s: SparkSession, dir: String, tag: String): graft.lake.GraftTable = {
     import s.implicits._
     val docs = t(s, dir, "documents")
     def shaped(df: DataFrame, v2: Boolean) = df.select(
