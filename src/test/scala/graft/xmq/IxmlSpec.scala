@@ -1,0 +1,86 @@
+package graft.xmq
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import graft.xmq.ixml.Ixml
+
+/** Replays the reference iXML corpus: tests/ixml/correct/<name>.{ixml,inp}
+  * must produce <name>.output.xmq byte-for-byte (the same check as
+  * tests/test_ixml_correct.sh), plus the ixml_not_* fixtures (the !
+  * negative-lookahead extension and the failure document format). */
+class IxmlSpec extends AnyFunSuite {
+  assume(Fixtures.available, "reference corpus not present")
+
+  private val correctDir = Paths.get("/root/reference/tests/ixml/correct")
+
+  // grammars still out of scope in this round (documented): none yet — the
+  // loop below reports each file pass/fail so the skip list stays explicit.
+  private val skip: Set[String] = Set()
+
+  private val cases: Seq[String] =
+    if (!Files.isDirectory(correctDir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(correctDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".output.xmq"))
+        .map(_.stripSuffix(".output.xmq"))
+        .filter(n => Files.exists(correctDir.resolve(s"$n.inp")))
+        .toSeq.sorted
+    }
+
+  for (name <- cases if !skip(name)) {
+    test(s"ixml correct $name") {
+      val grammar = Files.readString(correctDir.resolve(s"$name.ixml"))
+      val input = Files.readString(correctDir.resolve(s"$name.inp"))
+      val expected = Files.readString(correctDir.resolve(s"$name.output.xmq"))
+      val doc = Ixml.parseToDoc(grammar, input)
+      val out = XmqEngine.toXmq(doc)
+      assert(out == expected, s"\n--- expected:\n$expected--- got:\n$out")
+    }
+  }
+
+  // ixml_grammar_*: the grammar must parse (xmq --ixml=g -z exits 0)
+  for (p <- Fixtures.list("""ixml_grammar_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"ixml grammar $name") {
+      val grammar = Fixtures.section(Fixtures.read(p), "START", "END")
+      graft.xmq.ixml.IxmlReader.parse(grammar) // must not throw
+    }
+  }
+
+  // ixml_parse_*: input joined without newlines (test_ixml_parse.sh tr -d \n);
+  // ambiguity-enumeration tests (--ixml-all-parses) are out of scope this
+  // round — yaep's parse-order-dependent output is not replicated yet.
+  for (p <- Fixtures.list("""ixml_parse_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    val content = Fixtures.read(p)
+    if (!content.contains("--ixml-all-parses"))
+      test(s"ixml parse $name") {
+        val grammar = Fixtures.section(content, "START", "INPUT")
+        val input = Fixtures.section(content, "INPUT", "OUTPUT").replace("\n", "")
+        val expected = Fixtures.section(content, "OUTPUT", "END")
+        val doc = Ixml.parseToDoc(grammar, input)
+        val out = XmqEngine.toXmq(doc)
+        assert(out == expected, s"\n--- expected:\n$expected--- got:\n$out")
+      }
+  }
+
+  // ixml_not_* fixtures: START grammar, INPUT, OUTPUT (success or failure doc)
+  for (p <- Fixtures.list("""ixml_not_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"ixml $name") {
+      val content = Fixtures.read(p)
+      val grammar = Fixtures.section(content, "START", "INPUT")
+      val input0 = Fixtures.section(content, "INPUT", "OUTPUT")
+      // test_ixml_not.sh strips the newline only when INPUT is a single line
+      val input =
+        if (input0.stripSuffix("\n").contains("\n")) input0
+        else input0.stripSuffix("\n")
+      val expected = Fixtures.section(content, "OUTPUT", "END")
+      val doc = Ixml.parseToDoc(grammar, input)
+      val out = XmqEngine.toXmq(doc)
+      assert(out == expected, s"\n--- expected:\n$expected--- got:\n$out")
+    }
+  }
+}
