@@ -10,8 +10,10 @@ object Cli {
 
   final case class Result(output: String, ok: Boolean, error: String = null)
 
-  /** args: e.g. "--trim=none --html", cmds: e.g. "to-xmq --compact" */
-  def run(input: Array[Byte], args: String, cmds: String): Result = {
+  /** args: e.g. "--trim=none --html", cmds: e.g. "to-xmq --compact".
+    * `base` anchors file paths used by transform/validate and relative
+    * document() hrefs inside stylesheets (reference: process cwd). */
+  def run(input: Array[Byte], args: String, cmds: String, base: String = "."): Result = {
     var forced: Xmq.ContentType = null
     var trim = "default"
     var nomerge = false
@@ -39,11 +41,11 @@ object Cli {
         val ls = text.split("\n", -1).toSeq
         val effective = if (ls.nonEmpty && ls.last.isEmpty) ls.dropRight(1) else ls
         val outs = effective.map { line =>
-          runOne(line.getBytes(StandardCharsets.UTF_8), flags, cmds)
+          runOne(line.getBytes(StandardCharsets.UTF_8), flags, cmds, base)
         }
         Result(outs.mkString(""), ok = true)
       } else {
-        Result(runOne(input, flags, cmds), ok = true)
+        Result(runOne(input, flags, cmds, base), ok = true)
       }
     } catch {
       case e: UnsupportedOperationException => throw e
@@ -69,7 +71,7 @@ object Cli {
     out.toList
   }
 
-  private def runOne(input: Array[Byte], flags: XmqEngine.ParseFlags, cmds: String): String = {
+  private def runOne(input: Array[Byte], flags: XmqEngine.ParseFlags, cmds: String, base: String): String = {
     var doc = XmqEngine.parse(input, flags)
     var output: String = null
     val toks = {
@@ -180,6 +182,40 @@ object Cli {
         val shellCmd = opts.find(_.startsWith("--shell=")).map(_.substring(8))
         shellCmd.foreach { cmdline => output = forEachShell(doc, path, cmdline) }
         exec(more)
+      case "transform" :: rest =>
+        // transform [--stringparam=k=v ...] <stylesheet> (xmq-cli.c:2489 cmd_transform)
+        val (opts, more) = rest.span(_.startsWith("--"))
+        val params = opts.collect {
+          case o if o.startsWith("--stringparam=") =>
+            val kv = o.substring("--stringparam=".length)
+            val i = kv.indexOf('=')
+            if (i > 0) Some(kv.substring(0, i) -> kv.substring(i + 1)) else None
+        }.flatten.toMap
+        more match {
+          case path :: rest2 =>
+            val bytes = java.nio.file.Files.readAllBytes(resolve(base, path))
+            doc =
+              try Xslt.transform(doc, bytes, params, base)
+              catch { case _: Xslt.XsltError => new XDoc } // libxslt: empty output
+            exec(rest2)
+          case Nil => throw new IllegalArgumentException("transform needs a stylesheet")
+        }
+      case "validate" :: rest =>
+        // validate [--silent] <xsd> (xmq-cli.c:2589 cmd_validate); the first
+        // validation error prints the abortValidating banner + message and
+        // stops the pipeline (the reference exit(1)s).
+        val (opts, more) = rest.span(_.startsWith("--"))
+        val silent = opts.contains("--silent")
+        more match {
+          case path :: rest2 =>
+            val bytes = java.nio.file.Files.readAllBytes(resolve(base, path))
+            Xsd.validate(doc, bytes) match {
+              case None => exec(rest2)
+              case Some(msg) =>
+                output = if (silent) "" else s"xmq: Document cannot be validated against $path\n$msg\n\n"
+            }
+          case Nil => throw new IllegalArgumentException("validate needs an xsd")
+        }
       case "print" :: rest => exec(rest) // output already buffered
       case "no-output" :: rest => output = ""; exec(rest)
       case other :: _ => throw new UnsupportedOperationException(s"cmd $other")
@@ -313,6 +349,11 @@ object Cli {
     }
     e.children.foreach(walk)
     sb.toString
+  }
+
+  private def resolve(base: String, path: String): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(path)
+    if (p.isAbsolute) p else java.nio.file.Paths.get(base).resolve(path)
   }
 
   /** index of the unescaped closing double quote, or -1. */

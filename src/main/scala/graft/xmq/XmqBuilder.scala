@@ -201,7 +201,7 @@ final class XmqBuilder(implicitRoot: String = null,
 
     if (elementNamespace != null) {
       newNode.nsPrefix = elementNamespace
-      if (findNs(newNode, elementNamespace) == null)
+      if (elementNamespace != "xml" && findNs(newNode, elementNamespace) == null)
         newNode.nsDefs += NsDef(elementNamespace, null)
       elementNamespace = null
     }
@@ -220,7 +220,7 @@ final class XmqBuilder(implicitRoot: String = null,
     val t = top
     if (t != null) {
       t.nsPrefix = prefix
-      if (findNs(t, prefix) == null) t.nsDefs += NsDef(prefix, null)
+      if (prefix != "xml" && findNs(t, prefix) == null) t.nsDefs += NsDef(prefix, null)
     }
   }
 
@@ -260,7 +260,8 @@ final class XmqBuilder(implicitRoot: String = null,
     val parent = top
     val attr = new XAttr(attributeNamespace, key)
     if (attributeNamespace != null) {
-      if (findNs(parent, attributeNamespace) == null)
+      // the xml prefix is predefined (libxml2 xmlSearchNs) — never declared
+      if (attributeNamespace != "xml" && findNs(parent, attributeNamespace) == null)
         parent.nsDefs += NsDef(attributeNamespace, null)
       attributeNamespace = null
     }

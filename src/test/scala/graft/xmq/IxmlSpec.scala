@@ -66,6 +66,22 @@ class IxmlSpec extends AnyFunSuite {
       }
   }
 
+  // xmqixml_*: parse xmq text via the reference's own xmq-in-ixml grammar
+  // (test_xmqixml_format.sh: --ixml=library/core/xmq.ixml <input> to-xmq)
+  private val xmqGrammarPath = Paths.get("/root/reference/library/core/xmq.ixml")
+  for (p <- Fixtures.list("""xmqixml_\d+.*\.test""") if Files.exists(xmqGrammarPath)) {
+    val name = p.getFileName.toString
+    test(s"ixml $name") {
+      val content = Fixtures.read(p)
+      val grammar = Files.readString(xmqGrammarPath)
+      val input = Fixtures.section(content, "START", "IXML")
+      val expected = Fixtures.section(content, "IXML", "END")
+      val doc = Ixml.parseToDoc(grammar, input)
+      val out = XmqEngine.toXmq(doc)
+      assert(out == expected, s"\n--- expected:\n$expected--- got:\n$out")
+    }
+  }
+
   // ixml_not_* fixtures: START grammar, INPUT, OUTPUT (success or failure doc)
   for (p <- Fixtures.list("""ixml_not_\d+.*\.test""")) {
     val name = p.getFileName.toString
