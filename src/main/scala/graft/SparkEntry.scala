@@ -343,6 +343,30 @@ object SparkEntry {
     table
   }
 
+  /** IXML parse distributed over a corpus: grammar compiled once (foldable
+    * literal), every row's text parsed on the executors with the Earley
+    * engine; the exact xmq output of every successful parse (and the
+    * failure detection for the corrupted rows) is cross-checked by DuckDB
+    * rebuilding the expected strings in SQL. SURVEY.md §2.7. */
+  private val ixmlPairGrammar =
+    "pair = key, -\":\", value.\nkey = ~[\":\"]+.\nvalue = [\"0\"-\"9\"]+.\n"
+
+  private def q27IxmlParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    t(s, dir, "documents")
+      // deterministic malformed subset: doc_id % 10 == 7 gets a trailing '!'
+      .withColumn("inp",
+        concat($"source", lit(":"), $"n_chars".cast("string"),
+          when($"doc_id" % 10 === 7, lit("!")).otherwise(lit(""))))
+      .withColumn("parsed", ixml_parse(lit(ixmlPairGrammar), $"inp"))
+      .select($"doc_id",
+        when($"parsed".startsWith("ixml(ixml:state = failed"), 0L).otherwise(1L).as("ok"),
+        when($"parsed".startsWith("ixml(ixml:state = failed"), lit(null: String))
+          .otherwise($"parsed").as("parsed"))
+      .orderBy($"doc_id")
+  }
+
   private def q24MergeRowset(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     lakeTableFor(s, dir, "q24").scan()
@@ -404,6 +428,7 @@ object SparkEntry {
     "q24_merge_rowset"  -> (q24MergeRowset(_, _)),
     "q26_xmq_getters"   -> (q26XmqGetters(_, _)),
     "q25_post_maintenance_scan" -> (q25PostMaintenanceScan(_, _)),
+    "q27_ixml_parse"    -> (q27IxmlParse(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -564,6 +589,16 @@ object SparkEntry {
       s"""$duckMergedCte
          |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
          |FROM merged WHERE repo = 'repo_3' ORDER BY path""".stripMargin,
+    // the full xmq output of every successful ixml parse is rebuilt in SQL:
+    // a genuine cross-engine check of grammar+Earley+printer per row
+    "q27_ixml_parse" ->
+      """SELECT doc_id,
+        | (CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 1 END)::BIGINT AS ok,
+        | CASE WHEN doc_id % 10 <> 7 THEN
+        |   'pair {' || chr(10) || '    key   = ' || source || chr(10) ||
+        |   '    value = ' || n_chars::VARCHAR || chr(10) || '}' || chr(10)
+        | END AS parsed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q26_xmq_getters" ->
       """SELECT lang, n_docs::BIGINT AS n_docs, n_elems::BIGINT AS n_elems,
         | n_wellformed::BIGINT AS n_wellformed, n_corrupt_ok::BIGINT AS n_corrupt_ok,

@@ -150,6 +150,49 @@ case class XmqRoundTripOk(left: Expression, right: Expression)
   override def prettyName: String = "xmq_roundtrip_ok"
 }
 
+/** ixml_parse(grammar, input): parse input text with an Invisible-XML
+  * grammar (reference: xmq --ixml=g.ixml, xmq.c ixml engine) and print the
+  * resulting document as xmq. Parse failures return the reference's failure
+  * document (ixml:state=failed), not null, so failures are queryable.
+  * The grammar compiles once per expression instance when the grammar child
+  * is foldable (the common literal case), not once per row. */
+case class IxmlParse(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  import graft.xmq.ixml.{Earley, IxmlReader}
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val constGrammar =
+    if (left.foldable) {
+      val g = left.eval(null)
+      if (g == null) null else IxmlReader.parse(g.toString)
+    } else null
+  // non-foldable grammar column: memoize the last compiled grammar per task
+  @transient private var lastText: String = null
+  @transient private var lastGrammar: graft.xmq.ixml.Grammar = null
+
+  override protected def nullSafeEval(g: Any, in: Any): Any = {
+    val grammar =
+      if (constGrammar != null) constGrammar
+      else {
+        val text = g.toString
+        if (lastText != text) { lastGrammar = IxmlReader.parse(text); lastText = text }
+        lastGrammar
+      }
+    val input = in.toString
+    val doc =
+      try Earley.parse(grammar, input)
+      catch {
+        case Earley.IxmlParseError(line, col, pos) =>
+          graft.xmq.ixml.Ixml.failureDoc(input, line, col, pos)
+      }
+    UTF8String.fromString(XmqEngine.toXmq(doc))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "ixml_parse"
+}
+
 /** xmq_convert(content, lang, to, compact) */
 case class XmqConvert(children: Seq[Expression]) extends Expression with CodegenFallback {
   override def dataType: DataType = StringType
@@ -383,6 +426,8 @@ object XmqFunctions {
     mkCol(XmqCount(exprOf(content), exprOf(lang), exprOf(xpath)))
   def is_wellformed(content: Column, lang: Column): Column =
     mkCol(XmqWellformed(exprOf(content), exprOf(lang)))
+  def ixml_parse(grammar: Column, input: Column): Column =
+    mkCol(IxmlParse(exprOf(grammar), exprOf(input)))
   def xmq_annotate_offsets(content: Column, lang: Column, attr: Column): Column =
     mkCol(XmqAnnotate(exprOf(content), exprOf(lang), exprOf(attr)))
   def zorder_interleave(a: Column, b: Column, lang: Column): Column =
@@ -403,6 +448,7 @@ object XmqFunctions {
     registerFunction(spark, "xmq_get_double", es => XmqGetDouble(es(0), es(1), es(2)))
     registerFunction(spark, "xmq_count", es => XmqCount(es(0), es(1), es(2)))
     registerFunction(spark, "is_wellformed", es => XmqWellformed(es(0), es(1)))
+    registerFunction(spark, "ixml_parse", es => IxmlParse(es(0), es(1)))
     registerFunction(spark, "xmq_annotate_offsets", es => XmqAnnotate(es(0), es(1), es(2)))
     registerFunction(spark, "zorder_interleave", es => ZOrderInterleave(es(0), es(1), es(2)))
     registerFunction(spark, "hilbert_index", es => HilbertIndex(es(0), es(1), es(2)))
