@@ -367,6 +367,51 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  /** XSLT as a distributed column operator: per-row XML built from the
+    * documents table, transformed by a compiled-once stylesheet (method=
+    * text extraction); DuckDB rebuilds the expected extraction per row. */
+  private val q28Stylesheet =
+    """<xsl:stylesheet version="1.0" xmlns:xsl="http://www.w3.org/1999/XSL/Transform">
+      |<xsl:output method="text"/>
+      |<xsl:template match="/doc"><xsl:value-of select="id"/>-<xsl:value-of select="src"/></xsl:template>
+      |</xsl:stylesheet>""".stripMargin
+
+  private def q28XsltExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    t(s, dir, "documents")
+      .withColumn("xml",
+        concat(lit("<doc><id>"), $"doc_id".cast("string"), lit("</id><src>"),
+               $"source", lit("</src></doc>")))
+      .select($"doc_id",
+        xslt_transform($"xml", lit("xml"), lit(q28Stylesheet), lit("text")).as("extracted"))
+      .orderBy($"doc_id")
+  }
+
+  /** XSD validation as a distributed predicate: rows with doc_id % 7 == 3
+    * get a non-integer id (type violation); DuckDB recomputes the verdict. */
+  private val q29Schema =
+    """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      |<xs:element name="doc"><xs:complexType><xs:sequence>
+      |<xs:element name="id" type="xs:integer"/>
+      |<xs:element name="src" type="xs:string"/>
+      |</xs:sequence></xs:complexType></xs:element>
+      |</xs:schema>""".stripMargin
+
+  private def q29XsdValidate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    t(s, dir, "documents")
+      .withColumn("xml",
+        concat(lit("<doc><id>"), $"doc_id".cast("string"),
+               when($"doc_id" % 7 === 3, lit("x")).otherwise(lit("")),
+               lit("</id><src>"), $"source", lit("</src></doc>")))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(xsd_valid($"xml", lit("xml"), lit(q29Schema)), 1L).otherwise(0L)).as("n_valid"))
+      .orderBy($"lang")
+  }
+
   private def q24MergeRowset(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     lakeTableFor(s, dir, "q24").scan()
@@ -429,6 +474,8 @@ object SparkEntry {
     "q26_xmq_getters"   -> (q26XmqGetters(_, _)),
     "q25_post_maintenance_scan" -> (q25PostMaintenanceScan(_, _)),
     "q27_ixml_parse"    -> (q27IxmlParse(_, _)),
+    "q28_xslt_extract"  -> (q28XsltExtract(_, _)),
+    "q29_xsd_validate"  -> (q29XsdValidate(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -589,6 +636,13 @@ object SparkEntry {
       s"""$duckMergedCte
          |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
          |FROM merged WHERE repo = 'repo_3' ORDER BY path""".stripMargin,
+    "q28_xslt_extract" ->
+      """SELECT doc_id, doc_id::VARCHAR || '-' || source AS extracted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_xsd_validate" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        | sum(CASE WHEN doc_id % 7 = 3 THEN 0 ELSE 1 END)::BIGINT AS n_valid
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the full xmq output of every successful ixml parse is rebuilt in SQL:
     // a genuine cross-engine check of grammar+Earley+printer per row
     "q27_ixml_parse" ->

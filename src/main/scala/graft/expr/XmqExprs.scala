@@ -104,6 +104,28 @@ object XmqExprs {
     XmqEngine.toXmq(doc, compact = true)
   } catch { case _: Exception => null }
 
+  /** xslt_transform eval body: parse, transform with the compiled Templates,
+    * print in the requested format. Errors → null (libxslt: empty output). */
+  def xsltTransform(content: String, lang: String,
+                    templates: javax.xml.transform.Templates, to: String): String = try {
+    val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+    val out = Xslt.transformDoc(doc, templates)
+    to match {
+      case "xml" => XmqEngine.toXml(out)
+      case "html" => XmqEngine.toHtml(out)
+      case "json" => XmqEngine.toJson(out)
+      case "text" => XmqEngine.toText(out)
+      case "xmq_compact" => XmqEngine.toXmq(out, compact = true)
+      case _ => XmqEngine.toXmq(out)
+    }
+  } catch { case _: Exception => null }
+
+  /** xsd_valid eval body: malformed content or any validation error → false. */
+  def xsdValid(content: String, lang: String, schema: javax.xml.validation.Schema): Boolean = try {
+    val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+    Xsd.validateWith(doc, schema).isEmpty
+  } catch { case _: Exception => false }
+
   def convert(content: String, lang: String, to: String, compact: Boolean): String = {
     try {
       val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
@@ -191,6 +213,83 @@ case class IxmlParse(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "ixml_parse"
+}
+
+/** xslt_transform(content, lang, stylesheet, to): apply an XSLT 1.0
+  * stylesheet (itself in any engine format: xmq/xml/json) to the parsed
+  * content and print the result in format `to` ("xmq"/"xml"/"json"/"text"/
+  * compact xmq via "xmq_compact"). The reference's `transform` command as a
+  * distributed column operator. Stylesheet compiles to a shared Templates
+  * once when foldable (javax Templates is thread-safe; per-row Transformer
+  * creation is cheap). Errors return null (libxslt prints nothing). */
+case class XsltTransform(children: Seq[Expression]) extends Expression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val constTemplates: javax.xml.transform.Templates =
+    if (children(2).foldable) {
+      val ss = children(2).eval(null)
+      if (ss == null) null else Xslt.compile(ss.toString.getBytes("UTF-8"))
+    } else null
+  @transient private var lastText: String = null
+  @transient private var lastTemplates: javax.xml.transform.Templates = null
+
+  override def eval(input: InternalRow): Any = {
+    val vals = children.map(_.eval(input))
+    if (vals.exists(_ == null)) return null
+    val templates =
+      if (constTemplates != null) constTemplates
+      else {
+        val text = vals(2).toString
+        if (lastText != text) {
+          lastTemplates = Xslt.compile(text.getBytes("UTF-8")); lastText = text
+        }
+        lastTemplates
+      }
+    val out = XmqExprs.xsltTransform(vals(0).toString, vals(1).toString, templates, vals(3).toString)
+    if (out == null) null else UTF8String.fromString(out)
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+  override def prettyName: String = "xslt_transform"
+}
+
+/** xsd_valid(content, lang, xsd): true when the parsed content validates
+  * against the XSD (the reference's `validate` command as a predicate).
+  * Schema compiles once when the xsd child is foldable (javax Schema is
+  * thread-safe; Validators are created per thread). */
+case class XsdValid(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+
+  @transient private lazy val constSchema: javax.xml.validation.Schema =
+    if (third.foldable) {
+      val x = third.eval(null)
+      if (x == null) null else Xsd.compile(x.toString.getBytes("UTF-8"))
+    } else null
+  @transient private var lastText: String = null
+  @transient private var lastSchema: javax.xml.validation.Schema = null
+
+  override def eval(input: InternalRow): Any = {
+    val c = first.eval(input)
+    val l = second.eval(input)
+    val x = third.eval(input)
+    if (c == null || l == null || x == null) return false
+    val schema =
+      if (constSchema != null) constSchema
+      else {
+        val text = x.toString
+        if (lastText != text) { lastSchema = Xsd.compile(text.getBytes("UTF-8")); lastText = text }
+        lastSchema
+      }
+    XmqExprs.xsdValid(c.toString, l.toString, schema)
+  }
+  override protected def nullSafeEval(c: Any, l: Any, x: Any): Any =
+    throw new IllegalStateException("eval overridden")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "xsd_valid"
 }
 
 /** xmq_convert(content, lang, to, compact) */
@@ -428,6 +527,10 @@ object XmqFunctions {
     mkCol(XmqWellformed(exprOf(content), exprOf(lang)))
   def ixml_parse(grammar: Column, input: Column): Column =
     mkCol(IxmlParse(exprOf(grammar), exprOf(input)))
+  def xslt_transform(content: Column, lang: Column, stylesheet: Column, to: Column): Column =
+    mkCol(XsltTransform(Seq(exprOf(content), exprOf(lang), exprOf(stylesheet), exprOf(to))))
+  def xsd_valid(content: Column, lang: Column, xsd: Column): Column =
+    mkCol(XsdValid(exprOf(content), exprOf(lang), exprOf(xsd)))
   def xmq_annotate_offsets(content: Column, lang: Column, attr: Column): Column =
     mkCol(XmqAnnotate(exprOf(content), exprOf(lang), exprOf(attr)))
   def zorder_interleave(a: Column, b: Column, lang: Column): Column =
@@ -449,6 +552,8 @@ object XmqFunctions {
     registerFunction(spark, "xmq_count", es => XmqCount(es(0), es(1), es(2)))
     registerFunction(spark, "is_wellformed", es => XmqWellformed(es(0), es(1)))
     registerFunction(spark, "ixml_parse", es => IxmlParse(es(0), es(1)))
+    registerFunction(spark, "xslt_transform", es => XsltTransform(es))
+    registerFunction(spark, "xsd_valid", es => XsdValid(es(0), es(1), es(2)))
     registerFunction(spark, "xmq_annotate_offsets", es => XmqAnnotate(es(0), es(1), es(2)))
     registerFunction(spark, "zorder_interleave", es => ZOrderInterleave(es(0), es(1), es(2)))
     registerFunction(spark, "hilbert_index", es => HilbertIndex(es(0), es(1), es(2)))

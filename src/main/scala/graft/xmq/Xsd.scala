@@ -21,17 +21,23 @@ object Xsd {
 
   final class SchemaError(msg: String) extends RuntimeException(msg)
 
-  /** None = document valid; Some(msg) = first validation error, worded like
-    * libxml2. Throws SchemaError when the schema itself cannot be loaded. */
-  def validate(doc: XDoc, xsdBytes: Array[Byte]): Option[String] = {
+  /** Compile an XSD (any engine format) into a shareable, thread-safe
+    * Schema — the per-task cache unit for the Catalyst expression. */
+  def compile(xsdBytes: Array[Byte]): javax.xml.validation.Schema = {
     val xsdXml =
       try XmqEngine.toXml(XmqEngine.parse(xsdBytes))
       catch { case e: Exception => throw new SchemaError(e.toString) }
     val factory = SchemaFactory.newInstance(XMLConstants.W3C_XML_SCHEMA_NS_URI)
-    val schema =
-      try factory.newSchema(new StreamSource(new StringReader(xsdXml)))
-      catch { case e: org.xml.sax.SAXException => throw new SchemaError(e.getMessage) }
+    try factory.newSchema(new StreamSource(new StringReader(xsdXml)))
+    catch { case e: org.xml.sax.SAXException => throw new SchemaError(e.getMessage) }
+  }
 
+  /** None = document valid; Some(msg) = first validation error, worded like
+    * libxml2. Throws SchemaError when the schema itself cannot be loaded. */
+  def validate(doc: XDoc, xsdBytes: Array[Byte]): Option[String] =
+    validateWith(doc, compile(xsdBytes))
+
+  def validateWith(doc: XDoc, schema: javax.xml.validation.Schema): Option[String] = {
     val validator = schema.newValidator()
     var firstError: SAXParseException = null
     validator.setErrorHandler(new ErrorHandler {

@@ -28,23 +28,34 @@ object Xslt {
 
   final class XsltError(msg: String, cause: Throwable = null) extends RuntimeException(msg, cause)
 
+  /** Compile a stylesheet (any engine format) into a shareable, thread-safe
+    * Templates — the per-task cache unit for the Catalyst expression. */
+  def compile(stylesheet: Array[Byte], resolveBase: String = "."): javax.xml.transform.Templates = {
+    val ssDoc = XmqEngine.parse(stylesheet)
+    protectPreservedWhitespace(ssDoc)
+    val ssXml = XmqEngine.toXml(ssDoc)
+    val factory = TransformerFactory.newInstance()
+    factory.setErrorListener(throwingListener)
+    factory.setURIResolver(multiFormatResolver(resolveBase))
+    try factory.newTemplates(new StreamSource(new StringReader(ssXml)))
+    catch { case e: TransformerException => throw new XsltError(s"stylesheet: ${e.getMessage}", e) }
+  }
+
   /** Transform `doc` with the given stylesheet source bytes.
     * `resolveBase` anchors relative document() hrefs (reference: cwd). */
   def transform(doc: XDoc,
                 stylesheet: Array[Byte],
                 params: Map[String, String] = Map.empty,
-                resolveBase: String = "."): XDoc = {
-    val ssDoc = XmqEngine.parse(stylesheet)
-    protectPreservedWhitespace(ssDoc)
-    val ssXml = XmqEngine.toXml(ssDoc)
-    val inXml = XmqEngine.toXml(doc)
+                resolveBase: String = "."): XDoc =
+    transformDoc(doc, compile(stylesheet, resolveBase), params, resolveBase)
 
-    val factory = TransformerFactory.newInstance()
-    factory.setErrorListener(throwingListener)
-    factory.setURIResolver(multiFormatResolver(resolveBase))
-    val transformer =
-      try factory.newTransformer(new StreamSource(new StringReader(ssXml)))
-      catch { case e: TransformerException => throw new XsltError(s"stylesheet: ${e.getMessage}", e) }
+  /** Transform with a pre-compiled Templates (expression hot path). */
+  def transformDoc(doc: XDoc,
+                   templates: javax.xml.transform.Templates,
+                   params: Map[String, String] = Map.empty,
+                   resolveBase: String = "."): XDoc = {
+    val inXml = XmqEngine.toXml(doc)
+    val transformer = templates.newTransformer()
     transformer.setErrorListener(throwingListener)
     transformer.setURIResolver(multiFormatResolver(resolveBase))
     params.foreach { case (k, v) => transformer.setParameter(k, v) }
