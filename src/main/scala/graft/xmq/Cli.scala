@@ -102,7 +102,10 @@ object Cli {
         output = XmqEngine.toHtml(doc); exec(more)
       case "to-json" :: rest =>
         val (_, more) = rest.span(_.startsWith("--"))
-        output = XmqEngine.toJson(doc); exec(more)
+        // warnings go to stderr (unbuffered) → they precede the json
+        val (json, warns) = JsonPrinter.printCollect(doc)
+        output = warns.map(_ + "\n").mkString + json
+        exec(more)
       case "to-text" :: rest =>
         val (_, more) = rest.span(_.startsWith("--"))
         output = XmqEngine.toText(doc); exec(more)

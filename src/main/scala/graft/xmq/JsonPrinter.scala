@@ -10,11 +10,15 @@ import scala.collection.mutable.ArrayBuffer
   */
 object JsonPrinter {
 
-  def print(doc: XDoc): String = {
+  def print(doc: XDoc): String = printCollect(doc)._1
+
+  /** print + the conversion-loss warnings (reference: stderr, so the CLI
+    * shows them before the buffered json). */
+  def printCollect(doc: XDoc): (String, Seq[String]) = {
     fixupJson(doc)
     val p = new JsonPrinter
     p.printTop(doc)
-    p.result
+    (p.result, p.warnings.toSeq)
   }
 
   /** fixup_json: collapse multi text/charentity children into one text node. */
@@ -54,6 +58,8 @@ object JsonPrinter {
 final class JsonPrinter {
   private val sb = new StringBuilder
   private var lastChar: Char = 0
+  /** conversion-loss diagnostics (reference PRINT_WARNING → stderr). */
+  val warnings = new ArrayBuffer[String]()
 
   def result: String = sb.toString
 
@@ -160,7 +166,15 @@ final class JsonPrinter {
       if (Nodes.isLeaf(e) && container != null) printLeafNode(container, e, total, used)
       else if (Nodes.isKeyValueNode(e) && (e.attrs.isEmpty || !hasAttrOtherThanAS_(e)))
         printKeyNode(container, e, total, used, e.attr("S").isDefined)
-      else if (e.attr("A").isDefined) printArrayWithChildren(container, e)
+      else if (e.attr("A").isDefined) {
+        // json.c:993-1004: arrays drop the element name (top level) and any
+        // non-marker attributes — warn like PRINT_WARNING does
+        if (e.name != "_" && container == null)
+          warnings += s"""xmq: Warning! The element name "${e.name}" is lost when converted to an unnamed json array!"""
+        if (hasAttrOtherThanAS_(e))
+          warnings += s"""xmq: Warning! The element "${e.name}" loses its attributes when converted to a json array!"""
+        printArrayWithChildren(container, e)
+      }
       else printElementWithChildren(container, e, total, used, preNodes, postNodes, prePostComments)
     case d: XDoctype => printDoctypeNode(d)
     case _ =>

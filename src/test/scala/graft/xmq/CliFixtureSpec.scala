@@ -26,6 +26,21 @@ class CliFixtureSpec extends AnyFunSuite {
     }
   }
 
+  // warning_*: START → CMDS → WARNING section = stderr warnings + stdout json
+  for (p <- Fixtures.list("""warning_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"warning $name") {
+      val content = Fixtures.read(p)
+      val input = Fixtures.section(content, "START", "WARNING")
+      val expected = Fixtures.section(content, "WARNING", "END")
+      val args = grep(content, "ARGS")
+      val cmds = { val c = grep(content, "CMDS"); if (c.isEmpty) "to-xmq" else c }
+      val r = Cli.run(input.getBytes(StandardCharsets.UTF_8), args, cmds)
+      assert(r.ok, s"failed: ${r.error}")
+      assert(r.output == expected, s"\n--- expected:\n$expected--- got:\n${r.output}")
+    }
+  }
+
   test("for-each --shell passes node values via environment, not interpolation (no command injection)") {
     // document content containing shell metacharacters must reach the command
     // as DATA (env var), never as executable shell syntax
