@@ -12,8 +12,10 @@ object Cli {
 
   /** args: e.g. "--trim=none --html", cmds: e.g. "to-xmq --compact".
     * `base` anchors file paths used by transform/validate and relative
-    * document() hrefs inside stylesheets (reference: process cwd). */
-  def run(input: Array[Byte], args: String, cmds: String, base: String = "."): Result = {
+    * document() hrefs inside stylesheets (reference: process cwd);
+    * `env` carries XMQ_THEME etc. without touching process state. */
+  def run(input: Array[Byte], args: String, cmds: String, base: String = ".",
+          env: Map[String, String] = Map.empty): Result = {
     var forced: Xmq.ContentType = null
     var trim = "default"
     var nomerge = false
@@ -41,11 +43,11 @@ object Cli {
         val ls = text.split("\n", -1).toSeq
         val effective = if (ls.nonEmpty && ls.last.isEmpty) ls.dropRight(1) else ls
         val outs = effective.map { line =>
-          runOne(line.getBytes(StandardCharsets.UTF_8), flags, cmds, base)
+          runOne(line.getBytes(StandardCharsets.UTF_8), flags, cmds, base, env)
         }
         Result(outs.mkString(""), ok = true)
       } else {
-        Result(runOne(input, flags, cmds, base), ok = true)
+        Result(runOne(input, flags, cmds, base, env), ok = true)
       }
     } catch {
       case e: UnsupportedOperationException => throw e
@@ -71,7 +73,8 @@ object Cli {
     out.toList
   }
 
-  private def runOne(input: Array[Byte], flags: XmqEngine.ParseFlags, cmds: String, base: String): String = {
+  private def runOne(input: Array[Byte], flags: XmqEngine.ParseFlags, cmds: String, base: String,
+                     env: Map[String, String]): String = {
     var doc = XmqEngine.parse(input, flags)
     var output: String = null
     val toks = {
@@ -219,6 +222,14 @@ object Cli {
             }
           case Nil => throw new IllegalArgumentException("validate needs an xsd")
         }
+      case "render-tex" :: rest =>
+        // render-tex [--theme=...]: theme spec from flag, else XMQ_THEME env
+        // (xmq-cli.c:1661), else the tex default light mode (xmq.c:186)
+        val (opts, more) = rest.span(_.startsWith("--"))
+        val spec = opts.find(_.startsWith("--theme="))
+          .map(_.substring(8)).orElse(env.get("XMQ_THEME")).orNull
+        output = Theme.renderTex(doc, spec)
+        exec(more)
       case "print" :: rest => exec(rest) // output already buffered
       case "no-output" :: rest => output = ""; exec(rest)
       case other :: _ => throw new UnsupportedOperationException(s"cmd $other")

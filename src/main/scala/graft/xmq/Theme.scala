@@ -1,0 +1,182 @@
+package graft.xmq
+
+/** Color themes + the render-tex renderer.
+  *
+  * Reference: /root/reference/src/main/c/parts/default_themes.c (default
+  * dark/light tables, XMQ_THEME spec parsing), parts/colors.c
+  * (string_to_color_def, generate_tex_color), xmq.c setup_tex_coloring
+  * (definecolor/newcommand preamble, per-token theme strings) and the
+  * tokenize_TYPE colorize callbacks (xmq.c:691-708, write_safe_tex).
+  */
+object Theme {
+
+  /** r = -1 encodes "unset" (empty color string); tex prints it as 0,0,0. */
+  final case class ColorDef(r: Int, g: Int, b: Int, bold: Boolean, underline: Boolean)
+  val Unset: ColorDef = ColorDef(-1, -1, -1, bold = false, underline = false)
+
+  // index order = color_names[] in colors.c
+  val colorNames: Array[String] = Array(
+    "xmqC", "xmqQ", "xmqE", "xmqNS", "xmqEN", "xmqEK", "xmqEKV", "xmqAK",
+    "xmqAKV", "xmqCP", "xmqNSD", "xmqUW", "xmqXSL", "xmqFG", "xmqBG")
+
+  private val shortIndex = Map(
+    "C" -> 0, "Q" -> 1, "E" -> 2, "NS" -> 3, "EN" -> 4, "EK" -> 5,
+    "EKV" -> 6, "AK" -> 7, "AKV" -> 8, "CP" -> 9, "NSD" -> 10, "UW" -> 11,
+    "XSL" -> 12, "FG" -> 13, "BG" -> 14)
+
+  private val defaultDark = Array(
+    "#2aa1b3", "#26a269_B", "#c061cb", "#a9a9a9", "#ff8c00", "#88b4f7",
+    "#26a269_B", "#88b4f7", "#6196ec", "#c061cb", "#2aa1b3", "#880000_U",
+    "#c061cb", "", "")
+
+  private val defaultLight = Array(
+    "#2aa1b3", "#26a269_B", "#c061cb", "#696969", "#a86c00", "#0060fd",
+    "#26a269_B", "#0060fd", "#12488c", "#c061cb", "#1a91a3", "#880000_U",
+    "#c061cb", "", "")
+
+  /** string_to_color_def: "#rrggbb[_B][_U]" or "" (unset). */
+  def parseColor(s: String): Option[ColorDef] = {
+    if (s.isEmpty) return Some(Unset)
+    if (s.length < 7 || s.charAt(0) != '#') return None
+    try {
+      val r = Integer.parseInt(s.substring(1, 3), 16)
+      val g = Integer.parseInt(s.substring(3, 5), 16)
+      val b = Integer.parseInt(s.substring(5, 7), 16)
+      var bold = false; var underline = false
+      var i = 7
+      while (i + 1 < s.length + 1 && i < s.length && s.charAt(i) == '_') {
+        if (i + 1 < s.length) {
+          if (s.charAt(i + 1) == 'B') bold = true
+          if (s.charAt(i + 1) == 'U') underline = true
+        }
+        i += 2
+      }
+      Some(ColorDef(r, g, b, bold, underline))
+    } catch { case _: NumberFormatException => None }
+  }
+
+  final class Installed(val dark: Array[ColorDef], val light: Array[ColorDef])
+
+  /** installTheme: defaults + comma-separated override groups; each group
+    * is [dark+|light+]NAME=COLOR[:NAME=COLOR...]. Unparseable groups leave
+    * the defaults installed (the reference returns false but keeps going). */
+  def install(spec: String): Installed = {
+    val dark = defaultDark.map(c => parseColor(c).getOrElse(Unset))
+    val light = defaultLight.map(c => parseColor(c).getOrElse(Unset))
+    if (spec != null) spec.split(",", -1).foreach { group0 =>
+      var group = group0
+      var doDark = true; var doLight = true
+      if (group.startsWith("dark+")) { doLight = false; group = group.substring(5) }
+      else if (group.startsWith("light+")) { doDark = false; group = group.substring(6) }
+      group.split(":").foreach { kv =>
+        val eq = kv.indexOf('=')
+        if (eq > 0 && eq <= 3) {
+          for {
+            idx <- shortIndex.get(kv.substring(0, eq))
+            cd <- parseColor(kv.substring(eq + 1))
+          } {
+            if (doDark) dark(idx) = cd
+            if (doLight) light(idx) = cd
+          }
+        }
+      }
+    }
+    new Installed(dark, light)
+  }
+
+  /** generate_tex_color: unset prints 0,0,0. */
+  private def texColor(d: ColorDef, name: String): String =
+    if (d.r < 0) s"\\definecolor{$name}{RGB}{0,0,0}"
+    else s"\\definecolor{$name}{RGB}{${d.r},${d.g},${d.b}}"
+
+  /** setup_tex_coloring's style block: definecolors (always the lightbg
+    * table), newcommands with bold/underline from the active mode, \xmqI. */
+  def texStyle(theme: Installed, darkMode: Boolean): String = {
+    val active = if (darkMode) theme.dark else theme.light
+    val sb = new StringBuilder
+    for (i <- colorNames.indices)
+      sb.append(texColor(theme.light(i), colorNames(i))).append('\n')
+    for (i <- colorNames.indices) {
+      val (bPre, bPost) = if (active(i).bold) ("\\textbf{", "}") else ("", "")
+      val (uPre, uPost) = if (active(i).underline) ("\\underline{", "}") else ("", "")
+      sb.append(s"\\newcommand{\\${colorNames(i)}}[1]{{\\color{${colorNames(i)}}$bPre$uPre#1$bPost$uPost}}\n")
+    }
+    sb.append("\\newcommand{\\xmqI}[0]{{\\mbox{\\ }}}\n")
+    sb.toString
+  }
+
+  /** token type → tex color command (setup_tex_coloring theme assignments);
+    * null = uncolored passthrough. */
+  private val tokenCommand: Map[String, String] = Map(
+    Tok.CparLeft -> "xmqCP", Tok.CparRight -> "xmqCP",
+    Tok.Quote -> "xmqQ", Tok.Entity -> "xmqE",
+    Tok.Comment -> "xmqC", Tok.CommentContinuation -> "xmqC",
+    Tok.ElementNs -> "xmqNS", Tok.ElementName -> "xmqEN",
+    Tok.ElementKey -> "xmqEK",
+    Tok.ElementValueText -> "xmqEKV", Tok.ElementValueQuote -> "xmqEKV",
+    Tok.ElementValueCompoundQuote -> "xmqEKV",
+    Tok.ElementValueEntity -> "xmqE", Tok.ElementValueCompoundEntity -> "xmqE",
+    Tok.AttrNs -> "xmqNS", Tok.AttrKey -> "xmqAK",
+    Tok.AttrValueText -> "xmqAKV", Tok.AttrValueQuote -> "xmqAKV",
+    Tok.AttrValueCompoundQuote -> "xmqAKV",
+    Tok.AttrValueEntity -> "xmqE", Tok.AttrValueCompoundEntity -> "xmqE",
+    Tok.NsDeclaration -> "xmqNSD")
+
+  /** write_safe_tex + indentation/newline substitution of setup_tex_coloring
+    * (indentation_space = "\xmqI ", explicit_nl = "\linebreak\n"). */
+  private def texEscape(s: String, sb: StringBuilder): Unit = {
+    var afterNl = false
+    s.foreach {
+      case '&' => sb.append("\\&"); afterNl = false
+      case '\\' => sb.append("\\\\"); afterNl = false
+      case '_' => sb.append("\\_"); afterNl = false
+      case '\n' => sb.append("\\linebreak\n"); afterNl = true
+      case ' ' if afterNl => sb.append("\\xmqI ")
+      case c => sb.append(c); afterNl = false
+    }
+  }
+
+  /** render-tex: full LaTeX document with the colorized xmq of `doc`.
+    * The body re-tokenizes the engine's own byte-exact xmq print and wraps
+    * each token in its theme command — the same token/color pairing the
+    * reference printer injects. */
+  def renderTex(doc: XDoc, themeSpec: String): String = {
+    // render_to==TEX forces dark_mode=false when no spec names a mode (xmq.c:186)
+    val darkMode = themeSpec != null && themeSpec.endsWith("-dark")
+    val theme = install(themeSpec)
+    val xmqText = XmqEngine.toXmq(doc)
+    val bytes = xmqText.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+    val body = new StringBuilder
+    var pos = 0
+    val sink = new TokenSink {
+      def token(tpe: String, line: Int, col: Int, start: Int, stop: Int, suffix: Int): Unit = {
+        if (start > pos) // uncovered gap: raw passthrough (escaped)
+          texEscape(new String(bytes, pos, start - pos, java.nio.charset.StandardCharsets.UTF_8), body)
+        val text = new String(bytes, start, stop - start, java.nio.charset.StandardCharsets.UTF_8)
+        tokenCommand.get(tpe) match {
+          case Some(cmd) =>
+            body.append('\\').append(cmd).append('{')
+            texEscape(text, body)
+            body.append('}')
+          case None => texEscape(text, body)
+        }
+        pos = stop
+      }
+    }
+    new XmqTokenizer(bytes, sink).tokenize()
+    if (pos < bytes.length)
+      texEscape(new String(bytes, pos, bytes.length - pos, java.nio.charset.StandardCharsets.UTF_8), body)
+
+    val sb = new StringBuilder
+    sb.append("\\documentclass[10pt,a4paper]{article}\n\\usepackage{color}\n\\usepackage{bold-extra}\n")
+    sb.append(texStyle(theme, darkMode))
+    sb.append("\n\\begin{document}\n")
+    sb.append("\\texttt{\\flushleft\\noindent ")
+    sb.append(body)
+    sb.append("\n}\n")
+    sb.append("\n\\end{document}\n")
+    sb.append('\n')
+    sb.toString
+  }
+}

@@ -140,7 +140,17 @@ object Earley {
 
   /** parse `input` (codepoints); returns the derivation tree or throws
     * IxmlParseError with the furthest failure position. */
-  def parse(g: Grammar, inputStr: String): XDoc = {
+  def parse(g: Grammar, inputStr: String): XDoc =
+    parseInternal(g, inputStr, all = false).head
+
+  /** --ixml-all-parses: every distinct parse (reference xmq-cli.c passes
+    * XMQ_FLAG_IXML_ALL_PARSES → yaep ambiguity enumeration). Longest
+    * sub-spans are explored first, matching the reference's ordering on the
+    * ambiguity corpus; capped to keep pathological grammars bounded. */
+  def parseAll(g: Grammar, inputStr: String, max: Int = 64): Seq[XDoc] =
+    parseInternal(g, inputStr, all = true, max)
+
+  private def parseInternal(g: Grammar, inputStr: String, all: Boolean, max: Int = 64): Seq[XDoc] = {
     val c = compile(g)
     val input = inputStr.codePoints().toArray
     val n = input.length
@@ -304,44 +314,92 @@ object Earley {
       }
     }
 
-    val rootNode = deriveNt(c.start, 0, n, 0)
-      .getOrElse(throw new IllegalStateException("accepted but no derivation"))
-
     // ---- serialization with marks ----
-    val doc = new XDoc
-
     def textOf(node: DNode): String = node match {
       case DText(s) => s
       case DNt(_, _, kids) => kids.map(textOf).mkString
     }
 
-    def emit(node: DNode, parent: XElem): Unit = node match {
-      case DText(s) => if (parent != null) parent.appendText(s)
-      case DNt(nt, mark, kids) =>
-        mark match {
-          case '-' => kids.foreach(emit(_, parent))
-          case '@' =>
-            if (parent != null) {
-              val a = new XAttr(null, c.outNames(nt))
-              a.appendText(kids.map(textOf).mkString)
-              parent.attrs += a
-            }
-          case _ =>
-            val e = new XElem(c.outNames(nt))
-            kids.foreach(emit(_, e))
-            if (parent == null) doc.appendChild(e) else parent.appendChild(e)
-        }
+    def buildDoc(rootNode: DNode): XDoc = {
+      val doc = new XDoc
+      def emit(node: DNode, parent: XElem): Unit = node match {
+        case DText(s) => if (parent != null) parent.appendText(s)
+        case DNt(nt, mark, kids) =>
+          mark match {
+            case '-' => kids.foreach(emit(_, parent))
+            case '@' =>
+              if (parent != null) {
+                val a = new XAttr(null, c.outNames(nt))
+                a.appendText(kids.map(textOf).mkString)
+                parent.attrs += a
+              }
+            case _ =>
+              val e = new XElem(c.outNames(nt))
+              kids.foreach(emit(_, e))
+              if (parent == null) doc.appendChild(e) else parent.appendChild(e)
+          }
+      }
+      // root with '-' mark: iXML serializes its children under... the corpus
+      // has no hidden roots; treat root as element regardless
+      rootNode match {
+        case DNt(nt, mark, kids) if mark == '-' || mark == '@' =>
+          val e = new XElem(c.outNames(nt))
+          kids.foreach(emit(_, e))
+          doc.appendChild(e)
+        case other => emit(other, null)
+      }
+      doc
     }
 
-    // root with '-' mark: iXML serializes its children under... the corpus
-    // has no hidden roots; treat root as element regardless
-    rootNode match {
-      case DNt(nt, mark, kids) if mark == '-' || mark == '@' =>
-        val e = new XElem(c.outNames(nt))
-        kids.foreach(emit(_, e))
-        doc.appendChild(e)
-      case other => emit(other, null)
+    if (!all) {
+      val rootNode = deriveNt(c.start, 0, n, 0)
+        .getOrElse(throw new IllegalStateException("accepted but no derivation"))
+      return Seq(buildDoc(rootNode))
     }
-    doc
+
+    // ---- all-parses enumeration (longest sub-spans first, production order) ----
+    def allNt(nt: Int, from: Int, to: Int, refMark: Char): Iterator[DNt] = {
+      val pids = compProd.getOrElse((nt, from, to), ArrayBuffer.empty)
+      pids.iterator.flatMap { pid =>
+        allSeq(allProds(pid).syms, 0, from, to).map { kids =>
+          val mark = if (refMark != 0) refMark else c.marks(nt)
+          DNt(nt, mark, kids)
+        }
+      }
+    }
+
+    def allSeq(syms: Array[GSym], si: Int, from: Int, to: Int): Iterator[Seq[DNode]] = {
+      if (si == syms.length)
+        return if (from == to) Iterator.single(Nil) else Iterator.empty
+      syms(si) match {
+        case Term(pred, hidden, _) =>
+          if (from < to && pred(input(from)))
+            allSeq(syms, si + 1, from + 1, to).map { rest =>
+              if (hidden) rest
+              else DText(new String(Character.toChars(input(from)))) +: rest
+            }
+          else Iterator.empty
+        case Ins(str) =>
+          allSeq(syms, si + 1, from, to).map(rest => DText(str) +: rest)
+        case Neg(check, _) =>
+          if (check(input, from)) allSeq(syms, si + 1, from, to) else Iterator.empty
+        case NtRef(id, refMark) =>
+          val ends = comp.getOrElse((id, from), HashSet.empty).toSeq.sorted.reverse
+          ends.iterator.filter(_ <= to).flatMap { mid =>
+            allNt(id, from, mid, refMark).flatMap { node =>
+              allSeq(syms, si + 1, mid, to).map(rest => node +: rest)
+            }
+          }
+      }
+    }
+
+    val docs = ArrayBuffer.empty[XDoc]
+    val seenOut = HashSet.empty[String]
+    val rootIt = allNt(c.start, 0, n, 0)
+    while (rootIt.hasNext && docs.length < max) {
+      val doc = buildDoc(rootIt.next())
+      if (seenOut.add(XmqEngine.toXmq(doc, compact = true))) docs += doc
+    }
+    docs.toSeq
   }
 }

@@ -24,6 +24,34 @@ object Ixml {
     }
   }
 
+  /** --ixml-all-parses: single parse prints normally; ambiguity produces the
+    * reference's AMBIGUOUS(state=ambiguous) wrapper with one child per
+    * distinct parse (tests/ixml_parse_020_ambig.test). */
+  def parseAllToDoc(grammarText: String, inputText: String): XDoc = {
+    val g = IxmlReader.parse(grammarText)
+    try {
+      val docs = Earley.parseAll(g, inputText)
+      if (docs.length == 1) docs.head
+      else {
+        val doc = new XDoc
+        val root = new XElem("AMBIGUOUS")
+        val st = new XAttr(null, "state")
+        st.appendText("ambiguous")
+        root.attrs += st
+        root.nsDefs += NsDef("ixml", "http://invisiblexml.org/NS")
+        docs.foreach(_.children.foreach {
+          case e: XElem => root.appendChild(e)
+          case _ =>
+        })
+        doc.appendChild(root)
+        doc
+      }
+    } catch {
+      case Earley.IxmlParseError(line, col, pos) =>
+        failureDoc(inputText, line, col, pos)
+    }
+  }
+
   def failureDoc(input: String, line: Int, col: Int, pos: Int): XDoc = {
     val doc = new XDoc
     val root = new XElem("ixml")

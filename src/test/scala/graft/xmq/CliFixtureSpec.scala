@@ -26,6 +26,24 @@ class CliFixtureSpec extends AnyFunSuite {
     }
   }
 
+  // theme_*: ENV XMQ_THEME=... render-tex | grep definecolor (test_theme.sh)
+  for (p <- Fixtures.list("""theme_\d+.*\.test""")) {
+    val name = p.getFileName.toString
+    test(s"theme $name") {
+      val content = Fixtures.read(p)
+      val input = Fixtures.section(content, "INPUT.*", "OUTPUT")
+      val expected = Fixtures.section(content, "OUTPUT", "END")
+      val env = grep(content, "ENV").split("\\s+").filter(_.contains("="))
+        .map { kv => val i = kv.indexOf('='); kv.substring(0, i) -> kv.substring(i + 1) }.toMap
+      val args = grep(content, "ARGS")
+      val cmds = grep(content, "CMDS")
+      val r = Cli.run(input.getBytes(StandardCharsets.UTF_8), args, s"$cmds render-tex", env = env)
+      assert(r.ok, s"failed: ${r.error}")
+      val got = r.output.split("\n").filter(_.contains("definecolor")).map(_ + "\n").mkString
+      assert(got == expected, s"\n--- expected:\n$expected--- got:\n$got")
+    }
+  }
+
   // warning_*: START → CMDS → WARNING section = stderr warnings + stdout json
   for (p <- Fixtures.list("""warning_\d+.*\.test""")) {
     val name = p.getFileName.toString

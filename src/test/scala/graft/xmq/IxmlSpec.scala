@@ -50,20 +50,20 @@ class IxmlSpec extends AnyFunSuite {
   }
 
   // ixml_parse_*: input joined without newlines (test_ixml_parse.sh tr -d \n);
-  // ambiguity-enumeration tests (--ixml-all-parses) are out of scope this
-  // round — yaep's parse-order-dependent output is not replicated yet.
+  // --ixml-all-parses fixtures go through the ambiguity enumeration.
   for (p <- Fixtures.list("""ixml_parse_\d+.*\.test""")) {
     val name = p.getFileName.toString
     val content = Fixtures.read(p)
-    if (!content.contains("--ixml-all-parses"))
-      test(s"ixml parse $name") {
-        val grammar = Fixtures.section(content, "START", "INPUT")
-        val input = Fixtures.section(content, "INPUT", "OUTPUT").replace("\n", "")
-        val expected = Fixtures.section(content, "OUTPUT", "END")
-        val doc = Ixml.parseToDoc(grammar, input)
-        val out = XmqEngine.toXmq(doc)
-        assert(out == expected, s"\n--- expected:\n$expected--- got:\n$out")
-      }
+    test(s"ixml parse $name") {
+      val grammar = Fixtures.section(content, "START", "INPUT")
+      val input = Fixtures.section(content, "INPUT", "OUTPUT").replace("\n", "")
+      val expected = Fixtures.section(content, "OUTPUT", "END")
+      val doc =
+        if (content.contains("--ixml-all-parses")) Ixml.parseAllToDoc(grammar, input)
+        else Ixml.parseToDoc(grammar, input)
+      val out = XmqEngine.toXmq(doc)
+      assert(out == expected, s"\n--- expected:\n$expected--- got:\n$out")
+    }
   }
 
   // xmqixml_*: parse xmq text via the reference's own xmq-in-ixml grammar
