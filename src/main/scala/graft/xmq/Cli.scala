@@ -222,13 +222,19 @@ object Cli {
             }
           case Nil => throw new IllegalArgumentException("validate needs an xsd")
         }
-      case "render-tex" :: rest =>
-        // render-tex [--theme=...]: theme spec from flag, else XMQ_THEME env
-        // (xmq-cli.c:1661), else the tex default light mode (xmq.c:186)
+      case ("render-tex" | "render-html" | "render-terminal") :: rest =>
+        // render-* [--theme=...]: theme spec from flag, else XMQ_THEME env
+        // (xmq-cli.c:1661); tex defaults to light mode (xmq.c:186), the
+        // terminal to a dark background
+        val cmd = ts.head
         val (opts, more) = rest.span(_.startsWith("--"))
         val spec = opts.find(_.startsWith("--theme="))
           .map(_.substring(8)).orElse(env.get("XMQ_THEME")).orNull
-        output = Theme.renderTex(doc, spec)
+        output = cmd match {
+          case "render-html" => Theme.renderHtml(doc, spec)
+          case "render-terminal" => Theme.renderTerminal(doc, spec)
+          case _ => Theme.renderTex(doc, spec)
+        }
         exec(more)
       case "print" :: rest => exec(rest) // output already buffered
       case "no-output" :: rest => output = ""; exec(rest)

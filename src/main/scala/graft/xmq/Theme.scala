@@ -136,6 +136,132 @@ object Theme {
     }
   }
 
+  /** generate_html_color: custom-element CSS rule (unset colors are emitted
+    * as 000000 — sensible where the reference formats the -1 sentinel raw). */
+  private def htmlColor(d: ColorDef, name: String): String = {
+    val rgb = if (d.r < 0) "000000" else f"${d.r}%02x${d.g}%02x${d.b}%02x"
+    val bold = if (d.bold) "font-weight:600;" else ""
+    val ul = if (d.underline) "text-decoration:underline;" else ""
+    s"$name{color:#$rgb;$bold$ul}"
+  }
+
+  private def hex6(d: ColorDef, dflt: String): String =
+    if (d.r < 0) dflt else f"${d.r}%02x${d.g}%02x${d.b}%02x"
+
+  /** setup_html_coloring's stylesheet (dark + light pre rules + per-token
+    * custom-element colors). */
+  def htmlStyle(theme: Installed): String = {
+    val sb = new StringBuilder
+    sb.append("@media screen and (orientation: portrait) { pre { font-size: 2vw; } }")
+    sb.append("@media screen and (orientation: landscape) { pre { max-width: 98%; } }")
+    sb.append("pre.xmq_dark {white-space:pre-wrap;word-break:break-all;border-radius:2px;background-color:#")
+    sb.append(hex6(theme.dark(14), "263338"))
+    sb.append(";border:solid 1px #555555;display:inline-block;padding:1em;color:#")
+    sb.append(hex6(theme.dark(13), "ffffff")).append(";}\n")
+    sb.append("pre.xmq_light{white-space:pre-wrap;word-break:break-all;border-radius:2px;background-color:#")
+    sb.append(hex6(theme.light(14), "ffffcc"))
+    sb.append(";border:solid 1px #888888;display:inline-block;padding:1em;color:#")
+    sb.append(hex6(theme.dark(13), "000000")).append(";}\n")
+    sb.append("body.xmq_dark {background-color:black;}\nbody.xmq_light {}\n")
+    for (i <- colorNames.indices) sb.append(htmlColor(theme.dark(i), colorNames(i)))
+    sb.append("pre.xmq_light {\n")
+    for (i <- colorNames.indices) sb.append(htmlColor(theme.light(i), colorNames(i)))
+    sb.append("pre.xmq_dark {}\n}\n")
+    sb.toString
+  }
+
+  private def htmlEscape(s: String, sb: StringBuilder): Unit = s.foreach {
+    case '&' => sb.append("&amp;")
+    case '<' => sb.append("&lt;")
+    case '>' => sb.append("&gt;")
+    case '"' => sb.append("&quot;")
+    case c => sb.append(c)
+  }
+
+  /** render-html: standalone html page, tokens wrapped in custom elements
+    * (<xmqEN>...</xmqEN>) styled by the theme css (setup_html_coloring). */
+  def renderHtml(doc: XDoc, themeSpec: String, darkModeDefault: Boolean = false): String = {
+    val darkMode =
+      if (themeSpec == null) darkModeDefault
+      else if (themeSpec.endsWith("-dark")) true
+      else if (themeSpec.endsWith("-light")) false
+      else darkModeDefault
+    val theme = install(themeSpec)
+    val body = colorizeTokens(doc,
+      tpe => tokenCommand.get(tpe).map(cmd => (s"<$cmd>", s"</$cmd>")),
+      htmlEscape)
+    val mode = if (darkMode) "xmq_dark" else "xmq_light"
+    val sb = new StringBuilder
+    sb.append("<!DOCTYPE html>\n<html>\n")
+    sb.append("<head><meta http-equiv=\"content-type\" content=\"text/html; charset=UTF-8\">")
+    sb.append("<meta name=\"viewport\" content=\"width=device-width, initial-scale=1, maximum-scale=5\"><style>")
+    sb.append(htmlStyle(theme))
+    sb.append("</style></head>")
+    sb.append(s"""<body class="$mode">""")
+    sb.append(s"""<pre class="xmq $mode">""")
+    sb.append(body)
+    sb.append("</pre>")
+    sb.append("</body>")
+    sb.append("</html>")
+    sb.append('\n')
+    sb.toString
+  }
+
+  private val Reset = "[0m"
+
+  /** generate_ansi_color, truecolor variant: ESC[0;[1;][4;]38;2;R;G;Bm. */
+  private def ansiColor(d: ColorDef): String = {
+    if (d.r < 0) return Reset
+    val sb = new StringBuilder("[0;")
+    if (d.bold) sb.append("1;")
+    if (d.underline) sb.append("4;")
+    sb.append("38;2;").append(d.r).append(';').append(d.g).append(';').append(d.b).append('m')
+    sb.toString
+  }
+
+  /** render-terminal (truecolor): ANSI-colored xmq for a dark or light
+    * terminal background (setup_terminal_coloring). */
+  def renderTerminal(doc: XDoc, themeSpec: String, darkMode: Boolean = true): String = {
+    val theme = install(themeSpec)
+    val active = if (darkMode) theme.dark else theme.light
+    val body = colorizeTokens(doc,
+      tpe => tokenCommand.get(tpe) match {
+        case Some(cmd) =>
+          val idx = colorNames.indexOf(cmd)
+          Some((ansiColor(active(idx)), ""))
+        case None => Some((Reset, ""))
+      },
+      (s, sb) => sb.append(s))
+    body + Reset + "\n"
+  }
+
+  /** shared token-stream colorizer: print the doc as xmq, re-tokenize, wrap
+    * each token with the renderer's pre/post, escape content. */
+  private def colorizeTokens(doc: XDoc,
+                             wrap: String => Option[(String, String)],
+                             escape: (String, StringBuilder) => Unit): String = {
+    val bytes = XmqEngine.toXmq(doc).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val body = new StringBuilder
+    var pos = 0
+    val sink = new TokenSink {
+      def token(tpe: String, line: Int, col: Int, start: Int, stop: Int, suffix: Int): Unit = {
+        if (start > pos)
+          escape(new String(bytes, pos, start - pos, java.nio.charset.StandardCharsets.UTF_8), body)
+        val text = new String(bytes, start, stop - start, java.nio.charset.StandardCharsets.UTF_8)
+        wrap(tpe) match {
+          case Some((pre, post)) =>
+            body.append(pre); escape(text, body); body.append(post)
+          case None => escape(text, body)
+        }
+        pos = stop
+      }
+    }
+    new XmqTokenizer(bytes, sink).tokenize()
+    if (pos < bytes.length)
+      escape(new String(bytes, pos, bytes.length - pos, java.nio.charset.StandardCharsets.UTF_8), body)
+    body.toString
+  }
+
   /** render-tex: full LaTeX document with the colorized xmq of `doc`.
     * The body re-tokenizes the engine's own byte-exact xmq print and wraps
     * each token in its theme command — the same token/color pairing the
@@ -144,30 +270,9 @@ object Theme {
     // render_to==TEX forces dark_mode=false when no spec names a mode (xmq.c:186)
     val darkMode = themeSpec != null && themeSpec.endsWith("-dark")
     val theme = install(themeSpec)
-    val xmqText = XmqEngine.toXmq(doc)
-    val bytes = xmqText.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-
-    val body = new StringBuilder
-    var pos = 0
-    val sink = new TokenSink {
-      def token(tpe: String, line: Int, col: Int, start: Int, stop: Int, suffix: Int): Unit = {
-        if (start > pos) // uncovered gap: raw passthrough (escaped)
-          texEscape(new String(bytes, pos, start - pos, java.nio.charset.StandardCharsets.UTF_8), body)
-        val text = new String(bytes, start, stop - start, java.nio.charset.StandardCharsets.UTF_8)
-        tokenCommand.get(tpe) match {
-          case Some(cmd) =>
-            body.append('\\').append(cmd).append('{')
-            texEscape(text, body)
-            body.append('}')
-          case None => texEscape(text, body)
-        }
-        pos = stop
-      }
-    }
-    new XmqTokenizer(bytes, sink).tokenize()
-    if (pos < bytes.length)
-      texEscape(new String(bytes, pos, bytes.length - pos, java.nio.charset.StandardCharsets.UTF_8), body)
-
+    val body = colorizeTokens(doc,
+      tpe => tokenCommand.get(tpe).map(cmd => (s"\\$cmd{", "}")),
+      texEscape)
     val sb = new StringBuilder
     sb.append("\\documentclass[10pt,a4paper]{article}\n\\usepackage{color}\n\\usepackage{bold-extra}\n")
     sb.append(texStyle(theme, darkMode))

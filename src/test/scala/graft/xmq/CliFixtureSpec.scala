@@ -44,6 +44,23 @@ class CliFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("render-html and render-terminal colorize the token stream") {
+    val input = "alfa(x = 1) { beta = 'hi there' }"
+    val h = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "render-html")
+    assert(h.ok, s"${h.error}")
+    assert(h.output.startsWith("<!DOCTYPE html>\n<html>\n"))
+    assert(h.output.contains("<xmqEN>alfa</xmqEN>"))
+    assert(h.output.contains("<xmqAK>x</xmqAK>"))
+    assert(h.output.contains("<xmqEKV>'hi there'</xmqEKV>"))
+    assert(h.output.contains("xmqEN{color:#a86c00;}"))  // light theme css
+    assert(h.output.contains("xmqEN{color:#ff8c00;}"))  // dark theme css
+    val t = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "render-terminal")
+    assert(t.ok, s"${t.error}")
+    assert(t.output.contains("[0;38;2;255;140;0malfa"))   // EN dark #ff8c00
+    assert(t.output.contains("[0;1;38;2;38;162;105m'hi there'")) // EKV bold #26a269
+    assert(t.output.endsWith("[0m\n"))
+  }
+
   // warning_*: START → CMDS → WARNING section = stderr warnings + stdout json
   for (p <- Fixtures.list("""warning_\d+.*\.test""")) {
     val name = p.getFileName.toString
