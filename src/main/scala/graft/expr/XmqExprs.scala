@@ -205,8 +205,8 @@ case class IxmlParse(left: Expression, right: Expression)
     val doc =
       try Earley.parse(grammar, input)
       catch {
-        case Earley.IxmlParseError(line, col, pos) =>
-          graft.xmq.ixml.Ixml.failureDoc(input, line, col, pos)
+        case Earley.IxmlParseError(at) =>
+          graft.xmq.ixml.Ixml.failureDoc(input, at)
       }
     UTF8String.fromString(XmqEngine.toXmq(doc))
   }

@@ -29,8 +29,9 @@ object Earley {
                        val marks: Array[Char],
                        val prods: Array[ArrayBuffer[Prod]], val start: Int)
 
-  final case class IxmlParseError(line: Int, col: Int, pos: Int)
-    extends Exception(s"syntax error at $line:$col")
+  /** `at` = codepoint index of the failing token (yaep err_tok_num). */
+  final case class IxmlParseError(at: Int)
+    extends Exception(s"syntax error at offset $at")
 
   def compile(g: Grammar): Compiled = {
     val names = ArrayBuffer.empty[String]
@@ -235,13 +236,8 @@ object Earley {
       p.nt == c.start && it.origin == 0 && it.dot == p.syms.length
     }
     if (!accepted) {
-      // report the furthest position a terminal matched + 1 (1-based)
-      val pos = furthest
-      var line = 1; var col = 1
-      for (x <- 0 until pos) {
-        if (input(x) == '\n') { line += 1; col = 1 } else col += 1
-      }
-      throw IxmlParseError(line, col, pos + 1)
+      // the failing token index = furthest position a terminal matched
+      throw IxmlParseError(furthest)
     }
 
     // ---- derivation extraction over the completed chart ----

@@ -19,8 +19,8 @@ object Ixml {
     val g = IxmlReader.parse(grammarText)
     try Earley.parse(g, inputText)
     catch {
-      case Earley.IxmlParseError(line, col, pos) =>
-        failureDoc(inputText, line, col, pos)
+      case Earley.IxmlParseError(at) =>
+        failureDoc(inputText, at)
     }
   }
 
@@ -47,28 +47,54 @@ object Ixml {
         doc
       }
     } catch {
-      case Earley.IxmlParseError(line, col, pos) =>
-        failureDoc(inputText, line, col, pos)
+      case Earley.IxmlParseError(at) =>
+        failureDoc(inputText, at)
     }
   }
 
-  def failureDoc(input: String, line: Int, col: Int, pos: Int): XDoc = {
+  /** The reference failure document (xmq.c:4778-4830
+    * handle_yaep_syntax_error), reproduced exactly:
+    *  - line/col from find_line_col (text.c:707) — col resets to 0 when a
+    *    newline is consumed, so on lines >= 2 the column is the 0-based
+    *    offset within the line (a faithful quirk);
+    *  - the info snippet is a raw BYTE window [at-20, at+20) of the input —
+    *    newlines included — with the caret under byte column at-start;
+    *    `at` is a codepoint index used as a byte index (faithful to the C,
+    *    which indexes char* with the yaep token number);
+    *  - pos = at + 1. */
+  def failureDoc(input: String, at: Int): XDoc = {
+    val cps = input.codePoints().toArray
+    var line = 1
+    var col = 1
+    var k = 0
+    while (k < cps.length && k < at) {
+      col += 1
+      if (cps(k) == '\n') { line += 1; col = 0 }
+      k += 1
+    }
+
+    val bytes = input.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val start = math.max(0, at - 20)
+    val stop = math.min(at + 20, bytes.length)
+    val window =
+      if (start >= bytes.length) ""
+      else new String(bytes, start, stop - start, java.nio.charset.StandardCharsets.UTF_8)
+
     val doc = new XDoc
     val root = new XElem("ixml")
     val st = new XAttr("ixml", "state")
     st.appendText("failed")
     root.attrs += st
     root.nsDefs += NsDef("ixml", "http://invisiblexml.org/NS")
-    val lineText = input.split("\n", -1).lift(line - 1).getOrElse("")
     def kv(name: String, v: String): Unit = {
       val e = new XElem(name)
       e.appendText(v)
       root.appendChild(e)
     }
-    kv("info", s"ixml:$line:$col: syntax error\n$lineText\n${" " * (col - 1)}^")
+    kv("info", s"ixml:$line:$col: syntax error\n$window\n${" " * (at - start)}^")
     kv("line", line.toString)
     kv("column", col.toString)
-    kv("pos", pos.toString)
+    kv("pos", (at + 1).toString)
     doc.appendChild(root)
     doc
   }

@@ -1,0 +1,100 @@
+package graft.xmq
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+import scala.util.Random
+
+/** Differential fuzz for the IXML engine vs the compiled reference binary:
+  * random (mostly-CSV-ish, mutated) inputs are parsed with the reference
+  * library grammars by both engines; stdout must match byte-for-byte,
+  * including parse-failure documents.
+  *
+  * usage: Test/runMain graft.xmq.IxmlFuzzTool <n-per-grammar> [seed]
+  */
+object IxmlFuzzTool {
+  private val Binary = "/tmp/refbuild/build/x86_64-pc-linux-gnu/release/xmq"
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 200
+    val seed = if (args.length > 1) args(1).toLong else 42L
+    val rnd = new Random(seed)
+
+    if (!Files.exists(Paths.get(Binary))) {
+      System.err.println(s"reference binary missing at $Binary — build per memory recipe")
+      sys.exit(2)
+    }
+
+    val grammars = Seq(
+      "csv" -> Files.readString(Paths.get("/root/reference/library/data/csv.ixml")),
+      "tsv" -> Files.readString(Paths.get("/root/reference/library/data/tsv.ixml")),
+      "scsv" -> Files.readString(Paths.get("/root/reference/library/data/scsv.ixml")),
+      "pair" -> "pair = key, -\":\", value.\nkey = ~[\":\"]+.\nvalue = [\"0\"-\"9\"]+.\n")
+
+    val tmp = Files.createTempDirectory("ixmlfuzz")
+    var total = 0
+    var mismatches = 0
+
+    def randomCell(): String = {
+      val alphabet = "abcXYZ019 _.!?'\"åäö€"
+      val len = 1 + rnd.nextInt(8)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+
+    def randomInput(sep: Char): String = {
+      val rows = 1 + rnd.nextInt(5)
+      val sb = new StringBuilder
+      for (_ <- 0 until rows) {
+        val cols = 1 + rnd.nextInt(5)
+        sb.append((0 until cols).map(_ => randomCell()).mkString(sep.toString))
+        sb.append('\n')
+      }
+      var s = sb.toString
+      // mutations: drop trailing newline / inject random char / truncate
+      rnd.nextInt(4) match {
+        case 0 => s = s.stripSuffix("\n")
+        case 1 if s.nonEmpty =>
+          val i = rnd.nextInt(s.length)
+          s = s.substring(0, i) + " ".charAt(rnd.nextInt(2)) + s.substring(i)
+        case 2 if s.length > 2 => s = s.substring(0, rnd.nextInt(s.length))
+        case _ =>
+      }
+      s
+    }
+
+    for ((name, grammar) <- grammars) {
+      val gFile = tmp.resolve(s"$name.ixml")
+      Files.writeString(gFile, grammar)
+      val sep = name match { case "tsv" => '\t'; case "scsv" => ';'; case "pair" => ':'; case _ => ',' }
+      for (i <- 0 until n) {
+        val input =
+          if (name == "pair")
+            (if (rnd.nextBoolean()) randomCell().replace(":", "") + ":" + rnd.nextInt(1000)
+             else randomCell() + ":" + randomCell())
+          else randomInput(sep)
+        total += 1
+        val inFile = tmp.resolve(s"$name-$i.inp")
+        Files.write(inFile, input.getBytes(StandardCharsets.UTF_8))
+
+        val mine =
+          try XmqEngine.toXmq(graft.xmq.ixml.Ixml.parseToDoc(grammar, input))
+          catch { case e: Exception => s"ENGINE-ERROR: $e\n" }
+
+        val pb = new ProcessBuilder(Binary, s"--ixml=$gFile", inFile.toString, "to-xmq")
+        pb.redirectErrorStream(false)
+        val proc = pb.start()
+        val ref = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+        proc.waitFor()
+
+        if (mine != ref) {
+          mismatches += 1
+          if (mismatches <= 5) {
+            System.err.println(s"=== MISMATCH $name case $i input=${TextUtil.quoteAsC(input)}")
+            System.err.println(s"--- mine:\n$mine--- ref:\n$ref")
+          }
+        }
+      }
+    }
+    println(s"ixml differential fuzz: $total cases, $mismatches mismatches")
+    if (mismatches > 0) sys.exit(1)
+  }
+}
