@@ -55,16 +55,22 @@ object Cli {
     }
   }
 
-  /** split command string honoring single-quoted segments (for --shell='...'). */
+  /** split command string honoring single-quoted segments (for --shell='...')
+    * and keeping xpath predicate brackets together (an xpath like
+    * `//a[@x="1" and @y]` is ONE argv element when the real CLI is driven
+    * from a shell). */
   private[xmq] def splitArgs(s: String): List[String] = {
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val cur = new StringBuilder
     var inQuote = false
+    var depth = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '\'') inQuote = !inQuote
-      else if (!inQuote && (c == ' ' || c == '\t' || c == '\n')) {
+      else if (!inQuote && c == '[') { depth += 1; cur.append(c) }
+      else if (!inQuote && c == ']') { depth = math.max(0, depth - 1); cur.append(c) }
+      else if (!inQuote && depth == 0 && (c == ' ' || c == '\t' || c == '\n')) {
         if (cur.nonEmpty) { out += cur.toString; cur.clear() }
       } else cur.append(c)
       i += 1

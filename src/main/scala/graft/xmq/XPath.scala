@@ -4,11 +4,16 @@ import scala.collection.mutable.ArrayBuffer
 
 /** XPath subset for the select/delete pipeline commands (the reference
   * delegates to full libxml2 xpath — /root/reference/src/main/c/xmq-cli.c:2651).
-  * Supported: `/a/b`, `//a`, `a//b`, `*`, `@attr`, `text()`, and per-step
-  * predicates `[n]`, `[last()]`, `[@k]`, `[@k='v']`, `[child='v']` with
-  * libxml2 semantics (positional predicates count within EACH parent context,
-  * so //a[2] is every parent's second `a`). `count(path)` evaluates to a
-  * number (Cli renders it "%.0f" like cmd_select's XPATH_NUMBER branch).
+  * Steps: `/a/b`, `//a`, `a//b`, `*`, `@attr`, `text()`. Predicates are a
+  * full expression language with libxml2 semantics: positions (`[n]`,
+  * `last()`, `position()`, a number result is a position test), node-set
+  * refs (`@k`, child name, `.`, `text()`) comparing existentially,
+  * `= != < <= > >=` (relationals always numeric), `and`/`or`,
+  * `contains/starts-with/not/string/number/string-length/normalize-space`.
+  * Positional predicates count within EACH parent context, so //a[2] is
+  * every parent's second `a`. `count(path)` evaluates to a number (Cli
+  * renders it "%.0f" like cmd_select's XPATH_NUMBER branch). All verified
+  * differentially against the compiled reference binary (XPathSpec).
   */
 object XPath {
 
@@ -17,11 +22,22 @@ object XPath {
   final case class AttrHit(owner: XElem, a: XAttr) extends Hit
   final case class TextHit(t: XText) extends Hit
 
+  // ---- predicate expression mini-language (libxml2 xpath 1.0 subset):
+  // values: @attr, child name, ., text(), string/number literals,
+  // position(), last(); functions: contains, starts-with, not;
+  // operators: = != < <= > >=, and, or. A whole-predicate number result is
+  // a position test, like xpath.
   sealed trait Pred
-  final case class PosPred(n: Int) extends Pred
-  case object LastPred extends Pred
-  final case class AttrPred(key: String, value: Option[String]) extends Pred
-  final case class ChildPred(name: String, value: String) extends Pred
+  final case class PStr(s: String) extends Pred
+  final case class PNum(d: Double) extends Pred
+  /** node-set reference: "@k", "name", ".", "text()" (string-values). */
+  final case class PRef(ref: String) extends Pred
+  case object PPosition extends Pred
+  case object PLast extends Pred
+  final case class PCmp(op: String, l: Pred, r: Pred) extends Pred
+  final case class PAnd(l: Pred, r: Pred) extends Pred
+  final case class POr(l: Pred, r: Pred) extends Pred
+  final case class PFn(name: String, args: Seq[Pred]) extends Pred
 
   /** one location step: element name (or "@attr"/"text()"), its predicates,
     * and whether it uses the descendant axis (preceded by //). */
@@ -65,33 +81,106 @@ object XPath {
     throw new IllegalArgumentException(s"unclosed predicate in xpath: $s")
   }
 
-  private def parsePred(p: String): Pred = {
-    if (p == "last()") return LastPred
-    if (p.forall(_.isDigit) && p.nonEmpty) return PosPred(p.toInt)
-    def unquote(v: String): String = {
-      val t = v.trim
-      if (t.length >= 2 && (t.head == '\'' || t.head == '"') && t.last == t.head)
-        t.substring(1, t.length - 1)
-      else t
+  /** recursive-descent parser for the predicate expression language. */
+  private def parsePred(p: String): Pred = new PredParser(p).parseOrExpr(top = true)
+
+  private final class PredParser(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def peek: Char = if (i < s.length) s.charAt(i) else 0
+    private def at(lit: String): Boolean = s.startsWith(lit, i)
+    private def eat(lit: String): Unit = {
+      if (!at(lit)) throw new IllegalArgumentException(s"expected '$lit' at $i in [$s]")
+      i += lit.length
     }
-    val eq = {
-      // first '=' outside quotes
-      var i = 0; var q: Char = 0; var found = -1
-      while (i < p.length && found < 0) {
-        val c = p.charAt(i)
-        if (q != 0) { if (c == q) q = 0 }
-        else if (c == '\'' || c == '"') q = c
-        else if (c == '=') found = i
+
+    def parseOrExpr(top: Boolean = false): Pred = {
+      var l = parseAndExpr()
+      ws()
+      while (at("or") && boundaryAfter(i + 2)) { i += 2; l = POr(l, parseAndExpr()); ws() }
+      if (top) { ws(); if (i < s.length) throw new IllegalArgumentException(s"trailing input in predicate [$s]") }
+      l
+    }
+
+    private def boundaryAfter(j: Int): Boolean =
+      j >= s.length || !(s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')
+
+    private def parseAndExpr(): Pred = {
+      var l = parseCmpExpr()
+      ws()
+      while (at("and") && boundaryAfter(i + 3)) { i += 3; l = PAnd(l, parseCmpExpr()); ws() }
+      l
+    }
+
+    private def parseCmpExpr(): Pred = {
+      val l = parsePrimary()
+      ws()
+      val op =
+        if (at("!=")) { i += 2; "!=" }
+        else if (at("<=")) { i += 2; "<=" }
+        else if (at(">=")) { i += 2; ">=" }
+        else if (peek == '=') { i += 1; "=" }
+        else if (peek == '<') { i += 1; "<" }
+        else if (peek == '>') { i += 1; ">" }
+        else return l
+      PCmp(op, l, parsePrimary())
+    }
+
+    private def parsePrimary(): Pred = {
+      ws()
+      val c = peek
+      if (c == '(') { i += 1; val e = parseOrExpr(); ws(); eat(")"); e }
+      else if (c == '\'' || c == '"') {
         i += 1
+        val start = i
+        while (i < s.length && s.charAt(i) != c) i += 1
+        val str = s.substring(start, i)
+        eat(c.toString)
+        PStr(str)
       }
-      found
+      else if (c.isDigit) {
+        val start = i
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        PNum(s.substring(start, i).toDouble)
+      }
+      else if (c == '@') {
+        i += 1
+        PRef("@" + parseName())
+      }
+      else if (c == '.') { i += 1; PRef(".") }
+      else {
+        val name = parseName()
+        ws()
+        if (peek == '(') {
+          i += 1; ws()
+          name match {
+            case "last" => eat(")"); PLast
+            case "position" => eat(")"); PPosition
+            case "text" => eat(")"); PRef("text()")
+            case "not" | "contains" | "starts-with" | "string-length" |
+                 "normalize-space" | "string" | "number" =>
+              val args = ArrayBuffer.empty[Pred]
+              ws()
+              if (peek != ')') {
+                args += parseOrExpr()
+                ws()
+                while (peek == ',') { i += 1; args += parseOrExpr(); ws() }
+              }
+              eat(")")
+              PFn(name, args.toSeq)
+            case other => throw new IllegalArgumentException(s"unsupported xpath function: $other()")
+          }
+        } else if (name.nonEmpty) PRef(name)
+        else throw new IllegalArgumentException(s"bad predicate at $i in [$s]")
+      }
     }
-    if (p.startsWith("@")) {
-      if (eq < 0) AttrPred(p.substring(1).trim, None)
-      else AttrPred(p.substring(1, eq).trim, Some(unquote(p.substring(eq + 1))))
-    } else if (eq > 0) {
-      ChildPred(p.substring(0, eq).trim, unquote(p.substring(eq + 1)))
-    } else throw new IllegalArgumentException(s"unsupported xpath predicate: [$p]")
+
+    private def parseName(): String = {
+      val start = i
+      while (i < s.length && (s.charAt(i).isLetterOrDigit ||
+             "_-:.".contains(s.charAt(i)) && !(s.charAt(i) == '.' && i == start))) i += 1
+      s.substring(start, i)
+    }
   }
 
   private def nameMatches(e: XElem, pat: String): Boolean =
@@ -107,14 +196,114 @@ object XPath {
     sb.toString
   }
 
-  private def holds(e: XElem, pred: Pred, pos: Int, total: Int): Boolean = pred match {
-    case PosPred(n) => pos == n
-    case LastPred => pos == total
-    case AttrPred(k, None) => e.attrs.exists(_.key == k)
-    case AttrPred(k, Some(v)) => e.attrs.exists(a => a.key == k && attrText(a) == v)
-    case ChildPred(name, v) =>
-      e.children.exists { case c: XElem => c.name == name && childText(c) == v; case _ => false }
+  // ---- predicate evaluation (xpath 1.0 value model) ----
+  private sealed trait PVal
+  private final case class VStr(s: String) extends PVal
+  private final case class VNum(d: Double) extends PVal
+  private final case class VBool(b: Boolean) extends PVal
+  /** node-set as its member string-values (enough for this subset). */
+  private final case class VSet(vals: Seq[String]) extends PVal
+
+  /** string-value of an element: ALL descendant text (libxml2
+    * xmlNodeGetContent), not just direct children. */
+  private def textValue(e: XElem): String = {
+    val sb = new StringBuilder
+    def walk(n: XNode): Unit = n match {
+      case t: XText => sb.append(t.content)
+      case el: XElem => el.children.foreach(walk)
+      case r: XEntityRef =>
+        val cp = TextUtil.decodeEntityRef(r.name)
+        if (cp > 0) sb.appendAll(Character.toChars(cp))
+      case _ =>
+    }
+    e.children.foreach(walk)
+    sb.toString
   }
+
+  private def toStr(v: PVal): String = v match {
+    case VStr(s) => s
+    case VNum(d) => if (d == d.toLong) d.toLong.toString else d.toString
+    case VBool(b) => if (b) "true" else "false"
+    case VSet(vals) => vals.headOption.getOrElse("") // string(node-set) = first
+  }
+
+  private def toNum(v: PVal): Double = v match {
+    case VNum(d) => d
+    case VStr(s) => try s.trim.toDouble catch { case _: Exception => Double.NaN }
+    case VBool(b) => if (b) 1.0 else 0.0
+    case s: VSet => toNum(VStr(toStr(s)))
+  }
+
+  private def toBool(v: PVal): Boolean = v match {
+    case VBool(b) => b
+    case VNum(d) => d != 0.0 && !d.isNaN
+    case VStr(s) => s.nonEmpty
+    case VSet(vals) => vals.nonEmpty
+  }
+
+  private def eval(e: XElem, pred: Pred, pos: Int, total: Int): PVal = pred match {
+    case PStr(s) => VStr(s)
+    case PNum(d) => VNum(d)
+    case PPosition => VNum(pos)
+    case PLast => VNum(total)
+    case PRef(".") => VSet(Seq(textValue(e)))
+    case PRef("text()") =>
+      VSet(e.children.collect { case t: XText => t.content }.toSeq)
+    case PRef(ref) if ref.startsWith("@") =>
+      val k = ref.substring(1)
+      VSet(e.attrs.filter(a => a.key == k && a.nsPrefix == null).map(attrText).toSeq)
+    case PRef(name) =>
+      VSet(e.children.collect { case c: XElem if c.name == name => textValue(c) }.toSeq)
+    case PAnd(l, r) => VBool(toBool(eval(e, l, pos, total)) && toBool(eval(e, r, pos, total)))
+    case POr(l, r) => VBool(toBool(eval(e, l, pos, total)) || toBool(eval(e, r, pos, total)))
+    case PCmp(op, l, r) => VBool(compare(op, eval(e, l, pos, total), eval(e, r, pos, total)))
+    case PFn(name, args) =>
+      val vs = args.map(a => eval(e, a, pos, total))
+      name match {
+        case "not" => VBool(!toBool(vs.head))
+        case "contains" => VBool(toStr(vs(0)).contains(toStr(vs(1))))
+        case "starts-with" => VBool(toStr(vs(0)).startsWith(toStr(vs(1))))
+        case "string" => VStr(if (vs.isEmpty) textValue(e) else toStr(vs.head))
+        case "number" => VNum(if (vs.isEmpty) toNum(VStr(textValue(e))) else toNum(vs.head))
+        case "string-length" =>
+          VNum(if (vs.isEmpty) textValue(e).length else toStr(vs.head).length)
+        case "normalize-space" =>
+          val s0 = if (vs.isEmpty) textValue(e) else toStr(vs.head)
+          VStr(s0.trim.replaceAll("\\s+", " "))
+        case other => throw new IllegalArgumentException(s"unsupported function $other")
+      }
+  }
+
+  /** xpath comparison: node-sets compare existentially; < <= > >= always
+    * numeric; = != string unless the other side is a number/boolean. */
+  private def compare(op: String, l: PVal, r: PVal): Boolean = {
+    def cmpAtom(a: PVal, b: PVal): Boolean = op match {
+      case "=" | "!=" =>
+        val eq = (a, b) match {
+          case (VNum(_), _) | (_, VNum(_)) => toNum(a) == toNum(b)
+          case (VBool(_), _) | (_, VBool(_)) => toBool(a) == toBool(b)
+          case _ => toStr(a) == toStr(b)
+        }
+        if (op == "=") eq else !eq
+      case "<" => toNum(a) < toNum(b)
+      case "<=" => toNum(a) <= toNum(b)
+      case ">" => toNum(a) > toNum(b)
+      case ">=" => toNum(a) >= toNum(b)
+    }
+    (l, r) match {
+      case (VSet(ls), VSet(rs)) => ls.exists(a => rs.exists(b => cmpAtom(VStr(a), VStr(b))))
+      case (VSet(ls), other) => ls.exists(a => cmpAtom(VStr(a), other))
+      case (other, VSet(rs)) => rs.exists(b => cmpAtom(other, VStr(b)))
+      case (a, b) => cmpAtom(a, b)
+    }
+  }
+
+  private def holds(e: XElem, pred: Pred, pos: Int, total: Int): Boolean =
+    eval(e, pred, pos, total) match {
+      // a number predicate is a position test (xpath 1.0 §2.4)
+      case VNum(d) => pos == d
+      case v => toBool(v)
+    }
 
   /** children of a context matching the step name, with predicates applied
     * positionally WITHIN this context (libxml2 semantics). */

@@ -32,24 +32,24 @@ class XPathSpec extends AnyFunSuite {
   }
 
   test("attribute predicates: existence and equality") {
-    assert(sel("//book[@cat='a']") ==
+    assert(sel("//book[@cat=\"a\"]") ==
       "book(id=3 cat=a){title=Gamma price=30}book(id=1 cat=a){title=Alpha price=10}")
-    assert(sel("//book[@cat='a'][2]") == "book(id=3 cat=a){title=Gamma price=30}")
+    assert(sel("//book[@cat=\"a\"][2]") == "book(id=3 cat=a){title=Gamma price=30}")
     assert(sel("//*[@cat]") ==
       "book(id=4 cat=c){title=Delta}book(id=3 cat=a){title=Gamma price=30}" +
       "book(id=2 cat=b){title=Beta price=20}book(id=1 cat=a){title=Alpha price=10}")
   }
 
   test("child-value predicate and last()") {
-    assert(sel("//book[title='Beta']") == "book(id=2 cat=b){title=Beta price=20}")
-    assert(sel("/root/book[price='30']/title") == "title=Gamma")
+    assert(sel("//book[title=\"Beta\"]") == "book(id=2 cat=b){title=Beta price=20}")
+    assert(sel("/root/book[price=\"30\"]/title") == "title=Gamma")
     assert(sel("//book[last()]") ==
       "book(id=5){title=Eps}book(id=3 cat=a){title=Gamma price=30}")
   }
 
   test("count() yields a number document like cmd_select's XPATH_NUMBER") {
     assert(sel("count(//book)") == "'5'")
-    assert(sel("count(//book[@cat='a'])") == "'2'")
+    assert(sel("count(//book[@cat=\"a\"])") == "'2'")
   }
 
   test("attribute steps select in reverse document order like the reference") {
@@ -85,6 +85,41 @@ class XPathSpec extends AnyFunSuite {
     assert(XmqExprsFacade.getLong(x, "/cfg/name") == 0L)    // atol on garbage
     assert(XmqExprsFacade.getDouble(x, "/cfg/rate") == 250.0) // strtod prefix
     assert(XmqExprsFacade.getString(x, "/cfg/missing") == null)
+  }
+
+  // differential: every expression runs through BOTH engines when the
+  // compiled reference binary is present (xpath values double-quoted so the
+  // same bytes reach libxml2 and our parser)
+  private val refBinary = "/tmp/refbuild/build/x86_64-pc-linux-gnu/release/xmq"
+  if (java.nio.file.Files.exists(java.nio.file.Paths.get(refBinary))) {
+    val exprs = Seq(
+      """//book[contains(title,"a")]""",
+      """//book[starts-with(title,"B")]""",
+      """//book[not(@cat)]""",
+      """//book[@id>2]""",
+      """//book[@id>=2 and @cat="a"]""",
+      """//book[@cat="a" or @cat="b"]""",
+      """//book[position()>1]""",
+      """//book[title="Beta" or price=30]""",
+      """//book[string-length(title)=4]""",
+      """//book[contains(.,"mm")]""",
+      """//*[text()="Alpha"]""",
+      """//book[@id!=2]""",
+      """count(//book[@id<4])""",
+      """//shelf/book[last()]""",
+      """//book[normalize-space(title)="Eps"]""")
+    val inFile = java.nio.file.Files.createTempFile("xpdiff", ".xml")
+    java.nio.file.Files.write(inFile, books.getBytes(StandardCharsets.UTF_8))
+    for (x <- exprs) test(s"differential vs libxml2: $x") {
+      val pb = new ProcessBuilder(refBinary, inFile.toString, "select", x, "to-xmq", "--compact")
+      val proc = pb.start()
+      val ref = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      proc.waitFor()
+      val mine = Cli.run(books.getBytes(StandardCharsets.UTF_8), "",
+        s"select $x to-xmq --compact")
+      assert(mine.ok, s"${mine.error}")
+      assert(mine.output == ref, s"\n--- ref:\n$ref--- mine:\n${mine.output}")
+    }
   }
 
   test("is_wellformed accepts valid content and rejects truncated content") {
