@@ -104,12 +104,13 @@ object XmqExprs {
     XmqEngine.toXmq(doc, compact = true)
   } catch { case _: Exception => null }
 
-  /** xslt_transform eval body: parse, transform with the compiled Templates,
-    * print in the requested format. Errors → null (libxslt: empty output). */
+  /** xslt_transform eval body: parse, transform with the task's prepared
+    * Transformer, print in the requested format. Errors → null (libxslt:
+    * empty output). */
   def xsltTransform(content: String, lang: String,
-                    templates: javax.xml.transform.Templates, to: String): String = try {
+                    transformer: javax.xml.transform.Transformer, to: String): String = try {
     val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
-    val out = Xslt.transformDoc(doc, templates)
+    val out = Xslt.transformWith(doc, transformer)
     to match {
       case "xml" => XmqEngine.toXml(out)
       case "html" => XmqEngine.toHtml(out)
@@ -121,9 +122,9 @@ object XmqExprs {
   } catch { case _: Exception => null }
 
   /** xsd_valid eval body: malformed content or any validation error → false. */
-  def xsdValid(content: String, lang: String, schema: javax.xml.validation.Schema): Boolean = try {
+  def xsdValid(content: String, lang: String, validator: javax.xml.validation.Validator): Boolean = try {
     val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
-    Xsd.validateWith(doc, schema).isEmpty
+    Xsd.validateQuick(doc, validator)
   } catch { case _: Exception => false }
 
   def convert(content: String, lang: String, to: String, compact: Boolean): String = {
@@ -233,6 +234,10 @@ case class XsltTransform(children: Seq[Expression]) extends Expression with Code
     } else null
   @transient private var lastText: String = null
   @transient private var lastTemplates: javax.xml.transform.Templates = null
+  // one Transformer per task (expression instances are per-task after
+  // deserialization): instantiation dominates per-row transform cost
+  @transient private var cachedFor: javax.xml.transform.Templates = null
+  @transient private var cachedTransformer: javax.xml.transform.Transformer = null
 
   override def eval(input: InternalRow): Any = {
     val vals = children.map(_.eval(input))
@@ -246,7 +251,12 @@ case class XsltTransform(children: Seq[Expression]) extends Expression with Code
         }
         lastTemplates
       }
-    val out = XmqExprs.xsltTransform(vals(0).toString, vals(1).toString, templates, vals(3).toString)
+    if (cachedFor ne templates) {
+      cachedTransformer = Xslt.newTransformer(templates)
+      cachedFor = templates
+    }
+    val out = XmqExprs.xsltTransform(vals(0).toString, vals(1).toString,
+      cachedTransformer, vals(3).toString)
     if (out == null) null else UTF8String.fromString(out)
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
@@ -270,6 +280,10 @@ case class XsdValid(first: Expression, second: Expression, third: Expression)
     } else null
   @transient private var lastText: String = null
   @transient private var lastSchema: javax.xml.validation.Schema = null
+  // one Validator per task: Validators are reusable (not thread-safe, but
+  // expression instances are per-task after deserialization)
+  @transient private var cachedFor: javax.xml.validation.Schema = null
+  @transient private var cachedValidator: javax.xml.validation.Validator = null
 
   override def eval(input: InternalRow): Any = {
     val c = first.eval(input)
@@ -283,7 +297,11 @@ case class XsdValid(first: Expression, second: Expression, third: Expression)
         if (lastText != text) { lastSchema = Xsd.compile(text.getBytes("UTF-8")); lastText = text }
         lastSchema
       }
-    XmqExprs.xsdValid(c.toString, l.toString, schema)
+    if (cachedFor ne schema) {
+      cachedValidator = schema.newValidator()
+      cachedFor = schema
+    }
+    XmqExprs.xsdValid(c.toString, l.toString, cachedValidator)
   }
   override protected def nullSafeEval(c: Any, l: Any, x: Any): Any =
     throw new IllegalStateException("eval overridden")

@@ -37,6 +37,15 @@ object Xsd {
   def validate(doc: XDoc, xsdBytes: Array[Byte]): Option[String] =
     validateWith(doc, compile(xsdBytes))
 
+  /** Boolean-only validation with a reusable Validator (the Catalyst
+    * expression's hot path: Validator creation dominates per-row cost;
+    * javax Validators are reusable across validate() calls). */
+  def validateQuick(doc: XDoc, validator: javax.xml.validation.Validator): Boolean =
+    try {
+      validator.validate(new StreamSource(new StringReader(XmqEngine.toXml(doc))))
+      true
+    } catch { case _: org.xml.sax.SAXException => false }
+
   def validateWith(doc: XDoc, schema: javax.xml.validation.Schema): Option[String] = {
     val validator = schema.newValidator()
     var firstError: SAXParseException = null

@@ -54,11 +54,26 @@ object Xslt {
                    templates: javax.xml.transform.Templates,
                    params: Map[String, String] = Map.empty,
                    resolveBase: String = "."): XDoc = {
-    val inXml = XmqEngine.toXml(doc)
     val transformer = templates.newTransformer()
     transformer.setErrorListener(throwingListener)
     transformer.setURIResolver(multiFormatResolver(resolveBase))
     params.foreach { case (k, v) => transformer.setParameter(k, v) }
+    transformWith(doc, transformer)
+  }
+
+  /** Prepare a reusable Transformer (one per task in the Catalyst
+    * expression: instantiation costs dominate per-row transforms). */
+  def newTransformer(templates: javax.xml.transform.Templates,
+                     resolveBase: String = "."): javax.xml.transform.Transformer = {
+    val transformer = templates.newTransformer()
+    transformer.setErrorListener(throwingListener)
+    transformer.setURIResolver(multiFormatResolver(resolveBase))
+    transformer
+  }
+
+  /** Transform with a prepared Transformer (no per-row parameters). */
+  def transformWith(doc: XDoc, transformer: javax.xml.transform.Transformer): XDoc = {
+    val inXml = XmqEngine.toXml(doc)
 
     // A Document node cannot hold top-level text (xsl:output method=text,
     // or fragments with mixed top-level content) — collect into a fragment.
