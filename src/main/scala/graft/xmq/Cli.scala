@@ -148,8 +148,15 @@ object Cli {
         exec(rest)
       case "tokenize" :: rest =>
         val (opts, more) = rest.span(_.startsWith("--"))
+        val themeSpec = opts.find(_.startsWith("--theme="))
+          .map(_.substring(8)).orElse(env.get("XMQ_THEME")).orNull
         if (opts.contains("--type=debugtokens")) output = Xmq.debugTokens(input)
         else if (opts.contains("--type=debugcontent")) output = Xmq.debugContent(input)
+        else opts.find(_.startsWith("--type=")).map(_.substring(7)).foreach {
+          case t @ ("tex" | "html" | "terminal") =>
+            output = Theme.colorizeRaw(input, t, themeSpec)
+          case _ =>
+        }
         exec(more)
       case "replace" :: spec :: rest =>
         // replace <xpath>=<value>: set content of first match (xmq-cli.c:3095)

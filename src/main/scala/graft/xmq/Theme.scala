@@ -235,12 +235,36 @@ object Theme {
     body + Reset + "\n"
   }
 
+  /** tokenize --type=tex/html/terminal: colorize the RAW input token stream
+    * (the reference's xmqSetupParseCallbacksColorizeTokens path — no
+    * document/style wrapper, just the colored tokens). */
+  def colorizeRaw(bytes: Array[Byte], mode: String, themeSpec: String): String = {
+    val theme = install(themeSpec)
+    mode match {
+      case "tex" =>
+        colorizeBytes(bytes, tpe => tokenCommand.get(tpe).map(cmd => (s"\\$cmd{", "}")), texEscape)
+      case "html" =>
+        colorizeBytes(bytes, tpe => tokenCommand.get(tpe).map(cmd => (s"<$cmd>", s"</$cmd>")), htmlEscape)
+      case "terminal" =>
+        colorizeBytes(bytes, tpe => tokenCommand.get(tpe) match {
+          case Some(cmd) => Some((ansiColor(theme.dark(colorNames.indexOf(cmd))), ""))
+          case None => Some((Reset, ""))
+        }, (s, sb) => sb.append(s)) + Reset
+      case other => throw new IllegalArgumentException(s"unknown tokenize type $other")
+    }
+  }
+
   /** shared token-stream colorizer: print the doc as xmq, re-tokenize, wrap
     * each token with the renderer's pre/post, escape content. */
   private def colorizeTokens(doc: XDoc,
                              wrap: String => Option[(String, String)],
-                             escape: (String, StringBuilder) => Unit): String = {
-    val bytes = XmqEngine.toXmq(doc).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+                             escape: (String, StringBuilder) => Unit): String =
+    colorizeBytes(XmqEngine.toXmq(doc).getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      wrap, escape)
+
+  private def colorizeBytes(bytes: Array[Byte],
+                            wrap: String => Option[(String, String)],
+                            escape: (String, StringBuilder) => Unit): String = {
     val body = new StringBuilder
     var pos = 0
     val sink = new TokenSink {

@@ -61,6 +61,16 @@ class CliFixtureSpec extends AnyFunSuite {
     assert(t.output.endsWith("[0m\n"))
   }
 
+  test("tokenize --type=tex/html/terminal colorize the raw input") {
+    val input = "alfa(x = 1)"
+    val tex = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "tokenize --type=tex")
+    assert(tex.ok && tex.output == "\\xmqEN{alfa}(\\xmqAK{x} = \\xmqAKV{1})", tex.output)
+    val html = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "tokenize --type=html")
+    assert(html.ok && html.output == "<xmqEN>alfa</xmqEN>(<xmqAK>x</xmqAK> = <xmqAKV>1</xmqAKV>)", html.output)
+    val term = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "tokenize --type=terminal")
+    assert(term.ok && term.output.contains("[0;38;2;255;140;0malfa"), term.output)
+  }
+
   // warning_*: START → CMDS → WARNING section = stderr warnings + stdout json
   for (p <- Fixtures.list("""warning_\d+.*\.test""")) {
     val name = p.getFileName.toString
