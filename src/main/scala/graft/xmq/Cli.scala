@@ -21,6 +21,8 @@ object Cli {
     var nomerge = false
     var root: String = null
     var lines = false
+    var ixmlGrammar: String = null
+    var ixmlAllParses = false
 
     args.trim.split("\\s+").filter(_.nonEmpty).foreach {
       case "--html" | "--htmq" => forced = Xmq.HTML
@@ -32,6 +34,17 @@ object Cli {
       case "--lines" => lines = true
       case a if a.startsWith("--trim=") => trim = a.substring(7)
       case a if a.startsWith("--root=") => root = a.substring(7)
+      case "--ixml-all-parses" => ixmlAllParses = true
+      case a if a.startsWith("--ixml=") =>
+        // xmq --ixml=grammar.ixml: the input is parsed with the iXML grammar
+        // instead of format detection (xmq-cli.c:2296, ixml:name resolves
+        // from the library dir relative to base)
+        val spec = a.substring(7)
+        val p0 =
+          if (spec.startsWith("ixml:")) "library/" + spec.substring(5) + ".ixml"
+          else spec
+        ixmlGrammar = new String(java.nio.file.Files.readAllBytes(resolve(base, p0)),
+          StandardCharsets.UTF_8)
       case _ => // unsupported load flag: ignore
     }
     val flags = XmqEngine.ParseFlags(forced, trim, nomerge, root)
@@ -46,6 +59,12 @@ object Cli {
           runOne(line.getBytes(StandardCharsets.UTF_8), flags, cmds, base, env)
         }
         Result(outs.mkString(""), ok = true)
+      } else if (ixmlGrammar != null) {
+        val text = new String(Xmq.stripBom(input), StandardCharsets.UTF_8)
+        val doc =
+          if (ixmlAllParses) graft.xmq.ixml.Ixml.parseAllToDoc(ixmlGrammar, text)
+          else graft.xmq.ixml.Ixml.parseToDoc(ixmlGrammar, text)
+        Result(runDoc(doc, input, flags, cmds, base, env), ok = true)
       } else {
         Result(runOne(input, flags, cmds, base, env), ok = true)
       }
@@ -80,8 +99,14 @@ object Cli {
   }
 
   private def runOne(input: Array[Byte], flags: XmqEngine.ParseFlags, cmds: String, base: String,
-                     env: Map[String, String]): String = {
-    var doc = XmqEngine.parse(input, flags)
+                     env: Map[String, String]): String =
+    runDoc(XmqEngine.parse(input, flags), input, flags, cmds, base, env)
+
+  /** the command pipeline over an already-built document (normal parse or
+    * --ixml grammar parse). */
+  private def runDoc(doc0: XDoc, input: Array[Byte], flags: XmqEngine.ParseFlags,
+                     cmds: String, base: String, env: Map[String, String]): String = {
+    var doc = doc0
     var output: String = null
     val toks = {
       val t = splitArgs(cmds)

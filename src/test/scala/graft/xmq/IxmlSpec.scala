@@ -66,20 +66,28 @@ class IxmlSpec extends AnyFunSuite {
     }
   }
 
-  // xmqixml_*: parse xmq text via the reference's own xmq-in-ixml grammar
+  // xmqixml_*: parse xmq text via the reference's own xmq-in-ixml grammar,
+  // through the CLI's --ixml load flag exactly like the harness
   // (test_xmqixml_format.sh: --ixml=library/core/xmq.ixml <input> to-xmq)
   private val xmqGrammarPath = Paths.get("/root/reference/library/core/xmq.ixml")
   for (p <- Fixtures.list("""xmqixml_\d+.*\.test""") if Files.exists(xmqGrammarPath)) {
     val name = p.getFileName.toString
     test(s"ixml $name") {
       val content = Fixtures.read(p)
-      val grammar = Files.readString(xmqGrammarPath)
       val input = Fixtures.section(content, "START", "IXML")
       val expected = Fixtures.section(content, "IXML", "END")
-      val doc = Ixml.parseToDoc(grammar, input)
-      val out = XmqEngine.toXmq(doc)
-      assert(out == expected, s"\n--- expected:\n$expected--- got:\n$out")
+      val r = Cli.run(input.getBytes("UTF-8"), "--ixml=library/core/xmq.ixml",
+        "to-xmq", base = "/root/reference")
+      assert(r.ok, s"${r.error}")
+      assert(r.output == expected, s"\n--- expected:\n$expected--- got:\n${r.output}")
     }
+  }
+
+  test("ixml:name grammar library resolution (--ixml=ixml:data/csv)") {
+    val r = Cli.run("1,2\n".getBytes("UTF-8"), "--ixml=ixml:data/csv",
+      "to-xmq --compact", base = "/root/reference")
+    assert(r.ok, s"${r.error}")
+    assert(r.output == "table{tr{td=1 td=2}}\n", r.output)
   }
 
   // ixml_not_* fixtures: START grammar, INPUT, OUTPUT (success or failure doc)
