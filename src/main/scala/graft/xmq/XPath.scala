@@ -434,16 +434,28 @@ object XPath {
       case _ =>
     }
     val out = new XDoc
-    // cmd_select copies matches in REVERSE order and appends, so the output
-    // doc is reverse document order (xmq-cli.c:2692 "Copy and unlink in
-    // reverse order"; verified vs the binary)
+    // cmd_select copies matches in REVERSE order and UNLINKS each from the
+    // source tree (xmq-cli.c:2692 "Copy and unlink in reverse order"), so
+    // the output doc is reverse document order AND a nested match is absent
+    // from its later-copied ancestors (differentially fuzz-verified).
     matches(doc, path).reverse.foreach {
-      case ElemHit(e) => out.appendChild(deepCopy(e))
-      case TextHit(t) => out.appendChild(new XText(t.content))
-      case AttrHit(_, a) =>
+      case ElemHit(e) =>
+        out.appendChild(deepCopy(e))
+        val list = if (e.parent == null) doc.children else e.parent.children
+        val idx = list.indexWhere(_ eq e)
+        if (idx >= 0) list.remove(idx)
+      case TextHit(t) =>
+        out.appendChild(new XText(t.content))
+        if (t.parent != null) {
+          val idx = t.parent.children.indexWhere(_ eq t)
+          if (idx >= 0) t.parent.children.remove(idx)
+        }
+      case AttrHit(owner, a) =>
         val w = new XElem(a.key)
         w.appendChild(new XText(a.stringValue))
         out.appendChild(w)
+        val idx = owner.attrs.indexWhere(_ eq a)
+        if (idx >= 0) owner.attrs.remove(idx)
     }
     out
   }
