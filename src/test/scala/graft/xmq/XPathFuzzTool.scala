@@ -77,26 +77,26 @@ object XPathFuzzTool {
 
     val tmp = Files.createTempDirectory("xpfuzz")
     var mismatches = 0
-    for (i <- 0 until n) {
+    for (i <- 0 until n; cmd <- Seq("select", "delete")) {
       val doc = randomDoc()
       val xpath = randomPath()
-      val f = tmp.resolve(s"d$i.xml")
+      val f = tmp.resolve(s"d$i-$cmd.xml")
       Files.write(f, doc.getBytes(StandardCharsets.UTF_8))
-      val pb = new ProcessBuilder(Binary, f.toString, "select", xpath, "to-xmq", "--compact")
+      val pb = new ProcessBuilder(Binary, f.toString, cmd, xpath, "to-xmq", "--compact")
       val proc = pb.start()
       val ref = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
       proc.waitFor()
-      val mine = Cli.run(doc.getBytes(StandardCharsets.UTF_8), "", s"select $xpath to-xmq --compact")
+      val mine = Cli.run(doc.getBytes(StandardCharsets.UTF_8), "", s"$cmd $xpath to-xmq --compact")
       val got = if (mine.ok) mine.output else s"ENGINE-ERROR: ${mine.error}\n"
       if (got != ref) {
         mismatches += 1
         if (mismatches <= 8) {
-          System.err.println(s"=== MISMATCH case $i xpath=$xpath doc=$doc")
+          System.err.println(s"=== MISMATCH case $i cmd=$cmd xpath=$xpath doc=$doc")
           System.err.println(s"--- mine:\n$got--- ref:\n$ref")
         }
       }
     }
-    println(s"xpath differential fuzz: $n cases, $mismatches mismatches")
+    println(s"xpath differential fuzz: ${2 * n} cases (select+delete), $mismatches mismatches")
     if (mismatches > 0) sys.exit(1)
   }
 }
