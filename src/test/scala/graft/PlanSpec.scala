@@ -63,6 +63,19 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q27/q28/q29 are map-only over the scan — the single shuffle is the output sort/agg") {
+    // per-row ixml/xslt/xsd expressions must stay embarrassingly parallel:
+    // scan → project → (one exchange for the final sort or aggregate), no
+    // joins, no cartesian products, no extra exchanges
+    for (q <- Seq("q27_ixml_parse", "q28_xslt_extract", "q29_xsd_validate")) {
+      val p = planOf(q)
+      assert(!p.contains("Join"), s"$q unexpectedly joins:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q cartesian:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 2, s"$q has $exchanges exchanges (expected <=2 for sort/agg):\n$p")
+    }
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString
