@@ -347,10 +347,67 @@ object Earley {
       doc
     }
 
+    // ---- ambiguity detection (capped derivation count, memoized):
+    // yaep sets ambiguous_p when the forest has >1 derivation, even when
+    // two derivations serialize identically; the reference then marks the
+    // root with state="ambiguous" + xmlns:ixml (xmq.c:5154-5167).
+    def countAmbiguous(): Boolean = {
+      val memo = HashMap.empty[(Int, Int, Int, Int), Int] // (pid, si, from, to) -> 0|1|2(≥2)
+      val ntMemo = HashMap.empty[(Int, Int, Int), Int]
+      def cap(x: Int): Int = if (x >= 2) 2 else x
+      def countSeq(pid: Int, si: Int, from: Int, to: Int): Int =
+        memo.getOrElseUpdate((pid, si, from, to), {
+          val syms = allProds(pid).syms
+          if (si == syms.length) { if (from == to) 1 else 0 }
+          else syms(si) match {
+            case Term(pred, _, _) =>
+              if (from < to && pred(input(from))) countSeq(pid, si + 1, from + 1, to) else 0
+            case Ins(_) => countSeq(pid, si + 1, from, to)
+            case Neg(check, _) =>
+              if (check(input, from)) countSeq(pid, si + 1, from, to) else 0
+            case NtRef(id, _) =>
+              var total = 0
+              val ends = comp.getOrElse((id, from), HashSet.empty)
+              val eit = ends.iterator
+              while (total < 2 && eit.hasNext) {
+                val mid = eit.next()
+                if (mid <= to)
+                  total = cap(total + countNt(id, from, mid) * countSeq(pid, si + 1, mid, to))
+              }
+              total
+          }
+        })
+      def countNt(nt: Int, from: Int, to: Int): Int =
+        ntMemo.get((nt, from, to)) match {
+          case Some(v) => v
+          case None =>
+            ntMemo((nt, from, to)) = 0 // cycle guard (left recursion)
+            var total = 0
+            val pids = compProd.getOrElse((nt, from, to), ArrayBuffer.empty)
+            val pit = pids.iterator
+            while (total < 2 && pit.hasNext) total = cap(total + countSeq(pit.next(), 0, from, to))
+            ntMemo((nt, from, to)) = total
+            total
+        }
+      countNt(c.start, 0, n) >= 2
+    }
+
     if (!all) {
       val rootNode = deriveNt(c.start, 0, n, 0)
         .getOrElse(throw new IllegalStateException("accepted but no derivation"))
-      return Seq(buildDoc(rootNode))
+      val doc = buildDoc(rootNode)
+      if (countAmbiguous()) {
+        doc.root match {
+          case null =>
+          case root =>
+            val a = new XAttr(null, "state")
+            a.appendText("ambiguous")
+            root.attrs += a
+            if (!root.nsDefs.exists(_.prefix == "ixml"))
+              root.nsDefs += NsDef("ixml", "http://invisiblexml.org/NS")
+        }
+      }
+      return Seq(doc)
     }
 
     // ---- all-parses enumeration (longest sub-spans first, production order) ----

@@ -28,7 +28,10 @@ object IxmlFuzzTool {
       "csv" -> Files.readString(Paths.get("/root/reference/library/data/csv.ixml")),
       "tsv" -> Files.readString(Paths.get("/root/reference/library/data/tsv.ixml")),
       "scsv" -> Files.readString(Paths.get("/root/reference/library/data/scsv.ixml")),
-      "pair" -> "pair = key, -\":\", value.\nkey = ~[\":\"]+.\nvalue = [\"0\"-\"9\"]+.\n")
+      "pair" -> "pair = key, -\":\", value.\nkey = ~[\":\"]+.\nvalue = [\"0\"-\"9\"]+.\n",
+      // the richest grammar in the library: xmq described in ixml — deep
+      // Earley recursion, comments, quotes, entities, and failure positions
+      "xmq" -> Files.readString(Paths.get("/root/reference/library/core/xmq.ixml")))
 
     val tmp = Files.createTempDirectory("ixmlfuzz")
     var total = 0
@@ -61,6 +64,35 @@ object IxmlFuzzTool {
       s
     }
 
+    // xmq-ish snippets: mostly valid, mutations make some fail mid-scan
+    def randomXmq(): String = {
+      val names = Array("alfa", "beta", "g1", "x")
+      val sb = new StringBuilder
+      def node(depth: Int): Unit = rnd.nextInt(6) match {
+        case 0 => sb.append(names(rnd.nextInt(names.length)))
+        case 1 => sb.append(names(rnd.nextInt(names.length))).append(" = ")
+          .append(if (rnd.nextBoolean()) "v" + rnd.nextInt(9) else "'q v'")
+        case 2 => sb.append("// c").append(rnd.nextInt(9)).append('\n')
+        case 3 => sb.append("/* m").append(rnd.nextInt(9)).append(" */")
+        case 4 if depth < 2 =>
+          sb.append(names(rnd.nextInt(names.length)))
+          if (rnd.nextBoolean()) sb.append("(k = ").append(rnd.nextInt(9)).append(')')
+          sb.append(" { ")
+          val k = 1 + rnd.nextInt(2)
+          for (_ <- 0 until k) { node(depth + 1); sb.append(' ') }
+          sb.append('}')
+        case _ => sb.append('&').append("nbsp").append(';')
+      }
+      node(0)
+      var s = sb.toString
+      rnd.nextInt(4) match {
+        case 0 if s.length > 2 => s = s.substring(0, rnd.nextInt(s.length)) // truncate
+        case 1 => val i = rnd.nextInt(s.length + 1); s = s.substring(0, i) + "ä" + s.substring(i)
+        case _ =>
+      }
+      s
+    }
+
     for ((name, grammar) <- grammars) {
       val gFile = tmp.resolve(s"$name.ixml")
       Files.writeString(gFile, grammar)
@@ -70,6 +102,7 @@ object IxmlFuzzTool {
           if (name == "pair")
             (if (rnd.nextBoolean()) randomCell().replace(":", "") + ":" + rnd.nextInt(1000)
              else randomCell() + ":" + randomCell())
+          else if (name == "xmq") randomXmq()
           else randomInput(sep)
         total += 1
         val inFile = tmp.resolve(s"$name-$i.inp")
