@@ -31,7 +31,9 @@ object Xslt {
   /** Compile a stylesheet (any engine format) into a shareable, thread-safe
     * Templates — the per-task cache unit for the Catalyst expression. */
   def compile(stylesheet: Array[Byte], resolveBase: String = "."): javax.xml.transform.Templates = {
-    val ssDoc = XmqEngine.parse(stylesheet)
+    // the reference loads stylesheets TRIM_NONE (xmq-cli.c:4329-4368) —
+    // default trim would strip whitespace-only text like <xsl:text>&#10;</...>
+    val ssDoc = XmqEngine.parse(stylesheet, XmqEngine.ParseFlags(trim = "none"))
     protectPreservedWhitespace(ssDoc)
     val ssXml = XmqEngine.toXml(ssDoc)
     val factory = TransformerFactory.newInstance()
@@ -75,33 +77,19 @@ object Xslt {
   def transformWith(doc: XDoc, transformer: javax.xml.transform.Transformer): XDoc = {
     val inXml = XmqEngine.toXml(doc)
 
-    // A Document node cannot hold top-level text (xsl:output method=text,
-    // or fragments with mixed top-level content) — collect into a fragment.
-    val ownerDoc = javax.xml.parsers.DocumentBuilderFactory.newInstance()
-      .newDocumentBuilder().newDocument()
-    val result = new DOMResult(ownerDoc.createDocumentFragment())
+    // Build the engine tree straight from SAX events: XSLTC's own SAX2DOM
+    // silently drops top-level text nodes (pure method=text results AND
+    // text siblings after result elements — differentially fuzz-verified),
+    // so a DOMResult is not faithful to what libxslt produces.
+    val handler = new SaxDocBuilder
+    val result = new javax.xml.transform.sax.SAXResult(handler)
+    result.setLexicalHandler(handler)
     try transformer.transform(new StreamSource(new StringReader(inXml)), result)
     catch {
       case e: TransformerException => throw new XsltError(e.getMessage, e)
       case e: RuntimeException => throw new XsltError(e.getMessage, e)
     }
-
-    var out = fromDom(result.getNode)
-    if (out.children.isEmpty) {
-      // XSLTC's DOM builder drops results with no element at all (pure
-      // xsl:output method=text / top-level value-of) — recover the text via
-      // the serializer.
-      val sw = new java.io.StringWriter
-      transformer.setOutputProperty(OutputKeys.OMIT_XML_DECLARATION, "yes")
-      try transformer.transform(
-        new StreamSource(new StringReader(inXml)),
-        new javax.xml.transform.stream.StreamResult(sw))
-      catch { case e: TransformerException => throw new XsltError(e.getMessage, e) }
-      if (sw.toString.nonEmpty) {
-        out = new XDoc
-        out.appendChild(new XText(sw.toString))
-      }
-    }
+    val out = handler.doc
     // xsl:output doctype-system/doctype-public → !DOCTYPE node (libxslt
     // emits it in front of the serialized result; xmq shows it as !DOCTYPE).
     val sys = transformer.getOutputProperty(OutputKeys.DOCTYPE_SYSTEM)
@@ -179,75 +167,103 @@ object Xslt {
     override def fatalError(e: TransformerException): Unit = throw e
   }
 
-  /** Convert an org.w3c.dom result tree into the engine's XDoc model. */
-  def fromDom(node: org.w3c.dom.Node): XDoc = {
-    import org.w3c.dom.Node._
+  /** SAX ContentHandler+LexicalHandler building the engine tree directly
+    * from the transformer's event stream (faithful: every characters() event
+    * lands in the doc, unlike XSLTC's SAX2DOM). Redundant re-declarations of
+    * in-scope namespaces are dropped, as before. */
+  private final class SaxDocBuilder extends org.xml.sax.helpers.DefaultHandler
+      with org.xml.sax.ext.LexicalHandler {
     val doc = new XDoc
+    private var stack = List.empty[XElem]
+    private var pendingNs = List.empty[(String, String)] // (prefix "", uri)
+    private var scopes = List(Map.empty[String, String])
 
-    def convertElem(e: org.w3c.dom.Element, inScope: Map[String, String]): XElem = {
-      val out = new XElem(localName(e), prefixOf(e))
-      var scope = inScope
-      val atts = e.getAttributes
+    override def startPrefixMapping(prefix: String, uri: String): Unit =
+      pendingNs ::= (prefix, uri)
+
+    override def startElement(uri: String, localName: String, qName: String,
+                              atts: org.xml.sax.Attributes): Unit = {
+      val prefix = qName.indexOf(':') match {
+        case -1 => null
+        case i => qName.substring(0, i)
+      }
+      val name = if (localName != null && localName.nonEmpty) localName else qName
+      val e = new XElem(name, prefix)
+      var scope = scopes.head
+      pendingNs.reverse.foreach { case (p, u) =>
+        if (scope.getOrElse(p, "") != u) {
+          e.nsDefs += NsDef(if (p.isEmpty) null else p, u)
+          scope = scope.updated(p, u)
+        }
+      }
+      pendingNs = Nil
       var i = 0
       while (i < atts.getLength) {
-        val a = atts.item(i).asInstanceOf[org.w3c.dom.Attr]
-        val ns = a.getNamespaceURI
-        if (ns == "http://www.w3.org/2000/xmlns/" || a.getNodeName == "xmlns" ||
-            a.getNodeName.startsWith("xmlns:")) {
-          // XSLTC re-declares in-scope (and empty-default) namespaces on every
-          // literal-result element; keep only declarations that change scope.
-          val prefix = if (a.getNodeName == "xmlns") null else a.getNodeName.substring(6)
-          val key = if (prefix == null) "" else prefix
-          if (scope.getOrElse(key, "") != a.getValue) {
-            out.nsDefs += NsDef(prefix, a.getValue)
-            scope = scope.updated(key, a.getValue)
+        val aq = atts.getQName(i)
+        if (aq != "xmlns" && !aq.startsWith("xmlns:")) {
+          val ap = aq.indexOf(':') match {
+            case -1 => null
+            case j => aq.substring(0, j)
           }
-        } else {
-          val xa = new XAttr(prefixOf(a), localName(a))
-          xa.appendText(a.getValue)
-          out.attrs += xa
+          val al = atts.getLocalName(i)
+          val xa = new XAttr(ap, if (al != null && al.nonEmpty) al else aq)
+          xa.appendText(atts.getValue(i))
+          e.attrs += xa
         }
         i += 1
       }
-      var c = e.getFirstChild
-      while (c != null) {
-        convertInto(c, scope, n => out.appendChild(n), s => out.appendText(s))
-        c = c.getNextSibling
+      stack.headOption match {
+        case Some(parent) => parent.appendChild(e)
+        case None => doc.appendChild(e)
       }
-      out
+      stack ::= e
+      scopes ::= scope
     }
 
-    def convertInto(n: org.w3c.dom.Node, scope: Map[String, String],
-                    add: XNode => Unit, addText: String => Unit): Unit =
-      n.getNodeType match {
-        case ELEMENT_NODE => add(convertElem(n.asInstanceOf[org.w3c.dom.Element], scope))
-        case TEXT_NODE | CDATA_SECTION_NODE => addText(n.getNodeValue)
-        case COMMENT_NODE => add(new XComment(n.getNodeValue))
-        case PROCESSING_INSTRUCTION_NODE => add(new XPi(n.getNodeName, n.getNodeValue))
-        case _ => // doctype handled separately; ignore the rest
-      }
+    override def endElement(uri: String, localName: String, qName: String): Unit = {
+      stack = stack.tail
+      scopes = scopes.tail
+    }
 
-    var c = node.getFirstChild
-    val pendingText = new StringBuilder
-    def flushText(): Unit = if (pendingText.nonEmpty) {
-      doc.appendChild(new XText(pendingText.toString)); pendingText.clear()
-    }
-    while (c != null) {
-      c.getNodeType match {
-        case TEXT_NODE | CDATA_SECTION_NODE => pendingText.append(c.getNodeValue)
-        case _ =>
-          flushText()
-          convertInto(c, Map.empty, n => doc.appendChild(n), s => doc.appendChild(new XText(s)))
+    override def characters(ch: Array[Char], start: Int, length: Int): Unit = {
+      val s = new String(ch, start, length)
+      stack.headOption match {
+        case Some(parent) => parent.appendText(s)
+        case None =>
+          doc.children.lastOption match {
+            case Some(t: XText) => t.content += s
+            case _ => doc.appendChild(new XText(s))
+          }
       }
-      c = c.getNextSibling
     }
-    flushText()
-    doc
+
+    // whitespace-only result text arrives as ignorableWhitespace — it is
+    // real output (xsl:text newlines in method=text)
+    override def ignorableWhitespace(ch: Array[Char], start: Int, length: Int): Unit =
+      characters(ch, start, length)
+
+    override def processingInstruction(target: String, data: String): Unit = {
+      val pi = new XPi(target, data)
+      stack.headOption match {
+        case Some(parent) => parent.appendChild(pi)
+        case None => doc.appendChild(pi)
+      }
+    }
+
+    override def comment(ch: Array[Char], start: Int, length: Int): Unit = {
+      val cm = new XComment(new String(ch, start, length))
+      stack.headOption match {
+        case Some(parent) => parent.appendChild(cm)
+        case None => doc.appendChild(cm)
+      }
+    }
+
+    // LexicalHandler no-ops
+    override def startDTD(name: String, publicId: String, systemId: String): Unit = ()
+    override def endDTD(): Unit = ()
+    override def startEntity(name: String): Unit = ()
+    override def endEntity(name: String): Unit = ()
+    override def startCDATA(): Unit = ()
+    override def endCDATA(): Unit = ()
   }
-
-  private def localName(n: org.w3c.dom.Node): String = {
-    val l = n.getLocalName
-    if (l != null) l else n.getNodeName
-  }
-  private def prefixOf(n: org.w3c.dom.Node): String = n.getPrefix
 }
