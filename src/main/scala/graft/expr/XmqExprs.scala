@@ -56,20 +56,33 @@ object XmqExprs {
     }.orNull
   } catch { case _: Exception => null }
 
-  /** C strtol/atol semantics of xmqGetLong (xmq.c:4319): "0x" → hex,
-    * leading "0" → octal, else leading decimal digits; 0 when absent. */
-  def parseLongC(s: String): Long = try {
-    val t = s.trim
-    if (t.startsWith("0x") || t.startsWith("0X"))
-      java.lang.Long.parseLong(t.drop(2).takeWhile(c => Character.digit(c, 16) >= 0), 16)
-    else if (t.length > 1 && t.head == '0' && t.forall(_.isDigit))
-      java.lang.Long.parseLong(t.takeWhile(c => c >= '0' && c <= '7'), 8)
+  /** C strtol/atol semantics of xmqGetLong (xmq.c:4319). The reference
+    * branches on the raw first bytes (no leading-whitespace skip):
+    * content[0]=='0' && content[1]=='x' → strtol base 16; content[0]=='0'
+    * → strtol base 8 (trailing garbage stops the scan, "017abc" → 15);
+    * otherwise atol (whitespace skip, optional sign, decimal prefix).
+    * Overflow clamps like strtol. 0 when no digits. */
+  def parseLongC(s: String): Long = {
+    def clamped(digits: String, radix: Int, neg: Boolean): Long =
+      if (digits.isEmpty) 0L
+      else try {
+        val v = java.lang.Long.parseLong(digits, radix)
+        if (neg) -v else v
+      } catch {
+        case _: NumberFormatException => if (neg) Long.MinValue else Long.MaxValue
+      }
+    if (s == null || s.isEmpty) 0L
+    else if (s.length >= 2 && s.charAt(0) == '0' && s.charAt(1) == 'x')
+      clamped(s.drop(2).takeWhile(c => Character.digit(c, 16) >= 0), 16, neg = false)
+    else if (s.charAt(0) == '0')
+      clamped(s.drop(1).takeWhile(c => c >= '0' && c <= '7'), 8, neg = false)
     else {
+      val t = s.dropWhile(c => c == ' ' || (c >= '\t' && c <= '\r'))
       val neg = t.startsWith("-")
-      val digits = t.dropWhile(c => c == '-' || c == '+').takeWhile(_.isDigit)
-      if (digits.isEmpty) 0L else (if (neg) -1L else 1L) * digits.toLong
+      val rest = if (t.startsWith("-") || t.startsWith("+")) t.drop(1) else t
+      clamped(rest.takeWhile(c => c >= '0' && c <= '9'), 10, neg)
     }
-  } catch { case _: Exception => 0L }
+  }
 
   def getLong(content: String, lang: String, path: String): Long = {
     val s = getString(content, lang, path)
@@ -360,8 +373,14 @@ case class XmqGetLong(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override protected def nullSafeEval(c: Any, l: Any, p: Any): Any =
-    XmqExprs.getLong(c.toString, l.toString, p.toString)
+  // xmqGetLong returns 0 for a missing document/xpath, so a null input row
+  // maps to 0L rather than TernaryExpression's default null (which would
+  // contradict nullable=false and NPE in UnsafeProjection).
+  override def eval(input: InternalRow): Any = {
+    val c = first.eval(input); val l = second.eval(input); val p = third.eval(input)
+    if (c == null || l == null || p == null) 0L
+    else XmqExprs.getLong(c.toString, l.toString, p.toString)
+  }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "xmq_get_long"
@@ -372,8 +391,12 @@ case class XmqGetDouble(first: Expression, second: Expression, third: Expression
   extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = false
-  override protected def nullSafeEval(c: Any, l: Any, p: Any): Any =
-    XmqExprs.getDouble(c.toString, l.toString, p.toString)
+  // null inputs → 0.0 (missing content yields 0 in the reference API).
+  override def eval(input: InternalRow): Any = {
+    val c = first.eval(input); val l = second.eval(input); val p = third.eval(input)
+    if (c == null || l == null || p == null) 0.0
+    else XmqExprs.getDouble(c.toString, l.toString, p.toString)
+  }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "xmq_get_double"
@@ -385,8 +408,12 @@ case class XmqCount(first: Expression, second: Expression, third: Expression)
   extends TernaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override protected def nullSafeEval(c: Any, l: Any, p: Any): Any =
-    XmqExprs.countMatches(c.toString, l.toString, p.toString)
+  // null inputs → 0 matches (mirrors XmqWellformed's null handling).
+  override def eval(input: InternalRow): Any = {
+    val c = first.eval(input); val l = second.eval(input); val p = third.eval(input)
+    if (c == null || l == null || p == null) 0L
+    else XmqExprs.countMatches(c.toString, l.toString, p.toString)
+  }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "xmq_count"

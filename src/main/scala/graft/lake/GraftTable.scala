@@ -114,7 +114,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val shards = manifestShards(s)
     val adds = shards.filter(_.kind == "add").map(sh => Paths.get(location, sh.path).toString)
     val removes = shards.filter(_.kind == "remove").map(sh => Paths.get(location, sh.path).toString)
-    val addDf = spark.read.parquet(adds: _*)
+    // a snapshot may legitimately have zero add shards (e.g. merge of an
+    // empty source into an empty table) — parquet can't infer a schema from
+    // zero paths, so materialize the empty manifest explicitly
+    val addDf =
+      if (adds.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.Encoders.product[ManifestEntry].schema)
+      else spark.read.parquet(adds: _*)
     if (removes.isEmpty) addDf
     else addDf.join(spark.read.parquet(removes: _*).select("file_path"),
       Seq("file_path"), "left_anti")

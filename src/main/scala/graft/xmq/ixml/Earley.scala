@@ -191,7 +191,14 @@ object Earley {
 
     var furthest = 0
     var k = 0
+    // nonterminals that completed with ZERO width at the current position —
+    // a static-nullable check can't see position-dependent Neg guards, and
+    // the completer never revisits items added after an empty completion was
+    // processed, so prediction consults this dynamic set too (the classic
+    // Earley epsilon-completion gap, dynamic Aycock–Horspool variant).
+    val emptyDone = HashSet.empty[Int]
     while (k <= n) {
+      emptyDone.clear()
       var idx = 0
       while (idx < sets(k).length) {
         val it = sets(k)(idx)
@@ -200,7 +207,7 @@ object Earley {
           prod.syms(it.dot) match {
             case NtRef(id, _) =>
               for (pid <- prodsOf(id)) add(k, Item(pid, 0, k))
-              if (nullable(id)) add(k, Item(it.prodId, it.dot + 1, it.origin))
+              if (nullable(id) || emptyDone(id)) add(k, Item(it.prodId, it.dot + 1, it.origin))
             case Term(pred, _, _) =>
               if (k < n && pred(input(k))) {
                 add(k + 1, Item(it.prodId, it.dot + 1, it.origin))
@@ -214,6 +221,7 @@ object Earley {
           // completion
           val nt = prod.nt
           val org = it.origin
+          if (org == k) emptyDone += nt // zero-width span: see emptyDone above
           var j = 0
           while (j < sets(org).length) {
             val cand = sets(org)(j)

@@ -88,6 +88,36 @@ class XmqExprSpec extends SparkTestBase {
     assert((ZOrderInterleave.interleave(0L, 0L, 7L) & 0xff) == 7L)
   }
 
+  test("parseLongC matches C strtol/atol branch semantics (xmq.c:4319)") {
+    import graft.expr.XmqExprs.parseLongC
+    assert(parseLongC("42") == 42L)
+    assert(parseLongC("-42xyz") == -42L)
+    assert(parseLongC("  +7") == 7L)       // atol skips whitespace, sign
+    assert(parseLongC("0x1F") == 31L)
+    assert(parseLongC("0xg") == 0L)        // no hex digits after prefix
+    assert(parseLongC("017") == 15L)       // leading 0 → octal
+    assert(parseLongC("017abc") == 15L)    // trailing garbage stops the scan
+    assert(parseLongC("09") == 0L)         // 9 not octal: parses just the 0
+    assert(parseLongC("0") == 0L)
+    assert(parseLongC(" 0x10") == 0L)      // raw-first-byte checks: atol path
+    assert(parseLongC("") == 0L)
+    assert(parseLongC("abc") == 0L)
+    assert(parseLongC("99999999999999999999") == Long.MaxValue) // strtol clamp
+  }
+
+  test("typed getters return 0 (not null) on null inputs") {
+    import spark.implicits._
+    import graft.expr.XmqFunctions._
+    import org.apache.spark.sql.functions.{col, lit}
+    val df = Seq((Option.empty[String], "xmq")).toDF("content", "lang")
+      .select(
+        xmq_get_long(col("content"), col("lang"), lit("/a")).as("l"),
+        xmq_get_double(col("content"), col("lang"), lit("/a")).as("d"),
+        xmq_count(col("content"), col("lang"), lit("/a")).as("c"))
+    val r = df.head()
+    assert(r.getLong(0) == 0L && r.getDouble(1) == 0.0 && r.getLong(2) == 0L)
+  }
+
   test("hilbert index covers the square bijectively for order 3") {
     val seen = collection.mutable.Set.empty[Long]
     for (x <- 0 until 8; y <- 0 until 8) seen += HilbertIndex.xy2d(x, y, 3)

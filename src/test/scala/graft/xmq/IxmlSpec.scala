@@ -107,4 +107,26 @@ class IxmlSpec extends AnyFunSuite {
       assert(out == expected, s"\n--- expected:\n$expected--- got:\n$out")
     }
   }
+
+  // Epsilon-completion regression (ADVICE r2): a Neg-only guard nonterminal
+  // completes with zero width at position k; an item predicted LATER at k
+  // whose dot sits before that guard must still advance. The long B→C→D→E
+  // chain delays E's prediction past the guard's completion processing.
+  test("ixml zero-width !-guard completes for late-predicted items") {
+    val grammar =
+      """S: A; B.
+        |A: guard, "a".
+        |B: C.
+        |C: D.
+        |D: E.
+        |E: guard, "e".
+        |-guard: !"z".
+        |""".stripMargin
+    val doc = Ixml.parseToDoc(grammar, "e")
+    val out = XmqEngine.toXmq(doc, compact = true)
+    assert(out.contains("S") && out.contains("E"), out)
+    // and the guard still rejects when the lookahead matches (failure doc)
+    val fail = XmqEngine.toXmq(Ixml.parseToDoc(grammar, "z"), compact = true)
+    assert(!fail.contains("S{"), fail)
+  }
 }
