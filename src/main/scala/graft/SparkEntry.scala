@@ -296,14 +296,42 @@ object SparkEntry {
 
   private def q22Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // REAL decode: PNG/JPEG via ImageIO, WAV via javax.sound — a row counts
+    // as decode_ok only when the codec recovered the dimensions / sample
+    // rate / frame count the synthesizer actually encoded (video is the
+    // documented header stub; the JDK has no video codec)
     val media = graft.pipeline.Multimodal.synthesize(s, 300)
-    val decoded = graft.pipeline.Multimodal.decodeStub(media)
+    val decoded = graft.pipeline.Multimodal.decode(media)
+    val ok = $"decode_ok" &&
+      ($"kind" =!= "image" || ($"decoded_width" === $"meta.width" &&
+                               $"decoded_height" === $"meta.height")) &&
+      ($"kind" =!= "audio" || ($"decoded_rate" === $"meta.sample_rate" &&
+                               $"decoded_frames" === $"meta.n_frames")) &&
+      ($"kind" =!= "video" || ($"decoded_width" === $"meta.width" &&
+                               $"decoded_frames" === $"meta.n_frames"))
     decoded.groupBy($"kind")
       .agg(count(lit(1)).as("n_media"),
-           sum(when($"decoded_width" === $"meta.width" &&
-                    $"decoded_height" === $"meta.height", 1L).otherwise(0L)).as("n_decode_ok"),
+           sum(when(ok, 1L).otherwise(0L)).as("n_decode_ok"),
            sum($"decoded_frames").as("total_frames"))
       .orderBy($"kind")
+  }
+
+  private def q30MediaAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // real image features (luma histogram of DECODED pixels) through the
+    // LSH-bucketed ANN path; the query vector is computed by the same pure
+    // codec kernel on the driver — no data collect()
+    val media = graft.pipeline.Multimodal.synthesize(s, 300)
+    val imgs = graft.pipeline.Multimodal.features(
+      media.filter($"kind" === "image"), dim = 8)
+    val qid = (0 until 300).find(i =>
+      graft.pipeline.MediaCodec.synthRow(i.toLong, 42).kind == "image").get
+    val qRow = graft.pipeline.MediaCodec.synthRow(qid.toLong, 42)
+    val q = graft.pipeline.MediaCodec.features(qRow.blob, "image", 8)
+    graft.pipeline.Ann.lshTopK(imgs, "media_id", "feat", q, k = 10,
+        planes = 8, probeRadius = 3)
+      .select($"media_id", round($"cos", 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"media_id") // rounded sort: oracle-replicable
   }
 
   // ----------------------------------------------------------------------
@@ -476,6 +504,7 @@ object SparkEntry {
     "q27_ixml_parse"    -> (q27IxmlParse(_, _)),
     "q28_xslt_extract"  -> (q28XsltExtract(_, _)),
     "q29_xsd_validate"  -> (q29XsdValidate(_, _)),
+    "q30_media_ann"     -> (q30MediaAnn(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -699,9 +728,18 @@ object SparkEntry {
     "q22_multimodal" ->
       """SELECT kind, n_media::BIGINT AS n_media, n_decode_ok::BIGINT AS n_decode_ok,
         | total_frames::BIGINT AS total_frames
-        |FROM (VALUES ('audio', 108, 108, 108), ('image', 109, 109, 109),
+        |FROM (VALUES ('audio', 108, 108, 189359), ('image', 109, 109, 109),
         |             ('video', 83, 83, 2991)) t(kind, n_media, n_decode_ok, total_frames)
         |ORDER BY kind""".stripMargin,
+    // q30: REAL ImageIO decode + luma-histogram features through LSH ANN on a
+    // deterministic synthesized corpus (seed 42) — precomputed fixture truth,
+    // same pattern as q22; the codec itself is pixel-exactness-tested in sbt.
+    "q30_media_ann" ->
+      """SELECT media_id::BIGINT AS media_id, cos_sim::DOUBLE AS cos_sim
+        |FROM (VALUES (1, 1.0), (276, 0.9997), (14, 0.9992), (24, 0.9992),
+        |             (73, 0.9955), (68, 0.9941), (19, 0.9926), (293, 0.9921),
+        |             (138, 0.9902), (87, 0.9881)) t(media_id, cos_sim)
+        |ORDER BY cos_sim DESC, media_id""".stripMargin,
     "q16_text_analysis" -> {
       // full cross-engine replication of the text-analysis expressions:
       // language-ID (stopword argmax, fixed tie order; the corpus is pure

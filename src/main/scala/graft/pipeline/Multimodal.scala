@@ -1,16 +1,40 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, BinaryExpression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Multimodal-column plumbing: image/audio/video as opaque binary columns
-  * with typed metadata. The codec step is STUBBED (no image/audio libraries
-  * in this container — builder prompt): `decodeStub` parses a deterministic
-  * fake header instead of real pixels, but the Spark-side schema, batched
-  * partition processing, and frame-sampling plumbing are real and tested.
-  * On a real cluster the stub body is swapped for an actual codec call
-  * (or a pandas_udf/mapInPandas worker on PySpark).
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.awt.image.BufferedImage
+import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+
+/** Multimodal columns: image/audio/video as opaque binary columns with typed
+  * metadata, decoded by REAL JDK codecs inside Catalyst expressions:
+  *
+  *  - image: PNG + JPEG via `javax.imageio.ImageIO` (synthesis writes real
+  *    PNG/JPEG bytes; decode recovers actual pixel dimensions and pixels)
+  *  - audio: WAV (16-bit PCM) via `javax.sound.sampled.AudioSystem`
+  *    (decode recovers the actual sample rate and frame count from the
+  *    RIFF container)
+  *  - video: the one genuinely-stubbed codec (the JDK ships no video
+  *    decoder and the container has no codec libraries): a deterministic
+  *    GRFT header carries (width, height, n_frames), and frame-level work
+  *    is expressed through the `sampleFrames` plan below.
+  *
+  * Feature extraction is also real: images produce a normalized luma
+  * histogram from decoded pixels, audio a normalized per-segment RMS energy
+  * profile from decoded samples — both feed the existing ANN path
+  * (`Ann.lshTopK`) as array<float> embeddings.
+  *
+  * Scale shape: every operator here is a per-row map (decode, features) or a
+  * narrow generate (frame sampling) — no shuffle, no driver involvement, so
+  * the plan parallelizes embarrassingly across a 1000-executor cluster.
   */
 object Multimodal {
 
@@ -24,39 +48,29 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("n_frames", IntegerType))))))
 
-  /** Deterministic synthetic media table: blob = 16-byte fake header
-    * (magic, width, height, frames) + payload derived from the id. */
+  final case class MediaMeta(width: Int, height: Int, sample_rate: Int, n_frames: Int)
+  final case class MediaRow(media_id: Long, kind: String, blob: Array[Byte], meta: MediaMeta)
+
+  /** Deterministic synthetic media table with REAL bytes: PNG/JPEG images
+    * (deterministic pixel pattern), 16-bit PCM WAV audio (deterministic
+    * waveform), GRFT-header video (documented stub). Distributed: one
+    * executor-side map over spark.range — no driver-side row building. */
   def synthesize(spark: SparkSession, n: Int, seed: Long = 42): DataFrame = {
     import spark.implicits._
-    val rows = (0 until n).map { i =>
-      val h = TextOps.mix(seed + i)
-      val kind = Seq("image", "audio", "video")((h & 0x7fffffff).toInt % 3)
-      val width = 64 + ((h >>> 8) % 192).toInt
-      val height = 64 + ((h >>> 16) % 192).toInt
-      val frames = if (kind == "video") 8 + ((h >>> 24) % 56).toInt else 1
-      val sampleRate = if (kind == "audio") 16000 else 0
-      val bb = java.nio.ByteBuffer.allocate(16 + 64)
-      bb.putInt(0x47524654) // "GRFT"
-      bb.putInt(width); bb.putInt(height); bb.putInt(frames)
-      var j = 0
-      while (j < 8) { bb.putLong(TextOps.mix(h + j)); j += 1 }
-      (i.toLong, kind, bb.array(), width, height, sampleRate, frames)
-    }
-    rows.toDF("media_id", "kind", "blob", "width", "height", "sample_rate", "n_frames")
-      .select($"media_id", $"kind", $"blob",
-        struct($"width", $"height", $"sample_rate", $"n_frames").as("meta"))
+    spark.range(0, n.toLong).as[Long].map(i => MediaCodec.synthRow(i, seed)).toDF()
   }
 
-  /** STUB decode: reads the fake header from the binary column. The real
-    * implementation calls the image codec here — same signature/batching. */
-  def decodeStub(df: DataFrame): DataFrame = {
-    // ??? <- real codec goes here; deterministic fake below keeps plumbing testable
-    df.withColumn("decoded_width",
-        conv(hex(substring(col("blob"), 5, 4)), 16, 10).cast("int"))
-      .withColumn("decoded_height",
-        conv(hex(substring(col("blob"), 9, 4)), 16, 10).cast("int"))
-      .withColumn("decoded_frames",
-        conv(hex(substring(col("blob"), 13, 4)), 16, 10).cast("int"))
+  /** Real decode: blob → struct(width, height, sample_rate, n_frames, ok)
+    * through the JDK codec for the row's kind. */
+  def decode(df: DataFrame): DataFrame = {
+    val d = MediaFunctions.media_decode(col("blob"), col("kind"))
+    df.withColumn("_d", d)
+      .withColumn("decoded_width", col("_d.width"))
+      .withColumn("decoded_height", col("_d.height"))
+      .withColumn("decoded_rate", col("_d.sample_rate"))
+      .withColumn("decoded_frames", col("_d.n_frames"))
+      .withColumn("decode_ok", col("_d.ok"))
+      .drop("_d")
   }
 
   /** frame sampling plan: explode every ceil(n_frames / k)-th frame index —
@@ -68,13 +82,264 @@ object Multimodal {
           greatest(lit(1), (col("meta.n_frames") / k).cast("int")))))
   }
 
-  /** feature-extract stub: fixed-width feature vector from blob bytes
-    * (real pipeline: model embedding; plumbing + batch shape identical). */
-  def featureStub(df: DataFrame, dim: Int = 8): DataFrame = {
-    val feats = (0 until dim).map { d =>
-      (conv(hex(substring(col("blob"), 17 + d * 8, 8)), 16, 10).cast("double") /
-        lit(Long.MaxValue.toDouble)).as(s"f$d")
+  /** Real feature vectors from decoded media (array<float>, ANN-ready):
+    * image → `dim`-bin luma histogram; audio → `dim`-segment RMS profile;
+    * video → payload-hash profile (stub, like the codec). */
+  def features(df: DataFrame, dim: Int = 8): DataFrame =
+    df.withColumn("feat", MediaFunctions.media_features(col("blob"), col("kind"), dim))
+}
+
+/** Pure codec kernels shared by the Catalyst expressions, the synthesizer
+  * and driver-side query-vector construction (deterministic: same id+seed →
+  * same bytes → same features, on driver and executors alike). */
+object MediaCodec {
+
+  def synthRow(i: Long, seed: Long): Multimodal.MediaRow = {
+    val h = TextOps.mix(seed + i)
+    val kind = Seq("image", "audio", "video")((h & 0x7fffffff).toInt % 3)
+    val width = 64 + ((h >>> 8) % 192).toInt
+    val height = 64 + ((h >>> 16) % 192).toInt
+    kind match {
+      case "image" =>
+        // even hash → PNG, odd → JPEG: both real ImageIO encoders
+        val png = (h & 1L) == 0L
+        val blob = if (png) encodePng(i, width, height, seed)
+                   else encodeJpeg(i, width, height, seed)
+        Multimodal.MediaRow(i, kind, blob, Multimodal.MediaMeta(width, height, 0, 1))
+      case "audio" =>
+        val rate = Seq(8000, 16000, 22050)(((h >>> 32) & 0x7fffffff).toInt % 3)
+        val samples = 800 + ((h >>> 40) % 1600).toInt
+        val blob = encodeWav(i, rate, samples, seed)
+        Multimodal.MediaRow(i, kind, blob, Multimodal.MediaMeta(0, 0, rate, samples))
+      case _ =>
+        val frames = 8 + ((h >>> 24) % 56).toInt
+        val blob = encodeVideoStub(i, width, height, frames, seed)
+        Multimodal.MediaRow(i, kind, blob, Multimodal.MediaMeta(width, height, 0, frames))
     }
-    df.select((col("media_id") +: feats): _*)
   }
+
+  /** deterministic pixel: rgb from splitmix of (id, x, y), a smooth gradient,
+    * and a per-image brightness bias + contrast so the luma histograms of
+    * different images genuinely differ (distinct ANN features, not all-1.0
+    * cosines). */
+  @inline def pixelRgb(id: Long, x: Int, y: Int, w: Int, hgt: Int): Int = {
+    val bias = (TextOps.mix(id) & 0x7f).toInt              // 0..127 per image
+    val contrast = 48 + (TextOps.mix(id * 31L + 7L) & 0x9f).toInt // 48..207
+    val hsh = TextOps.mix(id * 7919L + x * 131L + y)
+    val grad = ((x * 255) / math.max(1, w - 1) + (y * 255) / math.max(1, hgt - 1)) / 2
+    @inline def ch(raw: Long): Int = {
+      val v = bias + (((raw & 0xff) + grad).toInt * contrast) / 512
+      if (v > 255) 255 else v
+    }
+    (ch(hsh) << 16) | (ch(hsh >>> 8) << 8) | ch(hsh >>> 16)
+  }
+
+  private def renderImage(id: Long, w: Int, h: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, pixelRgb(id, x, y, w, h)); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  def encodePng(id: Long, w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(renderImage(id, w, h), "png", bos)
+    bos.toByteArray
+  }
+
+  def encodeJpeg(id: Long, w: Int, h: Int, seed: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(renderImage(id, w, h), "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** deterministic 16-bit mono PCM: sine at an id-derived frequency plus
+    * hash noise, wrapped in a real RIFF/WAV container. */
+  def pcmSamples(id: Long, n: Int): Array[Short] = {
+    val freq = 100.0 + (TextOps.mix(id) & 0x3ff).toDouble // 100..1123 Hz-ish
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      val s = math.sin(2.0 * math.Pi * freq * i / 8000.0) * 12000.0
+      val noise = ((TextOps.mix(id + i) & 0xfff) - 2048).toDouble
+      out(i) = (s + noise).toShort
+      i += 1
+    }
+    out
+  }
+
+  def encodeWav(id: Long, sampleRate: Int, nSamples: Int, seed: Long): Array[Byte] = {
+    val samples = pcmSamples(id, nSamples)
+    val bytes = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) { // little-endian 16-bit
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, nSamples.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** the documented video stub: GRFT magic + dims + frame count + payload. */
+  def encodeVideoStub(id: Long, w: Int, h: Int, frames: Int, seed: Long): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 64)
+    bb.putInt(0x47524654) // "GRFT"
+    bb.putInt(w); bb.putInt(h); bb.putInt(frames)
+    var j = 0
+    while (j < 8) { bb.putLong(TextOps.mix(TextOps.mix(seed + id) + j)); j += 1 }
+    bb.array()
+  }
+
+  final case class Decoded(width: Int, height: Int, sampleRate: Int, nFrames: Int, ok: Boolean)
+  private val failed = Decoded(0, 0, 0, 0, ok = false)
+
+  def decode(blob: Array[Byte], kind: String): Decoded = try {
+    kind match {
+      case "image" =>
+        val img = ImageIO.read(new ByteArrayInputStream(blob))
+        if (img == null) failed
+        else Decoded(img.getWidth, img.getHeight, 0, 1, ok = true)
+      case "audio" =>
+        val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(blob))
+        try Decoded(0, 0, ais.getFormat.getSampleRate.toInt, ais.getFrameLength.toInt, ok = true)
+        finally ais.close()
+      case "video" =>
+        val bb = java.nio.ByteBuffer.wrap(blob)
+        if (blob.length < 16 || bb.getInt(0) != 0x47524654) failed
+        else Decoded(bb.getInt(4), bb.getInt(8), 0, bb.getInt(12), ok = true)
+      case _ => failed
+    }
+  } catch { case _: Exception => failed }
+
+  /** image: `dim`-bin luma histogram over the DECODED pixels, normalized to
+    * sum 1 — a real, deterministic content feature. */
+  def imageFeatures(blob: Array[Byte], dim: Int): Array[Float] = {
+    val img = ImageIO.read(new ByteArrayInputStream(blob))
+    if (img == null) return new Array[Float](dim)
+    val hist = new Array[Long](dim)
+    val w = img.getWidth; val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+        hist((luma * dim) / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val total = (w.toLong * h).toFloat
+    hist.map(c => c / total)
+  }
+
+  /** audio: RMS energy of `dim` equal segments of the DECODED samples,
+    * L2-normalized — shape-of-signal feature independent of length. */
+  def audioFeatures(blob: Array[Byte], dim: Int): Array[Float] = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(blob))
+    try {
+      val n = ais.getFrameLength.toInt
+      val bytes = ais.readNBytes(n * ais.getFormat.getFrameSize)
+      val rms = new Array[Double](dim)
+      val counts = new Array[Int](dim)
+      var i = 0
+      while (i < n) {
+        val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toDouble
+        val seg = (i * dim) / math.max(1, n)
+        rms(seg) += s * s; counts(seg) += 1
+        i += 1
+      }
+      var norm = 0.0
+      val vals = new Array[Double](dim)
+      var d = 0
+      while (d < dim) {
+        vals(d) = math.sqrt(rms(d) / math.max(1, counts(d)))
+        norm += vals(d) * vals(d)
+        d += 1
+      }
+      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+      vals.map(v => (v * inv).toFloat)
+    } finally ais.close()
+  }
+
+  /** video features: payload-hash profile (stub, like the codec itself). */
+  def videoFeatures(blob: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    if (blob.length < 16) return out
+    var d = 0
+    while (d < dim) {
+      out(d) = ((TextOps.mix(java.util.Arrays.hashCode(blob).toLong + d) & 0xffff).toFloat / 65536.0f)
+      d += 1
+    }
+    val norm = math.sqrt(out.map(v => v.toDouble * v).sum)
+    if (norm > 0) out.map(v => (v / norm).toFloat) else out
+  }
+
+  def features(blob: Array[Byte], kind: String, dim: Int): Array[Float] = try {
+    kind match {
+      case "image" => imageFeatures(blob, dim)
+      case "audio" => audioFeatures(blob, dim)
+      case "video" => videoFeatures(blob, dim)
+      case _ => new Array[Float](dim)
+    }
+  } catch { case _: Exception => new Array[Float](dim) }
+}
+
+/** media_decode(blob, kind): real JDK codec decode to
+  * struct(width, height, sample_rate, n_frames, ok). */
+case class MediaDecodeExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = MediaDecodeExpr.schema
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, k: Any): Any = {
+    val d = MediaCodec.decode(b.asInstanceOf[Array[Byte]], k.toString)
+    InternalRow(d.width, d.height, d.sampleRate, d.nFrames, d.ok)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "media_decode"
+}
+
+object MediaDecodeExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("ok", BooleanType, nullable = false)))
+}
+
+/** media_features(blob, kind, dim): real content features as array<float>
+  * (luma histogram / RMS profile), ANN-ready. */
+case class MediaFeaturesExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, k: Any, d: Any): Any = {
+    val feats = MediaCodec.features(b.asInstanceOf[Array[Byte]], k.toString,
+      d.asInstanceOf[Int])
+    new GenericArrayData(feats.map(f => f: Any))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "media_features"
+}
+
+object MediaFunctions {
+  import org.apache.spark.sql.GraftInternal.{col => mkCol, expr => exprOf}
+
+  def media_decode(blob: Column, kind: Column): Column =
+    mkCol(MediaDecodeExpr(exprOf(blob), exprOf(kind)))
+
+  def media_features(blob: Column, kind: Column, dim: Int): Column =
+    mkCol(MediaFeaturesExpr(exprOf(blob), exprOf(kind),
+      org.apache.spark.sql.catalyst.expressions.Literal(dim)))
 }

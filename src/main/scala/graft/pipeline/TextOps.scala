@@ -293,15 +293,21 @@ case class CosineSimExpr(left: Expression, right: Expression)
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
       : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: the expression can occur several times in one projection —
+      // fixed identifiers would collide and kick the whole stage back to the
+      // interpreter ("Redefinition of local variable")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double x = (double) $a.getFloat(i);
-         |  double y = (double) $b.getFloat(i);
-         |  dot += x * y; na += x * x; nb += y * y;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = (na == 0.0 || nb == 0.0) ? 0.0 : dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

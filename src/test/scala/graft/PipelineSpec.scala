@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Ann, TextOps, Multimodal}
+import graft.pipeline.{Dedup, Ann, TextOps, Multimodal, MediaCodec}
 import org.apache.spark.sql.functions._
 
 /** Correctness checks for the training-data operators beyond rows>0:
@@ -129,13 +129,18 @@ class PipelineSpec extends SparkTestBase {
     assert(TextOps.tokenEstimate("") == 0)
   }
 
-  test("multimodal: stub decode recovers header metadata; frame sampling bounded") {
+  test("multimodal: REAL codecs recover encoded params; frame sampling bounded") {
     import spark.implicits._
     val media = Multimodal.synthesize(spark, 100)
-    val decoded = Multimodal.decodeStub(media)
-    val bad = decoded.filter($"decoded_width" =!= $"meta.width" ||
-                             $"decoded_height" =!= $"meta.height" ||
-                             $"decoded_frames" =!= $"meta.n_frames").count()
+    val decoded = Multimodal.decode(media)
+    // every image's ImageIO-decoded dims, every audio's javax.sound-decoded
+    // rate+frames, every video's header must match what was synthesized
+    val bad = decoded.filter(!$"decode_ok" ||
+        ($"kind" === "image" && ($"decoded_width" =!= $"meta.width" ||
+                                 $"decoded_height" =!= $"meta.height")) ||
+        ($"kind" === "audio" && ($"decoded_rate" =!= $"meta.sample_rate" ||
+                                 $"decoded_frames" =!= $"meta.n_frames")) ||
+        ($"kind" === "video" && $"decoded_frames" =!= $"meta.n_frames")).count()
     assert(bad == 0)
     val frames = Multimodal.sampleFrames(media, 4)
     assert(frames.count() > 0)
@@ -143,7 +148,51 @@ class PipelineSpec extends SparkTestBase {
       .agg(max($"n")).head().getLong(0)
     assert(perVideo <= 8, s"sampled too many frames: $perVideo")
     // feature extraction keeps batch shape: one row per media, fixed width
-    val feats = Multimodal.featureStub(media)
-    assert(feats.columns.length == 9 && feats.count() == 100)
+    val feats = Multimodal.features(media, dim = 8)
+    assert(feats.count() == 100)
+    assert(feats.select($"feat").as[Seq[Float]].head().length == 8)
+  }
+
+  test("media codec: PNG round-trip is pixel-exact") {
+    val blob = MediaCodec.encodePng(7L, 40, 30, 42)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(img.getWidth == 40 && img.getHeight == 30)
+    for (y <- 0 until 30; x <- 0 until 40)
+      assert((img.getRGB(x, y) & 0xffffff) == MediaCodec.pixelRgb(7L, x, y, 40, 30),
+        s"pixel mismatch at ($x,$y)")
+  }
+
+  test("media codec: JPEG decodes with correct dimensions") {
+    val blob = MediaCodec.encodeJpeg(8L, 50, 20, 42)
+    val d = MediaCodec.decode(blob, "image")
+    assert(d.ok && d.width == 50 && d.height == 20)
+  }
+
+  test("media codec: WAV round-trip recovers rate, frames and exact samples") {
+    val blob = MediaCodec.encodeWav(3L, 16000, 1234, 42)
+    val d = MediaCodec.decode(blob, "audio")
+    assert(d.ok && d.sampleRate == 16000 && d.nFrames == 1234)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val bytes = ais.readNBytes(1234 * 2)
+    val expected = MediaCodec.pcmSamples(3L, 1234)
+    for (i <- 0 until 1234) {
+      val got = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+      assert(got == expected(i), s"sample mismatch at $i")
+    }
+  }
+
+  test("media codec: corrupted blobs fail closed; features are deterministic") {
+    assert(!MediaCodec.decode(Array[Byte](1, 2, 3), "image").ok)
+    assert(!MediaCodec.decode(Array[Byte](1, 2, 3), "audio").ok)
+    assert(!MediaCodec.decode(Array[Byte](1, 2, 3), "video").ok)
+    val png = MediaCodec.encodePng(11L, 64, 64, 42)
+    val f1 = MediaCodec.imageFeatures(png, 8)
+    val f2 = MediaCodec.imageFeatures(png, 8)
+    assert(f1.toSeq == f2.toSeq)
+    assert(math.abs(f1.sum - 1.0f) < 1e-3, s"histogram sums to ${f1.sum}")
+    val wav = MediaCodec.encodeWav(11L, 8000, 900, 42)
+    val a = MediaCodec.audioFeatures(wav, 8)
+    assert(math.abs(a.map(v => v * v).sum - 1.0f) < 1e-3, "RMS profile not L2-normalized")
   }
 }
