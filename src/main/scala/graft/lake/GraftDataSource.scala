@@ -127,7 +127,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType)
       case None => Array.empty
       case Some(s) =>
         table.manifestEntries(s).filter(keeps).map { e =>
-          GraftInputPartition(java.nio.file.Paths.get(location, e.file_path).toString)
+          GraftInputPartition(table.io.abs(e.file_path).toString)
             .asInstanceOf[InputPartition]
         }.toArray
     }

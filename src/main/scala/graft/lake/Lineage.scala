@@ -2,22 +2,23 @@ package graft.lake
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths}
 
 /** Sidecar lineage table (FIXTURES.md §3): one parquet per (job, phase) under
   * <table>/lineage/, with ONE ROW PER OUTPUT PARTITION (= output file)
   * recording that partition's input files, output file, row count and sha256
   * digest (xor of per-row content hashes — order-independent), as the
   * north_rule demands. A phase whose lineage exists and whose outputs are all
-  * present is skipped on re-run → idempotent resume. */
+  * present is skipped on re-run → idempotent resume.
+  *
+  * Lineage rows are tiny commit metadata: written and read driver-side via
+  * MetaIO (zero Spark jobs on the resume-check path). */
 object Lineage {
 
   final case class LineageRow(job_id: String, phase: String, partition_id: Int,
                               input_files: Seq[String], output_files: Seq[String],
                               row_count: Long, sha256_digest: String, ts_millis: Long)
 
-  private def dir(table: GraftTable, jobId: String, phase: String) =
-    Paths.get(table.location, "lineage", jobId, phase)
+  private def rel(jobId: String, phase: String) = s"lineage/$jobId/$phase.parquet"
 
   /** Per-partition lineage from the phase's manifest entries: one row per
     * output file carrying its own row count and content digest (computed in
@@ -25,8 +26,6 @@ object Lineage {
     * single marker row so resume still skips it. */
   def record(table: GraftTable, jobId: String, phase: String,
              inputFiles: Seq[String], added: Seq[ManifestEntry]): Unit = {
-    val spark = table.spark
-    import spark.implicits._
     val now = System.currentTimeMillis()
     val rows =
       if (added.isEmpty)
@@ -35,17 +34,14 @@ object Lineage {
         LineageRow(jobId, phase, i, inputFiles, Seq(e.file_path),
           e.record_count, java.lang.Long.toHexString(e.digest), now)
       }
-    rows.toDS().coalesce(1).write.mode("overwrite")
-      .parquet(dir(table, jobId, phase).toString)
+    MetaIO.writeLineage(table.io, rel(jobId, phase), rows)
   }
 
   /** All lineage rows of a phase (empty if never recorded). */
   def rows(table: GraftTable, jobId: String, phase: String): Seq[LineageRow] = {
-    val d = dir(table, jobId, phase)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val spark = table.spark
-    import spark.implicits._
-    try spark.read.parquet(d.toString).as[LineageRow].collect().toSeq
+    val r = rel(jobId, phase)
+    if (!table.io.exists(r)) return Seq.empty
+    try MetaIO.readLineage(table.io, r)
     catch { case _: Exception => Seq.empty }
   }
 
@@ -63,8 +59,7 @@ object Lineage {
   /** phase complete AND all of its outputs still exist. */
   def isDone(table: GraftTable, jobId: String, phase: String): Boolean = {
     val rs = rows(table, jobId, phase)
-    rs.nonEmpty &&
-      rs.flatMap(_.output_files).forall(f => Files.exists(Paths.get(table.location, f)))
+    rs.nonEmpty && rs.flatMap(_.output_files).forall(table.io.exists)
   }
 
   /** Order-independent content digest of an arbitrary frame (verification
@@ -77,10 +72,9 @@ object Lineage {
 
   /** All lineage rows of a job (reporting). */
   def forJob(table: GraftTable, jobId: String): Seq[LineageRow] = {
-    val d = Paths.get(table.location, "lineage", jobId)
-    if (!Files.isDirectory(d)) return Seq.empty
-    val spark = table.spark
-    import spark.implicits._
-    spark.read.parquet(d.toString + "/*").as[LineageRow].collect().toSeq
+    val dir = s"lineage/$jobId"
+    if (!table.io.isDirectory(dir)) return Seq.empty
+    table.io.list(dir).filter(_.endsWith(".parquet")).sorted
+      .flatMap(n => MetaIO.readLineage(table.io, s"$dir/$n"))
   }
 }

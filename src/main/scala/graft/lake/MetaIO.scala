@@ -1,0 +1,176 @@
+package graft.lake
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.{ParquetReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport, GroupWriteSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+import scala.collection.mutable.ArrayBuffer
+
+/** Driver-side parquet read/write for SMALL metadata (manifest shards from
+  * in-memory Seqs, shard lists, lineage rows) via parquet-mr's Group API —
+  * no Spark job, no task scheduling, no coalesce(1) round-trip. Commit
+  * metadata is a handful of rows; r2's per-commit Spark writes were ~40% of
+  * the maintenance bench (VERDICT "What's wrong" #2). Files use the
+  * standard 3-level LIST layout, so Spark reads them interchangeably with
+  * its own shards (big shards — e.g. manifest rewrites of the live set —
+  * are still written distributed by Spark).
+  */
+object MetaIO {
+
+  private val entrySchema: MessageType = MessageTypeParser.parseMessageType(
+    """message manifest_entry {
+      |  optional binary file_path (UTF8);
+      |  optional binary partition (UTF8);
+      |  optional int64 record_count;
+      |  optional int64 file_bytes;
+      |  optional binary min_repo (UTF8);
+      |  optional binary max_repo (UTF8);
+      |  optional binary min_path (UTF8);
+      |  optional binary max_path (UTF8);
+      |  optional group langs (LIST) {
+      |    repeated group list { optional binary element (UTF8); }
+      |  }
+      |  optional int64 min_z;
+      |  optional int64 max_z;
+      |  optional int64 min_rh;
+      |  optional int64 max_rh;
+      |  optional int64 digest;
+      |}""".stripMargin)
+
+  private val shardSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message manifest_shard {
+      |  optional int32 seq;
+      |  optional binary kind (UTF8);
+      |  optional binary path (UTF8);
+      |}""".stripMargin)
+
+  private val removeSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message manifest_remove {
+      |  optional binary file_path (UTF8);
+      |}""".stripMargin)
+
+  private val lineageSchema: MessageType = MessageTypeParser.parseMessageType(
+    """message lineage_row {
+      |  optional binary job_id (UTF8);
+      |  optional binary phase (UTF8);
+      |  optional int32 partition_id;
+      |  optional group input_files (LIST) {
+      |    repeated group list { optional binary element (UTF8); }
+      |  }
+      |  optional group output_files (LIST) {
+      |    repeated group list { optional binary element (UTF8); }
+      |  }
+      |  optional int64 row_count;
+      |  optional binary sha256_digest (UTF8);
+      |  optional int64 ts_millis;
+      |}""".stripMargin)
+
+  private def writer(io: LakeIO, rel: String, schema: MessageType): ParquetWriter[Group] = {
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    io.delete(rel) // overwrite semantics, matching Spark's mode("overwrite")
+    ExampleParquetWriter.builder(HadoopOutputFile.fromPath(io.abs(rel), conf))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  private def addList(g: Group, field: String, items: Seq[String]): Unit = {
+    val lg = g.addGroup(field)
+    items.foreach(it => lg.addGroup("list").append("element", it))
+  }
+
+  private def getList(g: Group, field: String): Seq[String] = {
+    if (g.getFieldRepetitionCount(field) == 0) return Seq.empty
+    val lg = g.getGroup(field, 0)
+    (0 until lg.getFieldRepetitionCount("list")).map { i =>
+      lg.getGroup("list", i).getString("element", 0)
+    }
+  }
+
+  def writeEntries(io: LakeIO, rel: String, entries: Seq[ManifestEntry]): Unit = {
+    val f = new SimpleGroupFactory(entrySchema)
+    val w = writer(io, rel, entrySchema)
+    try entries.foreach { e =>
+      val g = f.newGroup()
+      g.append("file_path", e.file_path).append("partition", e.partition)
+        .append("record_count", e.record_count).append("file_bytes", e.file_bytes)
+        .append("min_repo", e.min_repo).append("max_repo", e.max_repo)
+        .append("min_path", e.min_path).append("max_path", e.max_path)
+      addList(g, "langs", e.langs)
+      g.append("min_z", e.min_z).append("max_z", e.max_z)
+        .append("min_rh", e.min_rh).append("max_rh", e.max_rh)
+        .append("digest", e.digest)
+      w.write(g)
+    } finally w.close()
+  }
+
+  def writeShards(io: LakeIO, rel: String, shards: Seq[ManifestShard]): Unit = {
+    val f = new SimpleGroupFactory(shardSchema)
+    val w = writer(io, rel, shardSchema)
+    try shards.foreach { s =>
+      w.write(f.newGroup().append("seq", s.seq).append("kind", s.kind).append("path", s.path))
+    } finally w.close()
+  }
+
+  def writeRemoves(io: LakeIO, rel: String, paths: Seq[String]): Unit = {
+    val f = new SimpleGroupFactory(removeSchema)
+    val w = writer(io, rel, removeSchema)
+    try paths.foreach(p => w.write(f.newGroup().append("file_path", p))) finally w.close()
+  }
+
+  def writeLineage(io: LakeIO, rel: String, rows: Seq[Lineage.LineageRow]): Unit = {
+    val f = new SimpleGroupFactory(lineageSchema)
+    val w = writer(io, rel, lineageSchema)
+    try rows.foreach { r =>
+      val g = f.newGroup()
+      g.append("job_id", r.job_id).append("phase", r.phase).append("partition_id", r.partition_id)
+      addList(g, "input_files", r.input_files)
+      addList(g, "output_files", r.output_files)
+      g.append("row_count", r.row_count).append("sha256_digest", r.sha256_digest)
+        .append("ts_millis", r.ts_millis)
+      w.write(g)
+    } finally w.close()
+  }
+
+  /** every row of every parquet file at rel (a file, or a directory of
+    * part files — Spark- and MetaIO-written alike). */
+  private def readGroups(io: LakeIO, rel: String): Seq[Group] = {
+    val files: Seq[String] =
+      if (!io.exists(rel)) Seq.empty
+      else if (io.isDirectory(rel))
+        io.list(rel).filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          .map(n => s"$rel/$n")
+      else Seq(rel)
+    val out = ArrayBuffer.empty[Group]
+    val conf = new Configuration()
+    files.foreach { f =>
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), io.abs(f))
+        .withConf(conf)
+        .build()
+      try {
+        var g = r.read()
+        while (g != null) { out += g; g = r.read() }
+      } finally r.close()
+    }
+    out.toSeq
+  }
+
+  def readShards(io: LakeIO, rel: String): Seq[ManifestShard] =
+    readGroups(io, rel).map { g =>
+      ManifestShard(g.getInteger("seq", 0), g.getString("kind", 0), g.getString("path", 0))
+    }
+
+  def readLineage(io: LakeIO, rel: String): Seq[Lineage.LineageRow] =
+    readGroups(io, rel).map { g =>
+      Lineage.LineageRow(g.getString("job_id", 0), g.getString("phase", 0),
+        g.getInteger("partition_id", 0), getList(g, "input_files"),
+        getList(g, "output_files"), g.getLong("row_count", 0),
+        g.getString("sha256_digest", 0), g.getLong("ts_millis", 0))
+    }
+}

@@ -217,4 +217,52 @@ class LakeSpec extends SparkTestBase {
     Files.delete(Paths.get(t.location, out))
     assert(!Lineage.isDone(t, "jobx", "compact"))
   }
+
+  test("compact plans distributed over a 10k-entry manifest; collects only survivors") {
+    import graft.lake.{ManifestEntry, MetaIO}
+    val t = freshTable("graft-bigmanifest")
+    // a few REAL small files worth compacting...
+    t.append(synthDf(200).repartition(4))
+    val realRecords = t.currentSnapshot.get.recordCount
+    // ...plus 10k fake LARGE-file manifest entries (metadata only): the
+    // small-file predicate must eliminate them distributed — the driver
+    // never materializes these as entry objects during planning
+    val fakes = (0 until 10000).map { i =>
+      ManifestEntry(s"data/fake/f$i.parquet", "fake", 1000L, 1L << 30,
+        "r", "r", "p", "p", Seq("scala"), 0L, 0L, 0L, 0L, i.toLong)
+    }
+    t.commit(fakes, Set.empty, "fake-append")
+    assert(t.currentSnapshot.get.recordCount == realRecords + 10000L * 1000L)
+
+    val c = Maintenance.compact(t, "bigjob", smallBytes = 1L << 20, targetBytes = 1L << 30)
+    assert(c.inputFiles == 4, s"expected the 4 real small files, got ${c.inputFiles}")
+    assert(c.outputFiles >= 1 && c.rows == 200)
+    // arithmetic record count held through the partial rewrite
+    assert(t.currentSnapshot.get.recordCount == realRecords + 10000L * 1000L)
+    // the real rows survived compaction byte-identically
+    val live = t.manifest(t.currentSnapshot.get)
+    assert(live.count() == 10000 + c.outputFiles)
+    assert(keyset(t.readFiles(
+      live.filter(col("partition") =!= "fake").select("file_path")
+        .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq)) ==
+      keyset(synthDf(200)))
+  }
+
+  test("driver-side metadata writes interoperate with Spark-written shards") {
+    import graft.lake.MetaIO
+    val t = freshTable("graft-metaio")
+    t.append(synthDf(100).repartition(2))          // MetaIO add shard
+    val snap1 = t.currentSnapshot.get
+    Maintenance.cluster(t, "mjob")                  // MetaIO removes, Spark data
+    t.rewriteManifests()                            // Spark-written add shard
+    val snap = t.currentSnapshot.get
+    // shard list read driver-side; manifest (mixed writers) read by Spark
+    val m = t.manifest(snap)
+    assert(m.count() > 0)
+    assert(keyset(t.scan()) == keyset(synthDf(100)))
+    assert(snap.recordCount == 100L)
+    // langs survived the driver-side LIST encoding round-trip
+    val langs = m.select(explode(col("langs"))).distinct().count()
+    assert(langs > 0)
+  }
 }
