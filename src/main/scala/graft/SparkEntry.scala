@@ -177,16 +177,21 @@ object SparkEntry {
     import graft.expr.XmqFunctions._
     // typed getters + predicate xpath + well-formedness + offset annotation
     // over the deterministic synthesized corpus; a half-truncated copy
-    // exercises the malformed path (html stays lenient, like htmlReadMemory)
+    // exercises the malformed path (html stays lenient, like htmlReadMemory).
+    // Plan shape: xmq_probe parses each document ONCE and fans out all four
+    // derived values (count/wellformed/getter/annotated) — the corrupted
+    // copy is a different input and keeps its own single parse: 2 parses
+    // per row instead of 6 single-output expressions.
     synthFiles(s, 500)
       .withColumn("corrupted", substring($"content", lit(1), (length($"content") / 2).cast("int")))
+      .withColumn("p", xmq_probe($"content", $"lang", lit("//*"), lit("//*/text()"), lit("o")))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
-           sum(xmq_count($"content", $"lang", lit("//*"))).as("n_elems"),
-           sum(when(is_wellformed($"content", $"lang"), 1L).otherwise(0L)).as("n_wellformed"),
+           sum($"p.n_matches").as("n_elems"),
+           sum(when($"p.wellformed", 1L).otherwise(0L)).as("n_wellformed"),
            sum(when(is_wellformed($"corrupted", $"lang"), 1L).otherwise(0L)).as("n_corrupt_ok"),
-           sum(xmq_get_long($"content", $"lang", lit("//*/text()"))).as("sum_first_num"),
-           sum(length(xmq_annotate_offsets($"content", $"lang", lit("o")))).as("annotated_bytes"))
+           sum($"p.first_long").as("sum_first_num"),
+           sum(length($"p.annotated")).as("annotated_bytes"))
       .orderBy($"lang")
   }
 

