@@ -400,6 +400,31 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  /** Error-recovering iXML parse over a dirty corpus: doc_id%10==7 rows get
+    * junk injected inside the numeric value (recovery skips exactly one
+    * codepoint), doc_id%10==3 rows lose the ':'+digits entirely
+    * (unrecoverable for this grammar — skipping can never conjure the
+    * required ':'), the rest are clean. A 100-TB dirty-text pipeline wants
+    * this partial-parse column instead of q27's all-or-nothing failure doc. */
+  private def q31IxmlRecover(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions._
+    val digits = $"n_chars".cast("string")
+    t(s, dir, "documents")
+      .withColumn("inp",
+        when($"doc_id" % 10 === 3, $"source")
+          .when($"doc_id" % 10 === 7,
+            concat($"source", lit(":"), substring(digits, 1, 1), lit("!"),
+              expr("substring(cast(n_chars as string), 2)")))
+          .otherwise(concat($"source", lit(":"), digits)))
+      .withColumn("r", ixml_parse_recover(lit(ixmlPairGrammar), $"inp"))
+      .select($"doc_id",
+        when($"r.recovered", 1L).otherwise(0L).as("recovered"),
+        $"r.skipped".cast("long").as("skipped"),
+        $"r.parsed".as("parsed"))
+      .orderBy($"doc_id")
+  }
+
   /** XSLT as a distributed column operator: per-row XML built from the
     * documents table, transformed by a compiled-once stylesheet (method=
     * text extraction); DuckDB rebuilds the expected extraction per row. */
@@ -510,6 +535,7 @@ object SparkEntry {
     "q28_xslt_extract"  -> (q28XsltExtract(_, _)),
     "q29_xsd_validate"  -> (q29XsdValidate(_, _)),
     "q30_media_ann"     -> (q30MediaAnn(_, _)),
+    "q31_ixml_recover"  -> (q31IxmlRecover(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -683,6 +709,17 @@ object SparkEntry {
       """SELECT doc_id,
         | (CASE WHEN doc_id % 10 = 7 THEN 0 ELSE 1 END)::BIGINT AS ok,
         | CASE WHEN doc_id % 10 <> 7 THEN
+        |   'pair {' || chr(10) || '    key   = ' || source || chr(10) ||
+        |   '    value = ' || n_chars::VARCHAR || chr(10) || '}' || chr(10)
+        | END AS parsed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the recovered parse (junk skipped) is rebuilt in SQL per row; the
+    // unrecoverable class must come back null with recovered=0
+    "q31_ixml_recover" ->
+      """SELECT doc_id,
+        | (CASE WHEN doc_id % 10 = 3 THEN 0 ELSE 1 END)::BIGINT AS recovered,
+        | (CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END)::BIGINT AS skipped,
+        | CASE WHEN doc_id % 10 <> 3 THEN
         |   'pair {' || chr(10) || '    key   = ' || source || chr(10) ||
         |   '    value = ' || n_chars::VARCHAR || chr(10) || '}' || chr(10)
         | END AS parsed

@@ -251,6 +251,52 @@ case class IxmlParse(left: Expression, right: Expression)
   override def prettyName: String = "ixml_parse"
 }
 
+/** ixml_parse_recover(grammar, input): like ixml_parse but with the
+  * reference's --ixml-try-to-recover semantics (min-cost codepoint skip; see
+  * Ixml.parseRecoverToDoc) — the pipeline shape for dirty text corpora where
+  * a partial parse beats an all-or-nothing failure document. Returns
+  * struct(parsed, skipped, recovered): parsed is the xmq print of the
+  * (possibly recovered) document, or null when recovery failed; skipped is
+  * the number of codepoints dropped. */
+case class IxmlParseRecover(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  import graft.xmq.ixml.{Ixml, IxmlReader}
+  override def dataType: DataType = IxmlParseRecover.schema
+  override def nullable: Boolean = true
+
+  @transient private lazy val constGrammar =
+    if (left.foldable) {
+      val g = left.eval(null)
+      if (g == null) null else IxmlReader.parse(g.toString)
+    } else null
+  @transient private var lastText: String = null
+  @transient private var lastGrammar: graft.xmq.ixml.Grammar = null
+
+  override protected def nullSafeEval(g: Any, in: Any): Any = {
+    val grammar =
+      if (constGrammar != null) constGrammar
+      else {
+        val text = g.toString
+        if (lastText != text) { lastGrammar = IxmlReader.parse(text); lastText = text }
+        lastGrammar
+      }
+    val r = Ixml.parseRecover(grammar, in.toString)
+    InternalRow(
+      if (r.recovered) UTF8String.fromString(XmqEngine.toXmq(r.doc)) else null,
+      r.skipped, r.recovered)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "ixml_parse_recover"
+}
+
+object IxmlParseRecover {
+  val schema: StructType = StructType(Seq(
+    StructField("parsed", StringType, nullable = true),
+    StructField("skipped", IntegerType, nullable = false),
+    StructField("recovered", BooleanType, nullable = false)))
+}
+
 /** xslt_transform(content, lang, stylesheet, to): apply an XSLT 1.0
   * stylesheet (itself in any engine format: xmq/xml/json) to the parsed
   * content and print the result in format `to` ("xmq"/"xml"/"json"/"text"/
@@ -624,6 +670,8 @@ object XmqFunctions {
     mkCol(XmqWellformed(exprOf(content), exprOf(lang)))
   def ixml_parse(grammar: Column, input: Column): Column =
     mkCol(IxmlParse(exprOf(grammar), exprOf(input)))
+  def ixml_parse_recover(grammar: Column, input: Column): Column =
+    mkCol(IxmlParseRecover(exprOf(grammar), exprOf(input)))
   def xslt_transform(content: Column, lang: Column, stylesheet: Column, to: Column): Column =
     mkCol(XsltTransform(Seq(exprOf(content), exprOf(lang), exprOf(stylesheet), exprOf(to))))
   def xsd_valid(content: Column, lang: Column, xsd: Column): Column =

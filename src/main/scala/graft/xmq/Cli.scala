@@ -23,6 +23,7 @@ object Cli {
     var lines = false
     var ixmlGrammar: String = null
     var ixmlAllParses = false
+    var ixmlTryToRecover = false
 
     args.trim.split("\\s+").filter(_.nonEmpty).foreach {
       case "--html" | "--htmq" => forced = Xmq.HTML
@@ -35,6 +36,7 @@ object Cli {
       case a if a.startsWith("--trim=") => trim = a.substring(7)
       case a if a.startsWith("--root=") => root = a.substring(7)
       case "--ixml-all-parses" => ixmlAllParses = true
+      case "--ixml-try-to-recover" => ixmlTryToRecover = true
       case a if a.startsWith("--ixml=") =>
         // xmq --ixml=grammar.ixml: the input is parsed with the iXML grammar
         // instead of format detection (xmq-cli.c:2296, ixml:name resolves
@@ -62,7 +64,9 @@ object Cli {
       } else if (ixmlGrammar != null) {
         val text = new String(Xmq.stripBom(input), StandardCharsets.UTF_8)
         val doc =
-          if (ixmlAllParses) graft.xmq.ixml.Ixml.parseAllToDoc(ixmlGrammar, text)
+          if (ixmlTryToRecover)
+            graft.xmq.ixml.Ixml.parseRecoverToDoc(ixmlGrammar, text, ixmlAllParses).doc
+          else if (ixmlAllParses) graft.xmq.ixml.Ixml.parseAllToDoc(ixmlGrammar, text)
           else graft.xmq.ixml.Ixml.parseToDoc(ixmlGrammar, text)
         Result(runDoc(doc, input, flags, cmds, base, env), ok = true)
       } else {

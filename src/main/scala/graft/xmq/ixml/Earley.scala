@@ -140,18 +140,24 @@ object Earley {
   private final case class Item(prodId: Int, dot: Int, origin: Int)
 
   /** parse `input` (codepoints); returns the derivation tree or throws
-    * IxmlParseError with the furthest failure position. */
+    * IxmlParseError with the furthest failure position.
+    *
+    * Mode selection mirrors the reference (xmq.c:5086-5110): cost markers
+    * in the grammar force min-cost selection over all parses; a '*' mark
+    * anywhere forces alternative rendering even without --ixml-all-parses. */
   def parse(g: Grammar, inputStr: String): XDoc =
-    parseInternal(g, inputStr, all = false).head
+    parseInternal(g, inputStr, all = false)
 
-  /** --ixml-all-parses: every distinct parse (reference xmq-cli.c passes
-    * XMQ_FLAG_IXML_ALL_PARSES → yaep ambiguity enumeration). Longest
-    * sub-spans are explored first, matching the reference's ordering on the
-    * ambiguity corpus; capped to keep pathological grammars bounded. */
-  def parseAll(g: Grammar, inputStr: String, max: Int = 64): Seq[XDoc] =
-    parseInternal(g, inputStr, all = true, max)
+  /** --ixml-all-parses: render the shared parse forest with an AMBIGUOUS
+    * element at each ambiguity site (yaep ALT nodes — xmq.c:4986-5023),
+    * alternatives under a '*'-marked parent spliced inline. Production
+    * alternatives list in declaration order, span splits longest-first,
+    * matching the reference on the ambiguity corpus; per-node alternatives
+    * are capped to keep pathological grammars bounded. */
+  def parseAllDoc(g: Grammar, inputStr: String): XDoc =
+    parseInternal(g, inputStr, all = true)
 
-  private def parseInternal(g: Grammar, inputStr: String, all: Boolean, max: Int = 64): Seq[XDoc] = {
+  private def parseInternal(g: Grammar, inputStr: String, all: Boolean, maxAlts: Int = 64): XDoc = {
     val c = compile(g)
     val input = inputStr.codePoints().toArray
     val n = input.length
@@ -263,40 +269,197 @@ object Earley {
     sealed trait DNode
     final case class DNt(nt: Int, mark: Char, kids: Seq[DNode]) extends DNode
     final case class DText(s: String) extends DNode
+    /** an ambiguity site: one child per alternative (yaep ALT chain →
+      * AMBIGUOUS element, xmq.c:4986-5023). */
+    final case class DAmb(alts: Seq[DNode]) extends DNode
 
-    val failMemo = HashSet.empty[(Int, Int, Int)]
+    // ---- per-node derivation enumeration over the completed chart ----
+    // A derivation of (nt, from, to) is a production + a span per symbol.
+    // Chart closure guarantees every combination of completed child spans is
+    // realizable, so enumeration needs no recursion into children.
+    final case class Deriv(pid: Int, spans: Array[Int]) // spans(i) = pos after sym i
 
-    def deriveNt(nt: Int, from: Int, to: Int, refMark: Char): Option[DNt] = {
-      val pids = compProd.getOrElse((nt, from, to), ArrayBuffer.empty)
-      var r: Option[Seq[DNode]] = None
-      val it = pids.iterator
-      while (r.isEmpty && it.hasNext) {
-        val pid = it.next()
-        if (!failMemo((pid, from, to))) {
-          r = deriveSeq(allProds(pid).syms, 0, from, to)
-          if (r.isEmpty) failMemo += ((pid, from, to))
+    val costMode = g.costsEnabled
+    val altMode = all || costMode || g.controlledAmbiguity
+
+    // rule costs by nt id ('<' markers; synthetic nonterminals cost 0)
+    val ntCost: Array[Int] = c.names.map(n => g.byName.get(n).map(_.cost).getOrElse(0))
+
+    val derivMemo = HashMap.empty[(Int, Int, Int), IndexedSeq[Deriv]]
+    /** all derivations of the node, production order as declared, span splits
+      * longest-first (the reference's exploration order on the ambiguity
+      * corpus), capped at maxAlts. */
+    def derivsOf(nt: Int, from: Int, to: Int): IndexedSeq[Deriv] =
+      derivMemo.getOrElseUpdate((nt, from, to), {
+        val out = ArrayBuffer.empty[Deriv]
+        val pids = compProd.getOrElse((nt, from, to), ArrayBuffer.empty)
+        for (pid <- pids if out.length < maxAlts) {
+          val syms = allProds(pid).syms
+          val spans = new Array[Int](syms.length)
+          def walk(si: Int, p: Int): Unit = {
+            if (out.length >= maxAlts) return
+            if (si == syms.length) {
+              if (p == to) out += Deriv(pid, spans.clone())
+              return
+            }
+            syms(si) match {
+              case Term(pred, _, _) =>
+                if (p < to && pred(input(p))) { spans(si) = p + 1; walk(si + 1, p + 1) }
+              case Ins(_) => spans(si) = p; walk(si + 1, p)
+              case Neg(check, _) =>
+                if (check(input, p)) { spans(si) = p; walk(si + 1, p) }
+              case NtRef(id, _) =>
+                val ends = comp.getOrElse((id, p), HashSet.empty).toSeq.sorted.reverse
+                for (mid <- ends if mid <= to) { spans(si) = mid; walk(si + 1, mid) }
+            }
+          }
+          walk(0, from)
+        }
+        out.toIndexedSeq
+      })
+
+    // ---- min-cost DP over the forest (prune_to_minimal, yaep_tree.c:709) ----
+    // cost(node) = rule cost + sum of child node costs; cycles cost +inf.
+    val INF = Int.MaxValue / 4
+    val costMemo = HashMap.empty[(Int, Int, Int), Int]
+    val costActive = HashSet.empty[(Int, Int, Int)]
+    def minCost(nt: Int, from: Int, to: Int): Int =
+      costMemo.get((nt, from, to)).getOrElse {
+        val key = (nt, from, to)
+        if (!costActive.add(key)) INF
+        else {
+          val ds = derivsOf(nt, from, to)
+          var best = INF
+          for (d <- ds) { val dc = derivCost(d, from); if (dc < best) best = dc }
+          costActive.remove(key)
+          val total = if (best >= INF) INF else math.min(INF, best + ntCost(nt))
+          costMemo((nt, from, to)) = total
+          total
         }
       }
-      r.map { kids =>
-        val mark = if (refMark != 0) refMark else c.marks(nt)
-        DNt(nt, mark, kids)
+    def derivCost(d: Deriv, from: Int): Int = {
+      val syms = allProds(d.pid).syms
+      var sum = 0
+      var p = from
+      var si = 0
+      while (si < syms.length && sum < INF) {
+        syms(si) match {
+          case NtRef(id, _) =>
+            val cc = minCost(id, p, d.spans(si))
+            sum = if (cc >= INF) INF else math.min(INF, sum + cc)
+          case _ =>
+        }
+        p = d.spans(si)
+        si += 1
       }
+      sum
     }
 
-    def deriveSeq(syms: Array[GSym], si: Int, from: Int, to: Int): Option[Seq[DNode]] = {
+    // ---- forest rendering ----
+    // Returns the node's alternatives (ambiguity sites yield >1), each a DNt
+    // carrying the node's effective mark. `active` guards unit-production
+    // cycles: a derivation re-entering an in-flight (nt, from, to) is skipped
+    // (minimal trees never repeat a node on a path, so a finite alternative
+    // always survives when one exists).
+    def renderAll(nt: Int, from: Int, to: Int, refMark: Char,
+                  active: HashSet[(Int, Int, Int)]): Seq[DNt] = {
+      val key = (nt, from, to)
+      if (!active.add(key)) return Nil
+      try {
+        var ds = derivsOf(nt, from, to)
+        if (costMode && ds.length > 1) {
+          val costs = ds.map(d => derivCost(d, from))
+          val best = costs.min
+          val kept = ds.indices.filter(i => costs(i) == best).map(ds)
+          // prune_to_minimal prepends equal-cost alternatives while walking
+          // the chain, so surviving ties come out REVERSED (yaep_tree.c:771)
+          ds = if (kept.length > 1) kept.reverse.toIndexedSeq else kept.toIndexedSeq
+        }
+        val mark = if (refMark != 0) refMark else c.marks(nt)
+        val out = ArrayBuffer.empty[DNt]
+        for (d <- ds) {
+          renderDeriv(d, from, mark == '*', active) match {
+            case Some(kids) => out += DNt(nt, mark, kids)
+            case None =>
+          }
+        }
+        out.toSeq
+      } finally active.remove(key)
+    }
+
+    /** render one derivation's child list; None when every alternative of
+      * some child was cycle-starved. `parentStar` splices child alternatives
+      * without the AMBIGUOUS wrapper (xmq.c:4999-5009). */
+    def renderDeriv(d: Deriv, from: Int, parentStar: Boolean,
+                    active: HashSet[(Int, Int, Int)]): Option[Seq[DNode]] = {
+      val syms = allProds(d.pid).syms
+      val kids = ArrayBuffer.empty[DNode]
+      var p = from
+      var si = 0
+      while (si < syms.length) {
+        syms(si) match {
+          case Term(_, hidden, _) =>
+            if (!hidden) kids += DText(new String(Character.toChars(input(p))))
+          case Ins(str) => kids += DText(str)
+          case Neg(_, _) =>
+          case NtRef(id, refMark) =>
+            val alts = renderAll(id, p, d.spans(si), refMark, active)
+            if (alts.isEmpty) return None
+            else if (alts.length == 1) kids += alts.head
+            else if (parentStar) kids ++= alts
+            else kids += DAmb(alts)
+        }
+        p = d.spans(si)
+        si += 1
+      }
+      Some(kids.toSeq)
+    }
+
+    // ---- single-parse extraction (one_parse mode): at each ambiguity site
+    // yaep picks the LAST declared alternative and the shortest leading
+    // sub-span (verified against the reference binary on x|y, p|q|r, q|p,
+    // grouped alts, two-site and span-split grammars). ----
+    val failMemo = HashSet.empty[(Int, Int, Int)]
+
+    def deriveNt(nt: Int, from: Int, to: Int, refMark: Char,
+                 active: HashSet[(Int, Int, Int)]): Option[DNt] = {
+      val key = (nt, from, to)
+      if (!active.add(key)) return None
+      try {
+        val pids = compProd.getOrElse((nt, from, to), ArrayBuffer.empty)
+        var r: Option[Seq[DNode]] = None
+        val it = pids.reverseIterator // last declared production wins
+        while (r.isEmpty && it.hasNext) {
+          val pid = it.next()
+          if (!failMemo((pid, from, to))) {
+            r = deriveSeq(allProds(pid).syms, 0, from, to, active)
+            // only cache failures that did not depend on the cycle guard:
+            // conservatively skip caching when the guard set is non-trivial
+            if (r.isEmpty && active.size <= 1) failMemo += ((pid, from, to))
+          }
+        }
+        r.map { kids =>
+          val mark = if (refMark != 0) refMark else c.marks(nt)
+          DNt(nt, mark, kids)
+        }
+      } finally active.remove(key)
+    }
+
+    def deriveSeq(syms: Array[GSym], si: Int, from: Int, to: Int,
+                  active: HashSet[(Int, Int, Int)]): Option[Seq[DNode]] = {
       if (si == syms.length) return if (from == to) Some(Nil) else None
       syms(si) match {
         case Term(pred, hidden, _) =>
           if (from < to && pred(input(from))) {
-            deriveSeq(syms, si + 1, from + 1, to).map { rest =>
+            deriveSeq(syms, si + 1, from + 1, to, active).map { rest =>
               if (hidden) rest
               else DText(new String(Character.toChars(input(from)))) +: rest
             }
           } else None
         case Ins(str) =>
-          deriveSeq(syms, si + 1, from, to).map(rest => DText(str) +: rest)
+          deriveSeq(syms, si + 1, from, to, active).map(rest => DText(str) +: rest)
         case Neg(check, _) =>
-          if (check(input, from)) deriveSeq(syms, si + 1, from, to) else None
+          if (check(input, from)) deriveSeq(syms, si + 1, from, to, active) else None
         case NtRef(id, refMark) =>
           val ends = comp.getOrElse((id, from), HashSet.empty).toSeq.sorted
           var res: Option[Seq[DNode]] = None
@@ -304,9 +467,9 @@ object Earley {
           while (res.isEmpty && eit.hasNext) {
             val mid = eit.next()
             if (mid <= to) {
-              deriveSeq(syms, si + 1, mid, to) match {
+              deriveSeq(syms, si + 1, mid, to, active) match {
                 case Some(rest) =>
-                  deriveNt(id, from, mid, refMark) match {
+                  deriveNt(id, from, mid, refMark, active) match {
                     case Some(node) => res = Some(node +: rest)
                     case None =>
                   }
@@ -322,12 +485,17 @@ object Earley {
     def textOf(node: DNode): String = node match {
       case DText(s) => s
       case DNt(_, _, kids) => kids.map(textOf).mkString
+      case DAmb(alts) => alts.headOption.map(textOf).getOrElse("")
     }
 
-    def buildDoc(rootNode: DNode): XDoc = {
+    def buildDoc(rootNodes: Seq[DNode]): XDoc = {
       val doc = new XDoc
       def emit(node: DNode, parent: XElem): Unit = node match {
         case DText(s) => if (parent != null) parent.appendText(s)
+        case DAmb(alts) =>
+          val e = new XElem("AMBIGUOUS")
+          alts.foreach(emitInto(_, e))
+          if (parent == null) doc.appendChild(e) else parent.appendChild(e)
         case DNt(nt, mark, kids) =>
           mark match {
             case '-' => kids.foreach(emit(_, parent))
@@ -343,14 +511,21 @@ object Earley {
               if (parent == null) doc.appendChild(e) else parent.appendChild(e)
           }
       }
-      // root with '-' mark: iXML serializes its children under... the corpus
-      // has no hidden roots; treat root as element regardless
-      rootNode match {
-        case DNt(nt, mark, kids) if mark == '-' || mark == '@' =>
-          val e = new XElem(c.outNames(nt))
-          kids.foreach(emit(_, e))
-          doc.appendChild(e)
-        case other => emit(other, null)
+      // inside an AMBIGUOUS element hidden alternatives splice their
+      // children directly (generate_dom_from_yaep_node: anonymous anodes)
+      def emitInto(node: DNode, e: XElem): Unit = emit(node, e)
+      rootNodes match {
+        case Seq(one) =>
+          // root with '-'/'@' mark: the corpus has no hidden roots; treat the
+          // root as an element regardless
+          one match {
+            case DNt(nt, mark, kids) if mark == '-' || mark == '@' =>
+              val e = new XElem(c.outNames(nt))
+              kids.foreach(emit(_, e))
+              doc.appendChild(e)
+            case other => emit(other, null)
+          }
+        case several => emit(DAmb(several), null)
       }
       doc
     }
@@ -400,67 +575,27 @@ object Earley {
       countNt(c.start, 0, n) >= 2
     }
 
-    if (!all) {
-      val rootNode = deriveNt(c.start, 0, n, 0)
-        .getOrElse(throw new IllegalStateException("accepted but no derivation"))
-      val doc = buildDoc(rootNode)
-      if (countAmbiguous()) {
-        doc.root match {
-          case null =>
-          case root =>
-            val a = new XAttr(null, "state")
-            a.appendText("ambiguous")
-            root.attrs += a
-            if (!root.nsDefs.exists(_.prefix == "ixml"))
-              root.nsDefs += NsDef("ixml", "http://invisiblexml.org/NS")
-        }
+    val rootNodes: Seq[DNode] =
+      if (altMode) {
+        val alts = renderAll(c.start, 0, n, 0, HashSet.empty)
+        if (alts.isEmpty) throw new IllegalStateException("accepted but no derivation")
+        alts
+      } else {
+        Seq(deriveNt(c.start, 0, n, 0, HashSet.empty)
+          .getOrElse(throw new IllegalStateException("accepted but no derivation")))
       }
-      return Seq(doc)
-    }
-
-    // ---- all-parses enumeration (longest sub-spans first, production order) ----
-    def allNt(nt: Int, from: Int, to: Int, refMark: Char): Iterator[DNt] = {
-      val pids = compProd.getOrElse((nt, from, to), ArrayBuffer.empty)
-      pids.iterator.flatMap { pid =>
-        allSeq(allProds(pid).syms, 0, from, to).map { kids =>
-          val mark = if (refMark != 0) refMark else c.marks(nt)
-          DNt(nt, mark, kids)
-        }
+    val doc = buildDoc(rootNodes)
+    if (countAmbiguous()) {
+      doc.root match {
+        case null =>
+        case root =>
+          val a = new XAttr(null, "state")
+          a.appendText("ambiguous")
+          root.attrs += a
+          if (!root.nsDefs.exists(_.prefix == "ixml"))
+            root.nsDefs += NsDef("ixml", "http://invisiblexml.org/NS")
       }
     }
-
-    def allSeq(syms: Array[GSym], si: Int, from: Int, to: Int): Iterator[Seq[DNode]] = {
-      if (si == syms.length)
-        return if (from == to) Iterator.single(Nil) else Iterator.empty
-      syms(si) match {
-        case Term(pred, hidden, _) =>
-          if (from < to && pred(input(from)))
-            allSeq(syms, si + 1, from + 1, to).map { rest =>
-              if (hidden) rest
-              else DText(new String(Character.toChars(input(from)))) +: rest
-            }
-          else Iterator.empty
-        case Ins(str) =>
-          allSeq(syms, si + 1, from, to).map(rest => DText(str) +: rest)
-        case Neg(check, _) =>
-          if (check(input, from)) allSeq(syms, si + 1, from, to) else Iterator.empty
-        case NtRef(id, refMark) =>
-          val ends = comp.getOrElse((id, from), HashSet.empty).toSeq.sorted.reverse
-          ends.iterator.filter(_ <= to).flatMap { mid =>
-            allNt(id, from, mid, refMark).flatMap { node =>
-              allSeq(syms, si + 1, mid, to).map(rest => node +: rest)
-            }
-          }
-      }
-    }
-
-    val docs = ArrayBuffer.empty[XDoc]
-    val seenOut = HashSet.empty[String]
-    val rootIt = allNt(c.start, 0, n, 0)
-    while (rootIt.hasNext && docs.length < max) {
-      val doc = buildDoc(rootIt.next())
-      if (seenOut.add(XmqEngine.toXmq(doc, compact = true))) docs += doc
-    }
-    docs.toSeq
+    doc
   }
 }

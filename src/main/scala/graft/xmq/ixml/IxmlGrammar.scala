@@ -28,10 +28,28 @@ final case class CChars(s: String) extends ClsMember
 final case class CCat(code: String) extends ClsMember
 
 final case class Rule(mark: Char, name: String, alts: Seq[Seq[Factor]],
-                      alias: Option[String] = None)
+                      alias: Option[String] = None, cost: Int = 0)
 final case class Grammar(rules: Seq[Rule]) {
   val byName: Map[String, Rule] = rules.map(r => r.name -> r).toMap
   def root: Rule = rules.head
+  /** `name =< alts.` — each '<' after =/: adds 1 to the rule's cost; any
+    * cost switches parsing to min-cost derivation selection
+    * (reference parse_ixml_rule, parts/ixml.c:1326-1332). */
+  def costsEnabled: Boolean = rules.exists(_.cost > 0)
+  /** `*name: ...` / `*ref` — controlled ambiguity: ambiguity is expected and
+    * rendered (all-parses mode) even without --ixml-all-parses; alternatives
+    * under a '*'-marked parent splice without the AMBIGUOUS wrapper
+    * (parts/ixml.c:1116-1121, xmq.c:4999-5009). */
+  def controlledAmbiguity: Boolean = rules.exists(r =>
+    r.mark == '*' || r.alts.exists(_.exists(hasStarRef)))
+  private def hasStarRef(f: Factor): Boolean = f match {
+    case Sym('*', _) => true
+    case Group(alts) => alts.exists(_.exists(hasStarRef))
+    case Opt(inner) => hasStarRef(inner)
+    case Rep(inner, sep, _) => hasStarRef(inner) || sep.exists(hasStarRef)
+    case NotAhead(inner) => hasStarRef(inner)
+    case _ => false
+  }
 }
 
 object ClsMember {
@@ -220,9 +238,9 @@ final class IxmlReader(s: String) {
       if (cur == '#') { i += 1; return postfix(Insert(new String(Character.toChars(parseHex())))) }
       return postfix(Insert(parseQuoted()))
     }
-    // marks
+    // marks ('*' = controlled ambiguity, reference is_ixml_mark_char ixml.c:347)
     var mark: Char = 0
-    if (cur == '-' || cur == '@' || cur == '^') {
+    if (cur == '-' || cur == '@' || cur == '^' || cur == '*') {
       // '-' could also start nothing else in factor position
       mark = cur
       i += 1
@@ -303,7 +321,7 @@ final class IxmlReader(s: String) {
     ws()
     while (i < s.length) {
       var mark: Char = 0
-      if (cur == '-' || cur == '@' || cur == '^') { mark = cur; i += 1; ws() }
+      if (cur == '-' || cur == '@' || cur == '^' || cur == '*') { mark = cur; i += 1; ws() }
       val name = parseName()
       ws()
       // alias: `name>alias:` — the output element uses the alias name
@@ -312,11 +330,14 @@ final class IxmlReader(s: String) {
       if (cur != ':' && cur != '=') err(s"expected : or = after rule name $name")
       i += 1
       if (cur == ':') i += 1 // tolerate '::' / ':=' styles? corpus uses ':' or '='
+      // cost markers: each '<' after =/: adds 1 (parse_ixml_rule, ixml.c:1326)
+      var cost = 0
+      while (cur == '<') { cost += 1; i += 1 }
       val alts = parseAlts()
       ws()
       if (cur != '.') err(s"expected . at end of rule $name")
       i += 1
-      rules += Rule(mark, name, alts, alias)
+      rules += Rule(mark, name, alts, alias, cost)
       ws()
     }
     if (rules.isEmpty) throw IxmlReader.IxmlSyntaxError(1, 1, "empty grammar")
