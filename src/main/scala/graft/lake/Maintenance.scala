@@ -129,15 +129,17 @@ object Maintenance {
       .join(broadcast(srcKeys), keys, "left_semi")
       .select((keys.map(col) :+ col("_file")): _*)
       .cache()
-    val affectedRel = matched.select($"_file").distinct().as[String].collect().toSeq
-      .map(table.io.relativize).toSet
-    val updatedCount = matched.count()
+    // one action: affected file set + updated count together (each extra
+    // action on a toy-sized table costs a full job of fixed overhead)
+    val head = matched.agg(collect_set($"_file").as("files"),
+                           count(lit(1)).as("n")).head()
+    val affectedRel = head.getSeq[String](0).map(table.io.relativize).toSet
+    val updatedCount = head.getLong(1)
     val matchedKeys = matched.select(keys.map(col): _*).distinct()
 
     // 2. classify source rows against the matched key set (small, broadcast)
     val updates = src.join(broadcast(matchedKeys), keys, "left_semi")
     val inserts = src.join(broadcast(matchedKeys), keys, "left_anti")
-    val insertedCount = inserts.count()
 
     // 3. copy-on-write: affected files keep their untouched rows, matched
     //    keys take the source's row
@@ -150,9 +152,9 @@ object Maintenance {
           .unionByName(updates)
         table.writeDataFiles(rewritten, "merge-cow")
       }
-    val addedInsert =
-      if (insertedCount == 0) Seq.empty
-      else table.writeDataFiles(inserts, "merge-insert")
+    // the insert count falls out of the write's own stats pass — no pre-count
+    val addedInsert = table.writeDataFiles(inserts, "merge-insert")
+    val insertedCount = addedInsert.map(_.record_count).sum
 
     table.commit(addedRewrite ++ addedInsert, affectedRel, "merge")
     matched.unpersist()
