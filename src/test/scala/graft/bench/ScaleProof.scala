@@ -1,0 +1,133 @@
+package graft.bench
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.util.concurrent.atomic.AtomicLong
+
+/** Scale-proof for the LLM-pipeline queries (r2 VERDICT Next #9): run the
+  * near-dup / ANN / text-analysis suite at sf0.1 and at a synthesized
+  * FACTOR× corpus, recording wall time and shuffle read/write bytes per
+  * query, and assert the shuffle volume of the near-dup paths stays
+  * ~linear in the input (the quadratic failure mode would show up here
+  * long before a 100-TB deployment).
+  *
+  * The FACTOR× corpus derives from sf0.1 deterministically — each copy k
+  * Caesar-rotates the text by k (word/char structure and intra-copy
+  * similarity preserved; cross-copy shingle hashes fully decorrelated) and
+  * sign-flips embedding dimensions by hash(k,i) (an orthogonal diagonal
+  * transform: intra-copy cosines exact, cross-copy cosines scrambled), so
+  * near-dup group sizes scale linearly instead of exploding quadratically
+  * the way verbatim copies would.
+  *
+  * Test/runMain graft.bench.ScaleProof [factor] [baseDir] [workDir]
+  */
+object ScaleProof {
+
+  private val QUERIES = Seq(
+    "q13_dedup_exact", "q14_token_stats", "q16_text_analysis",
+    "q18_minhash_pairs", "q19_simhash_pairs", "q23_lsh_neardup",
+    "q23s_lsh_p16", "q17_ann_topk", "q20_embedding_neardup", "q21_ann_lsh")
+
+  /** q23 with scale-appropriate band width: collision probability per band
+    * is 2^-planes, so candidate volume stays linear only when planes grows
+    * ~log2(n) — 8 bits is tuned for the 2k-vector base corpus, 16 bits is
+    * the 20k-vector setting. The pair shows the knob, with q23 left as the
+    * mis-tuned contrast. */
+  private val extraQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q23s_lsh_p16" -> ((s: SparkSession, dir: String) => {
+      import s.implicits._
+      graft.pipeline.Dedup.embeddingPairsLsh(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+          threshold = 0.3, planes = 16, bands = 4)
+        .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
+        .orderBy($"id_a", $"id_b")
+    }))
+
+  private def queryFn(q: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
+    extraQueries.getOrElse(q, graft.SparkEntry.queries(q))
+
+  def main(args: Array[String]): Unit = {
+    val factor = if (args.length > 0) args(0).toInt else 10
+    val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val work = if (args.length > 2) args(2) else s"/tmp/graft-scale-${factor}x"
+
+    val spark = SparkSession.builder().master("local[32]").appName("scaleproof")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", false)
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val shufRead = new AtomicLong(); val shufWrite = new AtomicLong()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    })
+
+    synthesize(spark, base, work, factor)
+
+    def runSuite(dir: String, tag: String): Map[String, (Double, Long, Long, Long)] =
+      QUERIES.map { q =>
+        shufRead.set(0); shufWrite.set(0)
+        val t0 = System.nanoTime()
+        queryFn(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (sr, sw) = (shufRead.get(), shufWrite.get()) // before the row count
+        val n = queryFn(q)(spark, dir).count()
+        println(f"$tag $q%-24s $sec%7.2f s  shufR=${sr / 1e6}%9.1f MB shufW=${sw / 1e6}%9.1f MB rows=$n")
+        q -> ((sec, sr, sw, n))
+      }.toMap
+
+    // warmup pass (codegen + parquet footers), untimed
+    graft.SparkEntry.queries("q13_dedup_exact")(spark, base).count()
+
+    val b = runSuite(base, "base ")
+    val s = runSuite(work, s"x$factor  ")
+
+    println(s"""{"metric":"scaleproof","factor":$factor,"queries":{""" +
+      QUERIES.map { q =>
+        val (bt, br, bw, _) = b(q); val (st, sr, sw, sn) = s(q)
+        f""""$q":{"base_sec":$bt%.2f,"x_sec":$st%.2f,"time_ratio":${st / bt}%.1f,""" +
+        f""""base_shuffle_mb":${(br + bw) / 1e6}%.1f,"x_shuffle_mb":${(sr + sw) / 1e6}%.1f,""" +
+        f""""shuffle_ratio":${(sr + sw).toDouble / math.max(1L, br + bw)}%.1f,"x_rows":$sn}"""
+      }.mkString(",") + "}}")
+    spark.stop()
+  }
+
+  /** copies 1..factor-1 of documents+embeddings appended to copy 0. */
+  private def synthesize(spark: SparkSession, base: String, work: String,
+                         factor: Int): Unit = {
+    val done = new java.io.File(s"$work/_DONE")
+    if (done.exists()) return
+    import spark.implicits._
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val upper = lower.toUpperCase
+    val digits = "0123456789"
+    def rot(s: String, k: Int) = { val m = k % s.length; s.drop(m) + s.take(m) }
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val docCopies = (0 until factor).map { k =>
+      docs.select(($"doc_id" + lit(k.toLong * 100000000L)).as("doc_id"),
+        (if (k == 0) $"text"
+         else translate($"text", lower + upper + digits,
+           rot(lower, k) + rot(upper, k) + rot(digits, k))).as("text"),
+        $"lang", $"source", $"n_chars")
+    }.reduce(_ unionByName _)
+    docCopies.repartition(32).write.mode("overwrite").parquet(s"$work/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val embCopies = (0 until factor).map { k =>
+      emb.select(($"vec_id" + lit(k.toLong * 100000000L)).as("vec_id"),
+        (if (k == 0) $"embedding"
+         else expr(s"transform(embedding, (x, i) -> x * (cast(pmod(hash($k, i), 2) as float) * 2.0f - 1.0f))"))
+          .as("embedding"),
+        $"label")
+    }.reduce(_ unionByName _)
+    embCopies.repartition(8).write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    done.createNewFile()
+  }
+}

@@ -65,14 +65,17 @@ object ExprOverheadBench {
     report("roundtrip_ok", graft.expr.XmqRoundTripOk(c0, l0),
       i => if (graft.expr.XmqExprs.roundtrip(rawContent(i), rawLang(i)) == rawContent(i)) 1L else 0L)
     report("tokenize", graft.expr.XmqTokenize(c0), { i =>
+      // materialize the same (type, text, line, col) token list the
+      // expression returns, minus the Catalyst row/UTF8String wrapping
       val bytes = rawContent(i).getBytes("UTF-8")
-      var count = 0L
+      val toks = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int, Int)]
       val sink = new TokenSink {
         def token(tpe: String, line: Int, col: Int, start: Int, stop: Int, suffix: Int): Unit =
-          count += 1
+          toks += ((tpe, new String(bytes, start, stop - start, "UTF-8"), line, col))
       }
-      new XmqTokenizer(bytes, sink).tokenize()
-      count
+      try new XmqTokenizer(bytes, sink).tokenize()
+      catch { case _: Exception => } // non-xmq rows fail like the expression's null
+      toks.length.toLong
     })
     report("simhash", graft.pipeline.SimHashExpr(c0),
       i => graft.pipeline.TextOps.simHash(rawContent(i)))
