@@ -93,6 +93,65 @@ object IxmlFuzzTool {
       s
     }
 
+    // random small grammars with 2-way ambiguity (rule choice, span splits,
+    // optional/repetition overlap) exercising the round-3 forest extraction:
+    // single-parse pick order (last declared alternative, shortest leading
+    // span) and the state=ambiguous marker must match the binary byte-exactly.
+    // Alternatives per rule stay at 2 — ordering among >=3 same-span
+    // alternatives depends on yaep's internal ALT-chain order (documented
+    // divergence, IxmlCostRecoverySpec).
+    def randomAmbigGrammar(): String = {
+      val atoms = Array("\"a\"", "\"b\"", "\"ab\"", "\"z\"")
+      val nRules = 2 + rnd.nextInt(3)
+      val names = (0 until nRules).map(i => s"r$i")
+      def factor(from: Int): String = {
+        val f = rnd.nextInt(6) match {
+          case 0 | 1 => atoms(rnd.nextInt(atoms.length))
+          case 2 if from + 1 < nRules => names(from + 1 + rnd.nextInt(nRules - from - 1))
+          case 3 => atoms(rnd.nextInt(2)) + "+"
+          case 4 => atoms(rnd.nextInt(2)) + "?"
+          case _ => atoms(rnd.nextInt(atoms.length))
+        }
+        f
+      }
+      def alt(from: Int): String =
+        (0 until 1 + rnd.nextInt(2)).map(_ => factor(from)).mkString(", ")
+      names.zipWithIndex.map { case (nm, i) =>
+        val alts = (0 until 1 + rnd.nextInt(2)).map(_ => alt(i)).mkString(" | ")
+        s"$nm: $alts."
+      }.mkString("\n") + "\n"
+    }
+
+    def randomAmbigInput(): String = {
+      val alphabet = "abz"
+      (0 until rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+
+    for (i <- 0 until n) {
+      val grammar = randomAmbigGrammar()
+      val input = randomAmbigInput()
+      total += 1
+      val gFile = tmp.resolve(s"ambig-$i.ixml")
+      val inFile = tmp.resolve(s"ambig-$i.inp")
+      Files.writeString(gFile, grammar)
+      Files.write(inFile, input.getBytes(StandardCharsets.UTF_8))
+      val mine =
+        try XmqEngine.toXmq(graft.xmq.ixml.Ixml.parseToDoc(grammar, input))
+        catch { case e: Exception => s"ENGINE-ERROR: $e\n" }
+      val proc = new ProcessBuilder(Binary, s"--ixml=$gFile", inFile.toString, "to-xmq").start()
+      val ref = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      val rc = proc.waitFor()
+      if (rc == 134 || rc == 139) {
+        // the reference aborted (yaep assertion) — nothing to compare
+      } else if (mine != ref) {
+        mismatches += 1
+        if (mismatches <= 5) {
+          System.err.println(s"=== MISMATCH ambig case $i grammar=\n$grammar input=${TextUtil.quoteAsC(input)}")
+          System.err.println(s"--- mine:\n$mine--- ref:\n$ref")
+        }
+      }
+    }
+
     for ((name, grammar) <- grammars) {
       val gFile = tmp.resolve(s"$name.ixml")
       Files.writeString(gFile, grammar)
