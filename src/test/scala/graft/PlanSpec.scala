@@ -76,6 +76,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q31 recovering ixml parse is map-only over the scan") {
+    // recovery must not change the plan shape: per-row expression, no joins,
+    // single exchange for the output sort
+    val p = planOf("q31_ixml_recover")
+    assert(!p.contains("Join"), s"q31 unexpectedly joins:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"q31 has $exchanges exchanges:\n$p")
+  }
+
+  test("q30 media ANN joins only through the LSH bucket equi-join") {
+    val p = planOf("q30_media_ann")
+    assert(!p.contains("CartesianProduct"), s"q30 cartesian:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q30 nested-loop:\n$p")
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString
