@@ -24,10 +24,41 @@ object Earley {
   final case class Neg(check: (Array[Int], Int) => Boolean, desc: String) extends GSym
 
   final case class Prod(nt: Int, syms: Array[GSym])
-  /** compiled grammar: nonterminal id → (name, mark, productions). */
+  /** compiled grammar: nonterminal id → (name, mark, productions), plus the
+    * grammar-static recognizer tables (flattened productions, production ids
+    * per nonterminal, nullability) so a per-row parse pays none of it. */
   final class Compiled(val names: Array[String], val outNames: Array[String],
                        val marks: Array[Char],
-                       val prods: Array[ArrayBuffer[Prod]], val start: Int)
+                       val prods: Array[ArrayBuffer[Prod]], val start: Int) {
+    val allProds: Array[Prod] = {
+      val b = ArrayBuffer.empty[Prod]
+      for (nt <- prods.indices; p <- prods(nt)) b += p
+      b.toArray
+    }
+    val prodsOf: Array[Array[Int]] = {
+      val b = Array.fill(names.length)(ArrayBuffer.empty[Int])
+      for (pid <- allProds.indices) b(allProds(pid).nt) += pid
+      b.map(_.toArray)
+    }
+    // nullability (for Aycock–Horspool magic completion); Neg is zero-width
+    // but position-dependent — treated conservatively as non-nullable, the
+    // dynamic emptyDone set in the recognizer handles those
+    val nullable: Array[Boolean] = {
+      val out = Array.fill(names.length)(false)
+      var changed = true
+      while (changed) {
+        changed = false
+        for (p <- allProds) {
+          if (!out(p.nt) && p.syms.forall {
+            case NtRef(id, _) => out(id)
+            case _: Ins => true
+            case _ => false
+          }) { out(p.nt) = true; changed = true }
+        }
+      }
+      out
+    }
+  }
 
   /** `at` = codepoint index of the failing token (yaep err_tok_num). */
   final case class IxmlParseError(at: Int)
@@ -137,7 +168,56 @@ object Earley {
   }
 
   // ---- recognizer ----
-  private final case class Item(prodId: Int, dot: Int, origin: Int)
+  // Chart items are packed longs — (prodId << 44) | (dot << 32) | origin —
+  // in flat long arrays with an open-addressing dedup set: the recognizer
+  // runs per ROW in a columnar expression, so per-item allocation and
+  // tuple-boxing costs multiply by corpus size.
+  @inline private def pk(prodId: Int, dot: Int, origin: Int): Long =
+    (prodId.toLong << 44) | (dot.toLong << 32) | origin.toLong
+  @inline private def pkProd(v: Long): Int = (v >>> 44).toInt
+  @inline private def pkDot(v: Long): Int = ((v >>> 32) & 0xfff).toInt
+  @inline private def pkOrg(v: Long): Int = (v & 0xffffffffL).toInt
+
+  private final class LongList {
+    var a = new Array[Long](8)
+    var n = 0
+    def add(v: Long): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = v; n += 1
+    }
+  }
+
+  /** open-addressing set of non-negative longs (packed items are ≥ 0). */
+  private final class LongSet {
+    private var mask = 15
+    private var table: Array[Long] = {
+      val t = new Array[Long](16); java.util.Arrays.fill(t, -1L); t
+    }
+    private var size = 0
+    def add(v: Long): Boolean = {
+      var i = (java.lang.Long.hashCode(v * 0x9e3779b97f4a7c15L) & mask)
+      while (true) {
+        val t = table(i)
+        if (t == -1L) {
+          table(i) = v; size += 1
+          if (size * 2 > mask) grow()
+          return true
+        }
+        if (t == v) return false
+        i = (i + 1) & mask
+      }
+      false
+    }
+    private def grow(): Unit = {
+      val old = table
+      mask = mask * 2 + 1
+      table = new Array[Long](mask + 1)
+      java.util.Arrays.fill(table, -1L)
+      size = 0
+      var j = 0
+      while (j < old.length) { if (old(j) != -1L) add(old(j)); j += 1 }
+    }
+  }
 
   /** parse `input` (codepoints); returns the derivation tree or throws
     * IxmlParseError with the furthest failure position.
@@ -157,43 +237,35 @@ object Earley {
   def parseAllDoc(g: Grammar, inputStr: String): XDoc =
     parseInternal(g, inputStr, all = true)
 
+  // one compiled form per Grammar: a per-row columnar expression parses
+  // millions of documents with the same grammar — desugaring per document
+  // would dominate small parses (weak keys: grammars die with their query)
+  private val compileCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[Grammar, Compiled]())
+
+  private def compiled(g: Grammar): Compiled = {
+    val hit = compileCache.get(g)
+    if (hit != null) hit
+    else { val c = compile(g); compileCache.put(g, c); c }
+  }
+
   private def parseInternal(g: Grammar, inputStr: String, all: Boolean, maxAlts: Int = 64): XDoc = {
-    val c = compile(g)
+    val c = compiled(g)
     val input = inputStr.codePoints().toArray
     val n = input.length
 
-    // flatten productions with ids
-    val allProds = ArrayBuffer.empty[Prod]
-    val prodsOf = Array.fill(c.names.length)(ArrayBuffer.empty[Int])
-    for (nt <- c.prods.indices; p <- c.prods(nt)) {
-      prodsOf(nt) += allProds.length
-      allProds += p
-    }
+    // grammar-static recognizer tables live on Compiled (computed once per
+    // grammar, shared across all rows)
+    val allProds = c.allProds
+    val prodsOf = c.prodsOf
+    val nullable = c.nullable
 
-    // nullability (for Aycock–Horspool magic completion)
-    val nullable = Array.fill(c.names.length)(false)
-    var changed = true
-    while (changed) {
-      changed = false
-      for (p <- allProds) {
-        if (!nullable(p.nt) && p.syms.forall {
-          case NtRef(id, _) => nullable(id)
-          case _: Ins => true
-          case _: Neg => false // lookahead depends on position; conservative
-          case _ => false
-        }) { nullable(p.nt) = true; changed = true }
-      }
-      // Neg is zero-width; a production of only Ins/Neg CAN derive empty, but
-      // nullability is only used to predict-advance — treat Neg-bearing
-      // productions as non-nullable and let normal completion handle them.
-    }
+    val sets = Array.fill(n + 1)(new LongList)
+    val seen = Array.fill(n + 1)(new LongSet)
+    @inline def add(k: Int, v: Long): Unit = if (seen(k).add(v)) sets(k).add(v)
 
-    val sets = Array.fill(n + 1)(ArrayBuffer.empty[Item])
-    val seen = Array.fill(n + 1)(HashSet.empty[(Int, Int, Int)])
-    def add(k: Int, it: Item): Unit =
-      if (seen(k).add((it.prodId, it.dot, it.origin))) sets(k) += it
-
-    for (pid <- prodsOf(c.start)) add(0, Item(pid, 0, 0))
+    for (pid <- prodsOf(c.start)) add(0, pk(pid, 0, 0))
 
     var furthest = 0
     var k = 0
@@ -202,39 +274,44 @@ object Earley {
     // the completer never revisits items added after an empty completion was
     // processed, so prediction consults this dynamic set too (the classic
     // Earley epsilon-completion gap, dynamic Aycock–Horspool variant).
-    val emptyDone = HashSet.empty[Int]
+    // generation-stamped (value k+1 means "empty at position k"): no clears.
+    val emptyGen = new Array[Int](c.names.length)
     while (k <= n) {
-      emptyDone.clear()
+      val setK = sets(k)
       var idx = 0
-      while (idx < sets(k).length) {
-        val it = sets(k)(idx)
-        val prod = allProds(it.prodId)
-        if (it.dot < prod.syms.length) {
-          prod.syms(it.dot) match {
+      while (idx < setK.n) {
+        val it = setK.a(idx)
+        val dot = pkDot(it)
+        val prod = allProds(pkProd(it))
+        if (dot < prod.syms.length) {
+          prod.syms(dot) match {
             case NtRef(id, _) =>
-              for (pid <- prodsOf(id)) add(k, Item(pid, 0, k))
-              if (nullable(id) || emptyDone(id)) add(k, Item(it.prodId, it.dot + 1, it.origin))
+              val pids = prodsOf(id)
+              var pi = 0
+              while (pi < pids.length) { add(k, pk(pids(pi), 0, k)); pi += 1 }
+              if (nullable(id) || emptyGen(id) == k + 1) add(k, it + (1L << 32))
             case Term(pred, _, _) =>
               if (k < n && pred(input(k))) {
-                add(k + 1, Item(it.prodId, it.dot + 1, it.origin))
+                add(k + 1, it + (1L << 32))
                 if (k + 1 > furthest) furthest = k + 1
               }
-            case Ins(_) => add(k, Item(it.prodId, it.dot + 1, it.origin))
+            case Ins(_) => add(k, it + (1L << 32))
             case Neg(check, _) =>
-              if (check(input, k)) add(k, Item(it.prodId, it.dot + 1, it.origin))
+              if (check(input, k)) add(k, it + (1L << 32))
           }
         } else {
           // completion
           val nt = prod.nt
-          val org = it.origin
-          if (org == k) emptyDone += nt // zero-width span: see emptyDone above
+          val org = pkOrg(it)
+          if (org == k) emptyGen(nt) = k + 1 // zero-width span: see above
+          val setO = sets(org)
           var j = 0
-          while (j < sets(org).length) {
-            val cand = sets(org)(j)
-            val cp = allProds(cand.prodId)
-            if (cand.dot < cp.syms.length) cp.syms(cand.dot) match {
-              case NtRef(id, _) if id == nt =>
-                add(k, Item(cand.prodId, cand.dot + 1, cand.origin))
+          while (j < setO.n) {
+            val cand = setO.a(j)
+            val cdot = pkDot(cand)
+            val cp = allProds(pkProd(cand))
+            if (cdot < cp.syms.length) cp.syms(cdot) match {
+              case NtRef(id, _) if id == nt => add(k, cand + (1L << 32))
               case _ =>
             }
             j += 1
@@ -245,9 +322,17 @@ object Earley {
       k += 1
     }
 
-    val accepted = sets(n).exists { it =>
-      val p = allProds(it.prodId)
-      p.nt == c.start && it.origin == 0 && it.dot == p.syms.length
+    val accepted = {
+      val setN = sets(n)
+      var found = false
+      var i = 0
+      while (!found && i < setN.n) {
+        val it = setN.a(i)
+        val p = allProds(pkProd(it))
+        found = p.nt == c.start && pkOrg(it) == 0 && pkDot(it) == p.syms.length
+        i += 1
+      }
+      found
     }
     if (!accepted) {
       // the failing token index = furthest position a terminal matched
@@ -258,11 +343,17 @@ object Earley {
     // completed spans: (nt, start) -> set of ends; per production too
     val comp = HashMap.empty[(Int, Int), HashSet[Int]] // (nt, origin) -> ends
     val compProd = HashMap.empty[(Int, Int, Int), ArrayBuffer[Int]] // (nt, origin, end) -> prodIds
-    for (end <- 0 to n; it <- sets(end)) {
-      val p = allProds(it.prodId)
-      if (it.dot == p.syms.length) {
-        comp.getOrElseUpdate((p.nt, it.origin), HashSet.empty) += end
-        compProd.getOrElseUpdate((p.nt, it.origin, end), ArrayBuffer.empty) += it.prodId
+    for (end <- 0 to n) {
+      val s = sets(end)
+      var i = 0
+      while (i < s.n) {
+        val it = s.a(i)
+        val p = allProds(pkProd(it))
+        if (pkDot(it) == p.syms.length) {
+          comp.getOrElseUpdate((p.nt, pkOrg(it)), HashSet.empty) += end
+          compProd.getOrElseUpdate((p.nt, pkOrg(it), end), ArrayBuffer.empty) += pkProd(it)
+        }
+        i += 1
       }
     }
 
