@@ -24,6 +24,9 @@ object Cli {
     var ixmlGrammar: String = null
     var ixmlAllParses = false
     var ixmlTryToRecover = false
+    var ixmlFailSilent = false
+    var clinesInput = false
+    var meta: String = null // --version/--help/--license intercept
 
     args.trim.split("\\s+").filter(_.nonEmpty).foreach {
       case "--html" | "--htmq" => forced = Xmq.HTML
@@ -37,6 +40,21 @@ object Cli {
       case a if a.startsWith("--root=") => root = a.substring(7)
       case "--ixml-all-parses" => ixmlAllParses = true
       case "--ixml-try-to-recover" => ixmlTryToRecover = true
+      case "--ixml-fail-silent" => ixmlFailSilent = true
+      // --clines input parsing errors out in the reference (rc=1, no output)
+      case "--clines" => clinesInput = true
+      case "--version" => meta = "xmq: 4.2.0-modified\n"
+      case "--license" => meta = License.text
+      case "--help" => meta = "Usage: xmq [options] <file> ( <command> [options] )*\n"
+      // accepted no-ops: diagnostics to stderr in the reference; network and
+      // engine selection are out of scope (zero-egress sandbox); the
+      // reference itself never reads build_xml_of_ixml (xmq-cli.c:178)
+      case "--debug" | "--verbose" | "--trace" | "--silent" | "--log-xmq"
+         | "--xml-of-ixml" | "--force-download" =>
+      case a if a.startsWith("--debug=") || a.startsWith("--verbose=") ||
+                a.startsWith("--trace=") =>
+      case a if a.startsWith("--ixml-engine=") =>
+        throw new UnsupportedOperationException("external ixml engines out of scope")
       case a if a.startsWith("--ixml=") =>
         // xmq --ixml=grammar.ixml: the input is parsed with the iXML grammar
         // instead of format detection (xmq-cli.c:2296, ixml:name resolves
@@ -50,6 +68,10 @@ object Cli {
       case _ => // unsupported load flag: ignore
     }
     val flags = XmqEngine.ParseFlags(forced, trim, nomerge, root)
+    if (meta != null) return Result(meta, ok = true)
+    // the reference's clines input parser is wired but its command pipeline
+    // rejects the resulting doc (rc=1, no output) — reproduced as a failure
+    if (clinesInput) return Result(null, ok = false, error = "clines input rejected")
 
     try {
       if (lines) {
@@ -68,7 +90,12 @@ object Cli {
             graft.xmq.ixml.Ixml.parseRecoverToDoc(ixmlGrammar, text, ixmlAllParses).doc
           else if (ixmlAllParses) graft.xmq.ixml.Ixml.parseAllToDoc(ixmlGrammar, text)
           else graft.xmq.ixml.Ixml.parseToDoc(ixmlGrammar, text)
-        Result(runDoc(doc, input, flags, cmds, base, env), ok = true)
+        // --ixml-fail-silent: XMQ_FLAG_IXML_FAIL_SILENT clears the document
+        // on parse failure and prints nothing (xmq.c:5128-5137), exit 0
+        val failed = doc.root != null && doc.root.name == "ixml" &&
+          doc.root.attrs.exists(a => a.key == "state" && a.stringValue == "failed")
+        if (ixmlFailSilent && failed) Result("", ok = true)
+        else Result(runDoc(doc, input, flags, cmds, base, env), ok = true)
       } else {
         Result(runOne(input, flags, cmds, base, env), ok = true)
       }
@@ -120,6 +147,10 @@ object Cli {
     def xmqOpts(opts: List[String], htmq: Boolean): XmqSettings =
       XmqSettings(
         compact = opts.contains("--compact"),
+        addIndent = opts.collectFirst {
+          case o if o.startsWith("--indent=") => o.substring(9).toInt
+        }.getOrElse(4),
+        preferDoubleQuotes = opts.contains("--prefer-double-quotes"),
         escapeTabs = opts.contains("--escape-tabs"),
         escapeNon7bit = opts.contains("--escape-non-7bit"),
         escapeNewlinesFlag = opts.contains("--escape-newlines"),
@@ -133,8 +164,9 @@ object Cli {
         output = XmqEngine.toXmq(doc, xmqOpts(opts, htmq))
         exec(more)
       case "to-xml" :: rest =>
-        val (_, more) = rest.span(_.startsWith("--"))
-        output = XmqEngine.toXml(doc); exec(more)
+        val (opts, more) = rest.span(_.startsWith("--"))
+        output = XmlPrinter.printXml(doc, withDecl = !opts.contains("--omit-decl"))
+        exec(more)
       case "to-html" :: rest =>
         val (_, more) = rest.span(_.startsWith("--"))
         output = XmqEngine.toHtml(doc); exec(more)
