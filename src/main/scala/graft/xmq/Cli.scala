@@ -305,8 +305,13 @@ object Cli {
         val spec = opts.find(_.startsWith("--theme="))
           .map(_.substring(8)).orElse(env.get("XMQ_THEME")).orNull
         output = cmd match {
-          case "render-html" => Theme.renderHtml(doc, spec)
-          case "render-terminal" => Theme.renderTerminal(doc, spec)
+          case "render-html" => Theme.renderHtml(doc, spec,
+            nostyle = opts.contains("--nostyle"),
+            onlystyle = opts.contains("--onlystyle"),
+            classExtra = opts.find(_.startsWith("--class="))
+              .map(_.substring(8)).orNull,
+            idAttr = opts.find(_.startsWith("--id=")).map(_.substring(5)).orNull)
+          case "render-terminal" => Theme.renderTerminal(doc, spec, tty = false)
           case _ => Theme.renderTex(doc, spec)
         }
         exec(more)

@@ -122,24 +122,37 @@ object Theme {
     Tok.AttrValueEntity -> "xmqE", Tok.AttrValueCompoundEntity -> "xmqE",
     Tok.NsDeclaration -> "xmqNSD")
 
-  /** write_safe_tex + indentation/newline substitution of setup_tex_coloring
-    * (indentation_space = "\xmqI ", explicit_nl = "\linebreak\n"). */
-  private def texEscape(s: String, sb: StringBuilder): Unit = {
-    var afterNl = false
-    s.foreach {
-      case '&' => sb.append("\\&"); afterNl = false
-      case '\\' => sb.append("\\\\"); afterNl = false
-      case '_' => sb.append("\\_"); afterNl = false
-      case '\n' => sb.append("\\linebreak\n"); afterNl = true
-      case ' ' if afterNl => sb.append("\\xmqI ")
-      case c => sb.append(c); afterNl = false
-    }
+  /** write_safe_tex: span content — only & \ _ escape; spaces stay raw
+    * inside \xmqXX{...} commands. */
+  private def texEscape(s: String, sb: StringBuilder): Unit = s.foreach {
+    case '&' => sb.append("\\&")
+    case '\\' => sb.append("\\\\")
+    case '_' => sb.append("\\_")
+    case '\'' => sb.append("{'}") // breaks the tex '' ligature
+    case '\n' => sb.append("\\linebreak\n")
+    case c => sb.append(c)
   }
 
-  /** generate_html_color: custom-element CSS rule (unset colors are emitted
-    * as 000000 — sensible where the reference formats the -1 sentinel raw). */
-  private def htmlColor(d: ColorDef, name: String): String = {
-    val rgb = if (d.r < 0) "000000" else f"${d.r}%02x${d.g}%02x${d.b}%02x"
+  /** gap text between tokens: setup_tex_coloring's indentation_space /
+    * explicit_space = "\xmqI ", explicit_nl = "\linebreak\n". */
+  private def texGapEscape(s: String, sb: StringBuilder): Unit = s.foreach {
+    case '&' => sb.append("\\&")
+    case '\\' => sb.append("\\\\")
+    case '_' => sb.append("\\_")
+    case ' ' => sb.append("\\xmqI ")
+    case '\n' => sb.append("\\linebreak\n")
+    case c => sb.append(c)
+  }
+
+  /** generate_html_color: custom-element CSS rule. In a full render the
+    * reference has resolved FG/BG to the mode colors (000000); --onlystyle
+    * skips that resolution, so its C printf formats the -1 sentinel as
+    * "ffffffff" per component — reproduced byte-exactly. */
+  private def htmlColor(d: ColorDef, name: String, rawSentinel: Boolean): String = {
+    val rgb =
+      if (d.r >= 0) f"${d.r}%02x${d.g}%02x${d.b}%02x"
+      else if (rawSentinel) "ffffffffffffffffffffffff"
+      else "000000"
     val bold = if (d.bold) "font-weight:600;" else ""
     val ul = if (d.underline) "text-decoration:underline;" else ""
     s"$name{color:#$rgb;$bold$ul}"
@@ -150,7 +163,7 @@ object Theme {
 
   /** setup_html_coloring's stylesheet (dark + light pre rules + per-token
     * custom-element colors). */
-  def htmlStyle(theme: Installed): String = {
+  def htmlStyle(theme: Installed, rawSentinel: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append("@media screen and (orientation: portrait) { pre { font-size: 2vw; } }")
     sb.append("@media screen and (orientation: landscape) { pre { max-width: 98%; } }")
@@ -163,44 +176,54 @@ object Theme {
     sb.append(";border:solid 1px #888888;display:inline-block;padding:1em;color:#")
     sb.append(hex6(theme.dark(13), "000000")).append(";}\n")
     sb.append("body.xmq_dark {background-color:black;}\nbody.xmq_light {}\n")
-    for (i <- colorNames.indices) sb.append(htmlColor(theme.dark(i), colorNames(i)))
+    for (i <- colorNames.indices) sb.append(htmlColor(theme.dark(i), colorNames(i), rawSentinel))
     sb.append("pre.xmq_light {\n")
-    for (i <- colorNames.indices) sb.append(htmlColor(theme.light(i), colorNames(i)))
+    for (i <- colorNames.indices) sb.append(htmlColor(theme.light(i), colorNames(i), rawSentinel))
     sb.append("pre.xmq_dark {}\n}\n")
     sb.toString
   }
 
+  /** the render content writer escapes & < > only — double quotes print raw
+    * (verified against the binary; write_safe_html's quot branch is not on
+    * the quote-content path). */
   private def htmlEscape(s: String, sb: StringBuilder): Unit = s.foreach {
     case '&' => sb.append("&amp;")
     case '<' => sb.append("&lt;")
     case '>' => sb.append("&gt;")
-    case '"' => sb.append("&quot;")
     case c => sb.append(c)
   }
 
   /** render-html: standalone html page, tokens wrapped in custom elements
     * (<xmqEN>...</xmqEN>) styled by the theme css (setup_html_coloring). */
-  def renderHtml(doc: XDoc, themeSpec: String, darkModeDefault: Boolean = false): String = {
+  def renderHtml(doc: XDoc, themeSpec: String, darkModeDefault: Boolean = true,
+                 nostyle: Boolean = false, onlystyle: Boolean = false,
+                 classExtra: String = null, idAttr: String = null): String = {
     val darkMode =
       if (themeSpec == null) darkModeDefault
       else if (themeSpec.endsWith("-dark")) true
       else if (themeSpec.endsWith("-light")) false
       else darkModeDefault
     val theme = install(themeSpec)
+    // --onlystyle: just the stylesheet; the FG/BG mode resolution of a full
+    // render has not happened, so unset colors print the raw C sentinel
+    if (onlystyle) return htmlStyle(theme, rawSentinel = true)
     val body = colorizeTokens(doc,
       tpe => tokenCommand.get(tpe).map(cmd => (s"<$cmd>", s"</$cmd>")),
-      htmlEscape)
+      htmlEscape).stripSuffix("\n") // the print's final newline stays outside <pre>
     val mode = if (darkMode) "xmq_dark" else "xmq_light"
+    val idPart = if (idAttr != null) s"""id="$idAttr" """ else ""
+    val classPart = if (classExtra != null) s" $classExtra" else ""
+    val pre = s"""<pre ${idPart}class="xmq $mode$classPart">$body</pre>"""
+    // --nostyle: only the pre block, no page wrapper or stylesheet
+    if (nostyle) return pre + "\n"
     val sb = new StringBuilder
     sb.append("<!DOCTYPE html>\n<html>\n")
     sb.append("<head><meta http-equiv=\"content-type\" content=\"text/html; charset=UTF-8\">")
     sb.append("<meta name=\"viewport\" content=\"width=device-width, initial-scale=1, maximum-scale=5\"><style>")
-    sb.append(htmlStyle(theme))
+    sb.append(htmlStyle(theme, rawSentinel = true))
     sb.append("</style></head>")
     sb.append(s"""<body class="$mode">""")
-    sb.append(s"""<pre class="xmq $mode">""")
-    sb.append(body)
-    sb.append("</pre>")
+    sb.append(pre)
     sb.append("</body>")
     sb.append("</html>")
     sb.append('\n')
@@ -221,7 +244,11 @@ object Theme {
 
   /** render-terminal (truecolor): ANSI-colored xmq for a dark or light
     * terminal background (setup_terminal_coloring). */
-  def renderTerminal(doc: XDoc, themeSpec: String, darkMode: Boolean = true): String = {
+  def renderTerminal(doc: XDoc, themeSpec: String, darkMode: Boolean = true,
+                     tty: Boolean = true): String = {
+    // piped (non-tty) output disables terminal coloring entirely in the
+    // reference — plain xmq print, no ANSI, no reset
+    if (!tty) return XmqEngine.toXmq(doc)
     val theme = install(themeSpec)
     val active = if (darkMode) theme.dark else theme.light
     val body = colorizeTokens(doc,
@@ -258,31 +285,83 @@ object Theme {
     * each token with the renderer's pre/post, escape content. */
   private def colorizeTokens(doc: XDoc,
                              wrap: String => Option[(String, String)],
-                             escape: (String, StringBuilder) => Unit): String =
+                             escape: (String, StringBuilder) => Unit,
+                             gapEscape: (String, StringBuilder) => Unit = null): String =
     colorizeBytes(XmqEngine.toXmq(doc).getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      wrap, escape)
+      wrap, escape, splitQuotes = true, gapEscape)
 
+  /** `splitQuotes`: the render-* commands colorize through the PRINTER,
+    * which writes quote delimiters, each content line, and continuation
+    * indentation as separate token writes (xmq.c tokenize_##TYPE per write);
+    * `tokenize --type=` colorizes the parser's token stream where a quote is
+    * ONE callback — so renders split, raw tokenize does not. */
   private def colorizeBytes(bytes: Array[Byte],
                             wrap: String => Option[(String, String)],
-                            escape: (String, StringBuilder) => Unit): String = {
+                            escape: (String, StringBuilder) => Unit,
+                            splitQuotes: Boolean = false,
+                            gapEscape0: (String, StringBuilder) => Unit = null): String = {
+    // gap text (inter-token whitespace, quote continuation indentation) may
+    // escape differently from span content (tex: spaces become \xmqI only
+    // in gaps — setup_tex_coloring's indentation_space/explicit_space)
+    val gapEscape = if (gapEscape0 != null) gapEscape0 else escape
     val body = new StringBuilder
     var pos = 0
     val sink = new TokenSink {
       def token(tpe: String, line: Int, col: Int, start: Int, stop: Int, suffix: Int): Unit = {
         if (start > pos)
-          escape(new String(bytes, pos, start - pos, java.nio.charset.StandardCharsets.UTF_8), body)
+          gapEscape(new String(bytes, pos, start - pos, java.nio.charset.StandardCharsets.UTF_8), body)
         val text = new String(bytes, start, stop - start, java.nio.charset.StandardCharsets.UTF_8)
-        wrap(tpe) match {
-          case Some((pre, post)) =>
-            body.append(pre); escape(text, body); body.append(post)
-          case None => escape(text, body)
+        def span(s: String, pp: Option[(String, String)]): Unit = pp match {
+          case Some((pre, post)) => body.append(pre); escape(s, body); body.append(post)
+          case None => escape(s, body)
+        }
+        val pp = wrap(tpe)
+        // quote delimiters are written RAW by the printer (only the content
+        // goes through write_safe_html, xmq.c:892)
+        def rawSpan(s: String): Unit = pp match {
+          case Some((pre, post)) => body.append(pre).append(s).append(post)
+          case None => body.append(s)
+        }
+        val isQuote = splitQuotes && tpe.endsWith("quote") && text.nonEmpty &&
+          (text.charAt(0) == '\'' || text.charAt(0) == '"')
+        if (splitQuotes && tpe == "whitespace") {
+          // the printer writes inter-token whitespace through its
+          // indentation/space settings, not the safe content writer
+          gapEscape(text, body)
+        } else if (splitQuotes && (tpe == "comment" || tpe == "comment_continuation") &&
+            text.endsWith("\n")) {
+          // the printer ends the comment span before its newline
+          span(text.dropRight(1), pp); gapEscape("\n", body)
+        } else if (!isQuote) span(text, pp)
+        else {
+          val q = text.charAt(0)
+          var r = 0
+          while (r < text.length && text.charAt(r) == q) r += 1
+          if (r == text.length) span(text, pp) // empty quote: one content span
+          else {
+            val content = text.substring(r, text.length - r)
+            rawSpan(text.substring(0, r))
+            // continuation lines are printer-indented to the content column
+            val indent = (col - 1) + r
+            val lines = content.split("\n", -1)
+            for (li <- lines.indices) {
+              if (li > 0) {
+                var k = 0
+                val ln = lines(li)
+                while (k < indent && k < ln.length && ln.charAt(k) == ' ') k += 1
+                gapEscape("\n" + ln.substring(0, k), body)
+                if (ln.length > k) span(ln.substring(k), pp)
+              } else if (lines(li).nonEmpty) span(lines(li), pp)
+            }
+            rawSpan(text.substring(text.length - r))
+          }
         }
         pos = stop
       }
     }
     new XmqTokenizer(bytes, sink).tokenize()
     if (pos < bytes.length)
-      escape(new String(bytes, pos, bytes.length - pos, java.nio.charset.StandardCharsets.UTF_8), body)
+      gapEscape(new String(bytes, pos, bytes.length - pos, java.nio.charset.StandardCharsets.UTF_8), body)
     body.toString
   }
 
@@ -294,9 +373,18 @@ object Theme {
     // render_to==TEX forces dark_mode=false when no spec names a mode (xmq.c:186)
     val darkMode = themeSpec != null && themeSpec.endsWith("-dark")
     val theme = install(themeSpec)
-    val body = colorizeTokens(doc,
-      tpe => tokenCommand.get(tpe).map(cmd => (s"\\$cmd{", "}")),
-      texEscape)
+    val body0 = colorizeTokens(doc,
+      {
+        // structural braces print as \{ \} (theme pre-string), with the
+        // brace char itself outside any color command
+        case "brace_left" | "brace_right" => Some(("\\", ""))
+        case tpe => tokenCommand.get(tpe).map(cmd => (s"\\$cmd{", "}"))
+      },
+      texEscape, texGapEscape)
+    // the final newline of the print is a plain newline, not a \linebreak
+    val body =
+      if (body0.endsWith("\\linebreak\n")) body0.dropRight("\\linebreak\n".length)
+      else body0.stripSuffix("\n")
     val sb = new StringBuilder
     sb.append("\\documentclass[10pt,a4paper]{article}\n\\usepackage{color}\n\\usepackage{bold-extra}\n")
     sb.append(texStyle(theme, darkMode))

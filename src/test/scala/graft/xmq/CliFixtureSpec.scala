@@ -51,14 +51,20 @@ class CliFixtureSpec extends AnyFunSuite {
     assert(h.output.startsWith("<!DOCTYPE html>\n<html>\n"))
     assert(h.output.contains("<xmqEN>alfa</xmqEN>"))
     assert(h.output.contains("<xmqAK>x</xmqAK>"))
-    assert(h.output.contains("<xmqEKV>'hi there'</xmqEKV>"))
+    // quote delimiters and content are separate spans (printer-driven
+    // coloring - verified byte-exact vs the binary in round 3)
+    assert(h.output.contains("<xmqEKV>'</xmqEKV><xmqEKV>hi there</xmqEKV><xmqEKV>'</xmqEKV>"))
     assert(h.output.contains("xmqEN{color:#a86c00;}"))  // light theme css
     assert(h.output.contains("xmqEN{color:#ff8c00;}"))  // dark theme css
+    // the CLI pipes: non-tty render-terminal disables coloring like the
+    // binary; the ANSI path stays available via Theme.renderTerminal
     val t = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "render-terminal")
     assert(t.ok, s"${t.error}")
-    assert(t.output.contains("[0;38;2;255;140;0malfa"))   // EN dark #ff8c00
-    assert(t.output.contains("[0;1;38;2;38;162;105m'hi there'")) // EKV bold #26a269
-    assert(t.output.endsWith("[0m\n"))
+    assert(t.output == "alfa(x = 1)\n{\n    beta = 'hi there'\n}\n")
+    val ansi = Theme.renderTerminal(XmqEngine.parse(input.getBytes(StandardCharsets.UTF_8),
+      XmqEngine.ParseFlags()), null)
+    assert(ansi.contains("\u001b[0;38;2;255;140;0malfa"))   // EN dark #ff8c00
+    assert(ansi.endsWith("\u001b[0m\n"))
   }
 
   test("tokenize --type=tex/html/terminal colorize the raw input") {
