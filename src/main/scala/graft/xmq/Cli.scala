@@ -265,11 +265,27 @@ object Cli {
       case "transform" :: rest =>
         // transform [--stringparam=k=v ...] <stylesheet> (xmq-cli.c:2489 cmd_transform)
         val (opts, more) = rest.span(_.startsWith("--"))
-        val params = opts.collect {
-          case o if o.startsWith("--stringparam=") =>
-            val kv = o.substring("--stringparam=".length)
+        // --stringparam=k=v passes a string; --param=k=v passes a raw XPath
+        // expression (xmq-cli.c:1142-1181 quotes only the stringparam form).
+        // JAXP setParameter takes objects, so quoted expressions unwrap to
+        // strings and bare numbers become Doubles; node-set expressions are
+        // out of scope (documented).
+        val params: Map[String, Any] = opts.collect {
+          case o if o.startsWith("--stringparam=") || o.startsWith("--param=") =>
+            val raw = o.startsWith("--param=")
+            val kv = o.substring(o.indexOf('=') + 1)
             val i = kv.indexOf('=')
-            if (i > 0) Some(kv.substring(0, i) -> kv.substring(i + 1)) else None
+            if (i <= 0) None
+            else {
+              val v0 = kv.substring(i + 1)
+              val v: Any =
+                if (!raw) v0
+                else if (v0.length >= 2 &&
+                  ((v0.head == '\'' && v0.last == '\'') ||
+                   (v0.head == '"' && v0.last == '"'))) v0.substring(1, v0.length - 1)
+                else v0.toDoubleOption.map(d => d: java.lang.Double).getOrElse(v0)
+              Some(kv.substring(0, i) -> v)
+            }
         }.flatten.toMap
         more match {
           case path :: rest2 =>
@@ -304,8 +320,16 @@ object Cli {
         val (opts, more) = rest.span(_.startsWith("--"))
         val spec = opts.find(_.startsWith("--theme="))
           .map(_.substring(8)).orElse(env.get("XMQ_THEME")).orNull
+        // --bg=dark|light|mono overrides the mode (mono renders light
+        // markup too — verified against the binary)
+        val bg = opts.find(_.startsWith("--bg=")).map(_.substring(5))
         output = cmd match {
           case "render-html" => Theme.renderHtml(doc, spec,
+            darkModeDefault = bg match {
+              case Some("light") | Some("mono") => false
+              case Some("dark") => true
+              case _ => true
+            },
             nostyle = opts.contains("--nostyle"),
             onlystyle = opts.contains("--onlystyle"),
             classExtra = opts.find(_.startsWith("--class="))

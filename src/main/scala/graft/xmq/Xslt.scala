@@ -47,14 +47,14 @@ object Xslt {
     * `resolveBase` anchors relative document() hrefs (reference: cwd). */
   def transform(doc: XDoc,
                 stylesheet: Array[Byte],
-                params: Map[String, String] = Map.empty,
+                params: Map[String, Any] = Map.empty,
                 resolveBase: String = "."): XDoc =
     transformDoc(doc, compile(stylesheet, resolveBase), params, resolveBase)
 
   /** Transform with a pre-compiled Templates (expression hot path). */
   def transformDoc(doc: XDoc,
                    templates: javax.xml.transform.Templates,
-                   params: Map[String, String] = Map.empty,
+                   params: Map[String, Any] = Map.empty,
                    resolveBase: String = "."): XDoc = {
     val transformer = templates.newTransformer()
     transformer.setErrorListener(throwingListener)
