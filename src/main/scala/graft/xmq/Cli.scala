@@ -323,6 +323,13 @@ object Cli {
         // --bg=dark|light|mono overrides the mode (mono renders light
         // markup too — verified against the binary)
         val bg = opts.find(_.startsWith("--bg=")).map(_.substring(5))
+        // --use-is/--use-et/--use-cr/--use-nl override the printer's
+        // whitespace substitution strings (xmq-cli.c:952-983); --use-es is
+        // accepted but has no observable effect on these paths (verified)
+        def useOpt(name: String, dflt: String): String =
+          opts.find(_.startsWith(s"--use-$name=")).map(_.substring(9)).getOrElse(dflt)
+        def gapsOf(d: Theme.GapStrings) = Theme.GapStrings(
+          useOpt("is", d.is), useOpt("nl", d.nl), useOpt("et", d.et), useOpt("cr", d.cr))
         output = cmd match {
           case "render-html" => Theme.renderHtml(doc, spec,
             darkModeDefault = bg match {
@@ -334,9 +341,10 @@ object Cli {
             onlystyle = opts.contains("--onlystyle"),
             classExtra = opts.find(_.startsWith("--class="))
               .map(_.substring(8)).orNull,
-            idAttr = opts.find(_.startsWith("--id=")).map(_.substring(5)).orNull)
+            idAttr = opts.find(_.startsWith("--id=")).map(_.substring(5)).orNull,
+            gaps = gapsOf(Theme.htmlGaps))
           case "render-terminal" => Theme.renderTerminal(doc, spec, tty = false)
-          case _ => Theme.renderTex(doc, spec)
+          case _ => Theme.renderTex(doc, spec, gapsOf(Theme.texGaps))
         }
         exec(more)
       case "print" :: rest => exec(rest) // output already buffered

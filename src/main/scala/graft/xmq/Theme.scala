@@ -133,16 +133,23 @@ object Theme {
     case c => sb.append(c)
   }
 
-  /** gap text between tokens: setup_tex_coloring's indentation_space /
-    * explicit_space = "\xmqI ", explicit_nl = "\linebreak\n". */
-  private def texGapEscape(s: String, sb: StringBuilder): Unit = s.foreach {
-    case '&' => sb.append("\\&")
-    case '\\' => sb.append("\\\\")
-    case '_' => sb.append("\\_")
-    case ' ' => sb.append("\\xmqI ")
-    case '\n' => sb.append("\\linebreak\n")
-    case c => sb.append(c)
-  }
+  /** Printer whitespace substitutions for gap text between tokens
+    * (setup_tex_coloring defaults; overridable via --use-is/--use-et/
+    * --use-cr/--use-nl, xmq-cli.c:952-983). */
+  final case class GapStrings(is: String, nl: String,
+                              et: String = "\t", cr: String = "\r")
+  val texGaps: GapStrings = GapStrings("\\xmqI ", "\\linebreak\n")
+  val htmlGaps: GapStrings = GapStrings(" ", "\n")
+
+  private def gapEscaper(contentEsc: (String, StringBuilder) => Unit,
+                         g: GapStrings): (String, StringBuilder) => Unit =
+    (s, sb) => s.foreach {
+      case ' ' => sb.append(g.is)
+      case '\n' => sb.append(g.nl)
+      case '\t' => sb.append(g.et)
+      case '\r' => sb.append(g.cr)
+      case c => contentEsc(c.toString, sb)
+    }
 
   /** generate_html_color: custom-element CSS rule. In a full render the
     * reference has resolved FG/BG to the mode colors (000000); --onlystyle
@@ -197,7 +204,8 @@ object Theme {
     * (<xmqEN>...</xmqEN>) styled by the theme css (setup_html_coloring). */
   def renderHtml(doc: XDoc, themeSpec: String, darkModeDefault: Boolean = true,
                  nostyle: Boolean = false, onlystyle: Boolean = false,
-                 classExtra: String = null, idAttr: String = null): String = {
+                 classExtra: String = null, idAttr: String = null,
+                 gaps: GapStrings = htmlGaps): String = {
     val darkMode =
       if (themeSpec == null) darkModeDefault
       else if (themeSpec.endsWith("-dark")) true
@@ -207,9 +215,13 @@ object Theme {
     // --onlystyle: just the stylesheet; the FG/BG mode resolution of a full
     // render has not happened, so unset colors print the raw C sentinel
     if (onlystyle) return htmlStyle(theme, rawSentinel = true)
-    val body = colorizeTokens(doc,
+    val body0 = colorizeTokens(doc,
       tpe => tokenCommand.get(tpe).map(cmd => (s"<$cmd>", s"</$cmd>")),
-      htmlEscape).stripSuffix("\n") // the print's final newline stays outside <pre>
+      htmlEscape, gapEscaper(htmlEscape, gaps))
+    // the print's final newline stays outside <pre>
+    val body =
+      if (body0.endsWith(gaps.nl)) body0.dropRight(gaps.nl.length)
+      else body0.stripSuffix("\n")
     val mode = if (darkMode) "xmq_dark" else "xmq_light"
     val idPart = if (idAttr != null) s"""id="$idAttr" """ else ""
     val classPart = if (classExtra != null) s" $classExtra" else ""
@@ -369,7 +381,7 @@ object Theme {
     * The body re-tokenizes the engine's own byte-exact xmq print and wraps
     * each token in its theme command — the same token/color pairing the
     * reference printer injects. */
-  def renderTex(doc: XDoc, themeSpec: String): String = {
+  def renderTex(doc: XDoc, themeSpec: String, gaps: GapStrings = texGaps): String = {
     // render_to==TEX forces dark_mode=false when no spec names a mode (xmq.c:186)
     val darkMode = themeSpec != null && themeSpec.endsWith("-dark")
     val theme = install(themeSpec)
@@ -380,10 +392,10 @@ object Theme {
         case "brace_left" | "brace_right" => Some(("\\", ""))
         case tpe => tokenCommand.get(tpe).map(cmd => (s"\\$cmd{", "}"))
       },
-      texEscape, texGapEscape)
+      texEscape, gapEscaper(texEscape, gaps))
     // the final newline of the print is a plain newline, not a \linebreak
     val body =
-      if (body0.endsWith("\\linebreak\n")) body0.dropRight("\\linebreak\n".length)
+      if (body0.endsWith(gaps.nl)) body0.dropRight(gaps.nl.length)
       else body0.stripSuffix("\n")
     val sb = new StringBuilder
     sb.append("\\documentclass[10pt,a4paper]{article}\n\\usepackage{color}\n\\usepackage{bold-extra}\n")
