@@ -277,18 +277,62 @@ object Theme {
   /** tokenize --type=tex/html/terminal: colorize the RAW input token stream
     * (the reference's xmqSetupParseCallbacksColorizeTokens path — no
     * document/style wrapper, just the colored tokens). */
+  /** write_safe_tex exactly: & \ _ only (the tokenize path has no ligature
+    * handling — that belongs to the render quote writer). */
+  private def texEscapeSafe(s: String, sb: StringBuilder): Unit = s.foreach {
+    case '&' => sb.append("\\&")
+    case '\\' => sb.append("\\\\")
+    case '_' => sb.append("\\_")
+    case c => sb.append(c)
+  }
+
+  /** write_safe_html exactly: & < > " (the render quote-content path skips
+    * the quot branch; this path does not). */
+  private def htmlEscapeSafe(s: String, sb: StringBuilder): Unit = s.foreach {
+    case '&' => sb.append("&amp;")
+    case '<' => sb.append("&lt;")
+    case '>' => sb.append("&gt;")
+    case '"' => sb.append("&quot;")
+    case c => sb.append(c)
+  }
+
+  /** xterm 256-color quantization (6x6x6 cube) used by the tokenize
+    * terminal path. */
+  private def cube6(v: Int): Int = {
+    val steps = Array(0, 95, 135, 175, 215, 255)
+    var best = 0
+    for (i <- steps.indices) if (math.abs(steps(i) - v) < math.abs(steps(best) - v)) best = i
+    best
+  }
+  private def ansi256Color(d: ColorDef): String = {
+    if (d.r < 0) return Reset
+    val idx = 16 + 36 * cube6(d.r) + 6 * cube6(d.g) + cube6(d.b)
+    val sb = new StringBuilder("[0;")
+    if (d.bold) sb.append("1;")
+    if (d.underline) sb.append("4;")
+    sb.append("38;5;").append(idx).append('m')
+    sb.toString
+  }
+
   def colorizeRaw(bytes: Array[Byte], mode: String, themeSpec: String): String = {
     val theme = install(themeSpec)
     mode match {
       case "tex" =>
-        colorizeBytes(bytes, tpe => tokenCommand.get(tpe).map(cmd => (s"\\$cmd{", "}")), texEscape)
+        "\\texttt{\\flushleft\\noindent " +
+          colorizeBytes(bytes, tpe => tokenCommand.get(tpe).map(cmd => (s"\\$cmd{", "}")),
+            texEscapeSafe) + "\n}\n"
       case "html" =>
-        colorizeBytes(bytes, tpe => tokenCommand.get(tpe).map(cmd => (s"<$cmd>", s"</$cmd>")), htmlEscape)
+        "<pre class=\"xmq xmq_dark\">" +
+          colorizeBytes(bytes, tpe => tokenCommand.get(tpe).map(cmd => (s"<$cmd>", s"</$cmd>")),
+            htmlEscapeSafe) + "</pre>"
       case "terminal" =>
+        // piped tokenize colorizes with 256-color codes; every token writes
+        // a PREFIX only (colored, or a bare reset for uncolored tokens) —
+        // no postfix, so the stream ends un-reset after a colored token
         colorizeBytes(bytes, tpe => tokenCommand.get(tpe) match {
-          case Some(cmd) => Some((ansiColor(theme.dark(colorNames.indexOf(cmd))), ""))
+          case Some(cmd) => Some((ansi256Color(theme.dark(colorNames.indexOf(cmd))), ""))
           case None => Some((Reset, ""))
-        }, (s, sb) => sb.append(s)) + Reset
+        }, (s, sb) => sb.append(s))
       case other => throw new IllegalArgumentException(s"unknown tokenize type $other")
     }
   }

@@ -68,13 +68,20 @@ class CliFixtureSpec extends AnyFunSuite {
   }
 
   test("tokenize --type=tex/html/terminal colorize the raw input") {
+    // expectations recorded from the reference binary (round 3): tex wraps
+    // in \texttt, html in <pre>, terminal uses 256-color codes with a
+    // reset-prefix per uncolored token and no trailing reset
     val input = "alfa(x = 1)"
     val tex = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "tokenize --type=tex")
-    assert(tex.ok && tex.output == "\\xmqEN{alfa}(\\xmqAK{x} = \\xmqAKV{1})", tex.output)
+    assert(tex.ok && tex.output ==
+      "\\texttt{\\flushleft\\noindent \\xmqEN{alfa}(\\xmqAK{x} = \\xmqAKV{1})\n}\n", tex.output)
     val html = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "tokenize --type=html")
-    assert(html.ok && html.output == "<xmqEN>alfa</xmqEN>(<xmqAK>x</xmqAK> = <xmqAKV>1</xmqAKV>)", html.output)
+    assert(html.ok && html.output ==
+      "<pre class=\"xmq xmq_dark\"><xmqEN>alfa</xmqEN>(<xmqAK>x</xmqAK> = <xmqAKV>1</xmqAKV>)</pre>", html.output)
     val term = Cli.run(input.getBytes(StandardCharsets.UTF_8), "", "tokenize --type=terminal")
-    assert(term.ok && term.output.contains("[0;38;2;255;140;0malfa"), term.output)
+    assert(term.ok && term.output ==
+      "\u001b[0;38;5;208malfa\u001b[0m(\u001b[0;38;5;111mx\u001b[0m \u001b[0m=\u001b[0m \u001b[0;38;5;69m1\u001b[0m)",
+      term.output)
   }
 
   // warning_*: START → CMDS → WARNING section = stderr warnings + stdout json
