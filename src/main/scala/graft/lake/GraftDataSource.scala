@@ -96,45 +96,84 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType)
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]"
 
-  /** manifest-entry survival under the pushed filters' min/max stats. */
-  private def keeps(e: ManifestEntry): Boolean = pushed.forall(keep(e, _))
+  /** (kept, total) file counts from planning — surfaced in description() so
+    * EXPLAIN/plan dumps show the pruning ratio once the scan has planned. */
+  @volatile private[lake] var pruneInfo: Option[(Int, Int)] = None
 
-  private def keep(e: ManifestEntry, f: Filter): Boolean = f match {
-    case EqualTo("repo", v: String) => e.min_repo <= v && v <= e.max_repo
-    case EqualTo("path", v: String) => e.min_path <= v && v <= e.max_path
-    case EqualTo("lang", v: String) => e.langs.contains(v)
-    case GreaterThan("repo", v: String) => e.max_repo > v
-    case GreaterThanOrEqual("repo", v: String) => e.max_repo >= v
-    case LessThan("repo", v: String) => e.min_repo < v
-    case LessThanOrEqual("repo", v: String) => e.min_repo <= v
-    case GreaterThan("path", v: String) => e.max_path > v
-    case GreaterThanOrEqual("path", v: String) => e.max_path >= v
-    case LessThan("path", v: String) => e.min_path < v
-    case LessThanOrEqual("path", v: String) => e.min_path <= v
-    case In("repo", vs) => vs.exists { case v: String => e.min_repo <= v && v <= e.max_repo; case _ => true }
-    case In("lang", vs) => vs.exists { case v: String => e.langs.contains(v); case _ => true }
-    case And(l, r) => keep(e, l) && keep(e, r)
-    case _ => true
+  override def description(): String = {
+    val files = pruneInfo.map { case (k, t) => s" files=$k/$t" }.getOrElse("")
+    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]$files"
   }
 
+  /** Manifest pruning runs DISTRIBUTED: the pushed filters become a Column
+    * predicate over the manifest stats and prune the manifest DataFrame
+    * BEFORE collecting — only surviving file paths ever reach the driver
+    * (same planning cost prunedScan / FileSourceScan pay), never the full
+    * entry rows. */
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val table = new GraftTable(spark, location)
     table.currentSnapshot match {
       case None => Array.empty
       case Some(s) =>
-        table.manifestEntries(s).filter(keeps).map { e =>
-          GraftInputPartition(table.io.abs(e.file_path).toString)
-            .asInstanceOf[InputPartition]
-        }.toArray
+        import spark.implicits._
+        val m = table.manifest(s)
+        val total = m.count().toInt
+        val kept = m.filter(GraftScan.manifestPredicate(pushed))
+          .select("file_path").as[String].collect()
+        pruneInfo = Some((kept.length, total))
+        kept.map { p =>
+          GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
+        }
     }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.fieldNames)
+}
+
+object GraftScan {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+
+  /** pushed-filter → manifest-stats predicate translation. Missing stats
+    * (null min/max — e.g. a file whose every value is null) must KEEP the
+    * file: every comparison is wrapped in coalesce(..., true) so correctness
+    * never depends on the stats, matching the residual-filter contract. */
+  def manifestPredicate(filters: Array[Filter]): Column =
+    filters.map(toCol).foldLeft(lit(true))(_ && _)
+
+  private def keepIfUnknown(c: Column): Column = coalesce(c, lit(true))
+
+  private def toCol(f: Filter): Column = f match {
+    case EqualTo("repo", v: String) =>
+      keepIfUnknown(col("min_repo") <= v && col("max_repo") >= v)
+    case EqualTo("path", v: String) =>
+      keepIfUnknown(col("min_path") <= v && col("max_path") >= v)
+    case EqualTo("lang", v: String) =>
+      keepIfUnknown(array_contains(col("langs"), v))
+    case GreaterThan("repo", v: String) => keepIfUnknown(col("max_repo") > v)
+    case GreaterThanOrEqual("repo", v: String) => keepIfUnknown(col("max_repo") >= v)
+    case LessThan("repo", v: String) => keepIfUnknown(col("min_repo") < v)
+    case LessThanOrEqual("repo", v: String) => keepIfUnknown(col("min_repo") <= v)
+    case GreaterThan("path", v: String) => keepIfUnknown(col("max_path") > v)
+    case GreaterThanOrEqual("path", v: String) => keepIfUnknown(col("max_path") >= v)
+    case LessThan("path", v: String) => keepIfUnknown(col("min_path") < v)
+    case LessThanOrEqual("path", v: String) => keepIfUnknown(col("min_path") <= v)
+    case In("repo", vs) =>
+      vs.map {
+        case v: String => keepIfUnknown(col("min_repo") <= v && col("max_repo") >= v)
+        case _ => lit(true)
+      }.foldLeft(lit(false))(_ || _)
+    case In("lang", vs) =>
+      vs.map {
+        case v: String => keepIfUnknown(array_contains(col("langs"), v))
+        case _ => lit(true)
+      }.foldLeft(lit(false))(_ || _)
+    case And(l, r) => toCol(l) && toCol(r)
+    case _ => lit(true)
+  }
 }
 
 case class GraftInputPartition(absPath: String) extends InputPartition

@@ -60,23 +60,40 @@ final class LakeIO(val root: String) extends Serializable {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** temp-write + rename: readers see either the old or the new content. */
+  /** temp-write + rename-overwrite: readers see either the old or the new
+    * content — the target is never absent mid-commit. POSIX/local and HDFS
+    * rename atomically replace an existing destination, so the plain rename
+    * is the whole story there; only a store whose rename refuses to
+    * overwrite falls into the delete+retry branch (such stores need a
+    * commit service for true atomicity regardless — documented above). */
   def writeAtomic(rel: String, s: String): Unit = {
     val tmp = rel + ".tmp-" + java.util.UUID.randomUUID()
     writeString(tmp, s)
-    fs.delete(abs(rel), false)
-    if (!fs.rename(abs(tmp), abs(rel)))
-      throw new java.io.IOException(s"atomic rename failed for $rel")
+    if (!fs.rename(abs(tmp), abs(rel))) {
+      fs.delete(abs(rel), false)
+      if (!fs.rename(abs(tmp), abs(rel)))
+        throw new java.io.IOException(s"atomic rename failed for $rel")
+    }
   }
 
   /** relative path of an absolute file URI under this root (for
-    * input_file_name() results; scheme-agnostic string math). */
+    * input_file_name() results). URI.getPath handles percent-decoding
+    * without treating '+' as a space, and the root must match as a PATH
+    * PREFIX — a substring match would resolve '/data' inside
+    * '/mnt/data/x/data/...' at the wrong position. */
   def relativize(absUri: String): String = {
-    val norm = java.net.URLDecoder.decode(absUri.stripPrefix("file:"), "UTF-8")
+    val path =
+      try {
+        val u = new java.net.URI(absUri)
+        if (u.getPath != null && u.getPath.nonEmpty) u.getPath else absUri
+      } catch {
+        // not a well-formed URI (e.g. an unencoded space): treat as a raw
+        // path, minus any scheme prefix — no percent/plus decoding applies
+        case _: java.net.URISyntaxException => absUri.stripPrefix("file:")
+      }
     val r = rootAbs
-    val i = norm.indexOf(r)
-    require(i >= 0, s"$absUri not under $root")
-    norm.substring(i + r.length).stripPrefix("/")
+    require(path == r || path.startsWith(r + "/"), s"$absUri not under $root")
+    path.substring(r.length).stripPrefix("/")
   }
 
   private lazy val rootAbs: String = {

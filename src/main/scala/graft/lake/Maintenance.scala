@@ -98,10 +98,14 @@ object Maintenance {
   /** Copy-on-write MERGE INTO keyed on (repo, path, commit): updates rewrite
     * only the affected files; inserts append new files (SURVEY.md §2.5).
     *
-    * ONE full target scan (the key-match pass, with the small distinct source
-    * key set broadcast); everything after reads only the affected files or
-    * the cached source. */
-  def mergeInto(table: GraftTable, jobId: String, source: DataFrame): MergeResult = {
+    * ONE full target scan (the key-match pass); everything after reads only
+    * the affected files or the cached source. The distinct source key set is
+    * broadcast when it is small (the maintenance norm); past
+    * `maxBroadcastKeys` every key join falls back to a shuffle join — a 10%
+    * source at 100 TB would otherwise blow the driver/executor broadcast
+    * memory. The single-full-scan property holds on both paths. */
+  def mergeInto(table: GraftTable, jobId: String, source: DataFrame,
+                maxBroadcastKeys: Long = 1L << 20): MergeResult = {
     val phase = "merge"
     if (Lineage.isDone(table, jobId, phase)) {
       val s = Lineage.summary(table, jobId, phase).get
@@ -120,13 +124,17 @@ object Maintenance {
     }
 
     val src = source.select(dataCols.map(col): _*).cache()
-    val srcKeys = src.select(keys.map(col): _*).distinct()
+    val srcKeys = src.select(keys.map(col): _*).distinct().cache()
+    // one tiny cached agg decides broadcast vs shuffle for every key join
+    val nKeys = srcKeys.count()
+    val small = nKeys <= maxBroadcastKeys
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     // 1. the ONLY full-table pass: rows whose key the source touches, with
     //    their file — yields affected files, matched keys AND the updated
     //    count from one cached (small: <= |source|) frame
     val matched = table.scan().withColumn("_file", input_file_name())
-      .join(broadcast(srcKeys), keys, "left_semi")
+      .join(hinted(srcKeys), keys, "left_semi")
       .select((keys.map(col) :+ col("_file")): _*)
       .cache()
     // one action: affected file set + updated count together (each extra
@@ -137,9 +145,10 @@ object Maintenance {
     val updatedCount = head.getLong(1)
     val matchedKeys = matched.select(keys.map(col): _*).distinct()
 
-    // 2. classify source rows against the matched key set (small, broadcast)
-    val updates = src.join(broadcast(matchedKeys), keys, "left_semi")
-    val inserts = src.join(broadcast(matchedKeys), keys, "left_anti")
+    // 2. classify source rows against the matched key set (⊆ source keys,
+    //    so it inherits the same broadcast-vs-shuffle decision)
+    val updates = src.join(hinted(matchedKeys), keys, "left_semi")
+    val inserts = src.join(hinted(matchedKeys), keys, "left_anti")
 
     // 3. copy-on-write: affected files keep their untouched rows, matched
     //    keys take the source's row
@@ -148,7 +157,7 @@ object Maintenance {
       else {
         val rewritten = table.readFiles(affectedRel.toSeq)
           .select(dataCols.map(col): _*)
-          .join(broadcast(srcKeys), keys, "left_anti")
+          .join(hinted(srcKeys), keys, "left_anti")
           .unionByName(updates)
         table.writeDataFiles(rewritten, "merge-cow")
       }
@@ -158,6 +167,7 @@ object Maintenance {
 
     table.commit(addedRewrite ++ addedInsert, affectedRel, "merge")
     matched.unpersist()
+    srcKeys.unpersist()
     src.unpersist()
     Lineage.record(table, jobId, phase, affectedRel.toSeq, addedRewrite ++ addedInsert)
     MergeResult(updatedCount, insertedCount, affectedRel.size)

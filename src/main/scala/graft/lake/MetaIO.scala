@@ -79,9 +79,18 @@ object MetaIO {
       .build()
   }
 
+  /** append a string only when non-null: every string field is optional in
+    * the schema, and stats like min_repo ARE null when a file's every value
+    * is null — Group.append(null) would NPE and fail the commit. */
+  private def appendOpt(g: Group, field: String, v: String): Group = {
+    if (v != null) g.append(field, v)
+    g
+  }
+
   private def addList(g: Group, field: String, items: Seq[String]): Unit = {
     val lg = g.addGroup(field)
-    items.foreach(it => lg.addGroup("list").append("element", it))
+    if (items != null)
+      items.foreach(it => if (it != null) lg.addGroup("list").append("element", it))
   }
 
   private def getList(g: Group, field: String): Seq[String] = {
@@ -97,10 +106,13 @@ object MetaIO {
     val w = writer(io, rel, entrySchema)
     try entries.foreach { e =>
       val g = f.newGroup()
-      g.append("file_path", e.file_path).append("partition", e.partition)
-        .append("record_count", e.record_count).append("file_bytes", e.file_bytes)
-        .append("min_repo", e.min_repo).append("max_repo", e.max_repo)
-        .append("min_path", e.min_path).append("max_path", e.max_path)
+      appendOpt(g, "file_path", e.file_path)
+      appendOpt(g, "partition", e.partition)
+      g.append("record_count", e.record_count).append("file_bytes", e.file_bytes)
+      appendOpt(g, "min_repo", e.min_repo)
+      appendOpt(g, "max_repo", e.max_repo)
+      appendOpt(g, "min_path", e.min_path)
+      appendOpt(g, "max_path", e.max_path)
       addList(g, "langs", e.langs)
       g.append("min_z", e.min_z).append("max_z", e.max_z)
         .append("min_rh", e.min_rh).append("max_rh", e.max_rh)

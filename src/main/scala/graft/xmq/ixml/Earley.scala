@@ -33,6 +33,18 @@ object Earley {
     val allProds: Array[Prod] = {
       val b = ArrayBuffer.empty[Prod]
       for (nt <- prods.indices; p <- prods(nt)) b += p
+      // chart items pack (prodId << 44) | (dot << 32) | origin into one
+      // long; past these bounds the dot-increment (it + (1L<<32)) would
+      // carry into prodId and corrupt parses SILENTLY — refuse instead
+      if (b.length >= (1 << 20))
+        throw new IllegalArgumentException(
+          s"grammar too large: ${b.length} productions (max ${(1 << 20) - 1})")
+      b.foreach { p =>
+        if (p.syms.length >= (1 << 12))
+          throw new IllegalArgumentException(
+            s"grammar too large: a production of nonterminal '${names(p.nt)}' has " +
+              s"${p.syms.length} symbols (max ${(1 << 12) - 1})")
+      }
       b.toArray
     }
     val prodsOf: Array[Array[Int]] = {

@@ -248,6 +248,134 @@ class LakeSpec extends SparkTestBase {
       keyset(synthDf(200)))
   }
 
+  test("DSv2 planning prunes the manifest distributed: partitions == survivors over a 10k-entry manifest") {
+    import spark.implicits._
+    import graft.lake.ManifestEntry
+    val t = freshTable("graft-dsv2-plan")
+    t.append(synthDf(400).repartition(8))
+    Maintenance.cluster(t, "jobdp", numFiles = 4)
+    val realTotal = t.manifestEntries(t.currentSnapshot.get).size
+    // 10k fake entries whose repo stats exclude every real repo AND whose
+    // data files do not exist: if planning failed to prune them distributed,
+    // the read below would either collect 10k+ entries or fail opening a
+    // nonexistent file
+    val fakes = (0 until 10000).map { i =>
+      ManifestEntry(s"data/fake/f$i.parquet", "fake", 10L, 1L << 20,
+        "zzz", "zzz", "p", "p", Seq("scala"), 0L, 0L, 0L, 0L, i.toLong)
+    }
+    t.commit(fakes, Set.empty, "fake-append")
+
+    val repo = SourceFiles.repoName(1)
+    val df = spark.read.format("graft").load(t.location).filter($"repo" === repo)
+    val expected = keyset(t.readFiles(
+      t.manifestEntries(t.currentSnapshot.get)
+        .filter(e => e.partition != "fake" && e.min_repo <= repo && repo <= e.max_repo)
+        .map(_.file_path)).filter($"repo" === repo))
+    val survivors = t.manifestEntries(t.currentSnapshot.get)
+      .count(e => e.partition != "fake" && e.min_repo <= repo && repo <= e.max_repo)
+    // one InputPartition per surviving file — the collect was survivor-sized
+    assert(df.rdd.getNumPartitions == survivors,
+      s"planned ${df.rdd.getNumPartitions} partitions, expected $survivors of ${realTotal + 10000}")
+    assert(keyset(df) == expected)
+  }
+
+  test("DSv2 scan description reports the pruning ratio after planning") {
+    import spark.implicits._
+    val t = freshTable("graft-dsv2-desc")
+    t.append(synthDf(400).repartition(8))
+    Maintenance.cluster(t, "jobdd", numFiles = 4)
+    val repo = SourceFiles.repoName(2)
+    val df = spark.read.format("graft").load(t.location).filter($"repo" === repo)
+    df.count() // plan + execute
+    val descs = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(descs.contains("files="), s"no pruning ratio in scan description:\n$descs")
+  }
+
+  test("version-hint recovery: a lost hint resolves to the highest snapshot, not an empty table") {
+    val t = freshTable("graft-hintloss")
+    t.append(synthDf(120).repartition(2))
+    t.append(synthDf(30, seed = 9).repartition(1))
+    val v = t.currentVersion
+    assert(v == 2)
+    t.io.delete("meta/version-hint.text")
+    assert(t.currentVersion == v, "lost hint fell back to 0 — next commit would orphan the table")
+    assert(t.scan().count() == 150)
+  }
+
+  test("relativize: '+' survives, root matches as a path prefix only") {
+    import graft.lake.LakeIO
+    val root = Files.createTempDirectory("graft-rel").toString
+    val io = new LakeIO(root)
+    assert(io.relativize(s"file:$root/a+b/c d/f.parquet") == "a+b/c d/f.parquet")
+    assert(io.relativize(s"file://$root/x.parquet") == "x.parquet")
+    // a root string occurring mid-path must NOT match
+    intercept[IllegalArgumentException] {
+      io.relativize(s"file:/mnt$root/evil$root/f.parquet".replace("//", "/"))
+    }
+    // prefix-of-a-longer-name must not match either: /root-x is not under /root
+    intercept[IllegalArgumentException] { io.relativize(s"file:$root-x/f.parquet") }
+  }
+
+  test("all-null stats columns commit and round-trip through driver-side metadata") {
+    import graft.lake.ManifestEntry
+    val t = freshTable("graft-nullstats")
+    t.init()
+    val e = ManifestEntry("data/n/f0.parquet", "n", 5L, 100L,
+      null, null, null, null, null, 0L, 0L, 0L, 0L, 7L)
+    t.commit(Seq(e), Set.empty, "append") // NPE'd before the appendOpt fix
+    val back = t.manifestEntries(t.currentSnapshot.get)
+    assert(back.size == 1 && back.head.min_repo == null && back.head.record_count == 5L)
+    // and the null-stat file is KEPT by any stats predicate (coalesce-true)
+    val kept = t.manifest(t.currentSnapshot.get)
+      .filter(graft.lake.GraftScan.manifestPredicate(Array(
+        org.apache.spark.sql.sources.EqualTo("repo", "anything")))).count()
+    assert(kept == 1, "missing stats must keep the file, not drop it")
+  }
+
+  test("rewriteManifests shards the live manifest and drops vanished files via batched listing") {
+    import spark.implicits._
+    val t = freshTable("graft-rewrite-shard")
+    t.append(synthDf(400).repartition(12))
+    val before = t.manifestEntries(t.currentSnapshot.get)
+    assert(before.size == 12)
+    // vanish one data file out from under the manifest
+    val vanished = before.head.file_path
+    val vanishedRecords = before.head.record_count
+    t.io.delete(vanished)
+
+    t.rewriteManifests(targetEntriesPerShard = 3) // forces ceil(11/3)=4 shards
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "manifest_rewrite")
+    val live = t.manifestEntries(snap)
+    assert(live.size == 11, s"vanished file still live: ${live.size}")
+    assert(!live.exists(_.file_path == vanished))
+    assert(snap.recordCount == 400L - vanishedRecords)
+    // the add shard is a DIRECTORY with multiple part files — no single-task funnel
+    val shardDir = t.manifestShards(snap).filter(_.kind == "add").map(_.path).head
+    val parts = t.io.list(shardDir).count(_.endsWith(".parquet"))
+    assert(parts > 1, s"manifest rewrite funneled through one task: $parts part file(s)")
+    assert(t.scan().count() == 400L - vanishedRecords)
+  }
+
+  test("merge with a source past the broadcast key limit takes the shuffle path, same result") {
+    import spark.implicits._
+    val t = freshTable("graft-merge-big")
+    t.append(synthDf(400).repartition(8))
+    val oneFile = t.manifestEntries(t.currentSnapshot.get).head.file_path
+    val updates = t.readFiles(Seq(oneFile)).limit(20)
+      .select("repo", "path", "commit", "lang", "content")
+      .withColumn("content", lit("updated_big"))
+      .withColumn("lang", lit("text"))
+    val inserts = synthDf(15, seed = 555)
+    // maxBroadcastKeys=1 forces the shuffle-join fallback for every key join
+    val r = Maintenance.mergeInto(t, "jobbig", updates.unionByName(inserts),
+      maxBroadcastKeys = 1L)
+    assert(r.updated == 20 && r.inserted == 15, s"shuffle-path merge wrong: $r")
+    val after = t.scan()
+    assert(after.count() == 415)
+    assert(after.filter($"content" === "updated_big").count() == 20)
+  }
+
   test("driver-side metadata writes interoperate with Spark-written shards") {
     import graft.lake.MetaIO
     val t = freshTable("graft-metaio")
