@@ -260,6 +260,59 @@ object SparkEntry {
       .orderBy($"id_a", $"id_b")
   }
 
+  private def q32NearDupGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the (member → group-representative) output shape — the 100-TB default
+    // for near-dup dedup: linear in corpus size even for degenerate
+    // same-hash cliques where pair emission is quadratic (q18 keeps the
+    // pair view for debugging). Same minhash-LSH pair derivation as q18,
+    // then distributed connected components.
+    val docs = t(s, dir, "documents")
+    val pairs = graft.pipeline.Dedup.minHashPairs(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 4, shingleSize = 2, threshold = 0.2)
+    graft.pipeline.Dedup.nearDupGroups(docs, "doc_id", pairs)
+      .orderBy($"member_id")
+  }
+
+  private def q33StreamWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the STREAMING ENGINE under the oracle gate: replay the events table
+    // through a file-source stream (AvailableNow, maxFilesPerTrigger forces
+    // several microbatches), 10-minute tumbling event-time windows,
+    // foreachBatch parquet sink; DuckDB recomputes the aggregate
+    // relationally. Complete output mode makes the end-of-stream sink
+    // contents deterministic — append would withhold windows the final
+    // watermark hasn't passed. Production uses the same windowedCounts with
+    // append+watermark for bounded state (StreamingSpec pins eviction).
+    val out = java.nio.file.Files.createTempDirectory("graft-q33").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q33-ckpt").toString
+    // stage the table into a landing directory of several files — the shape
+    // a production stream actually arrives in (the sf table is one file,
+    // and the file-stream source ingests directories). The NTZ→instant ts
+    // cast is value-preserving under the UTC session TZ; watermarks
+    // require an instant type.
+    val staged = java.nio.file.Files.createTempDirectory("graft-q33-in").toString
+    val events = t(s, dir, "events").withColumn("ts", $"ts".cast("timestamp"))
+    events.repartition(4).write.mode("overwrite").parquet(staged)
+    val stream = s.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val agg = graft.streaming.EventStream.windowedCounts(stream)
+    val sink = (batch: DataFrame, _: Long) =>
+      batch.write.mode("overwrite").parquet(out)
+    agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(sink)
+      .start()
+      .awaitTermination()
+    s.read.parquet(out)
+      .select(date_format($"window_start", "yyyy-MM-dd HH:mm").as("window_start"),
+        $"event_type", $"n_events", round($"total_value", 2).as("total_value"))
+      .orderBy($"window_start", $"event_type")
+  }
+
   private def q19SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // maxHamming=3 with maxHamming+1 chunk blocking — full recall by
@@ -536,6 +589,8 @@ object SparkEntry {
     "q29_xsd_validate"  -> (q29XsdValidate(_, _)),
     "q30_media_ann"     -> (q30MediaAnn(_, _)),
     "q31_ixml_recover"  -> (q31IxmlRecover(_, _)),
+    "q32_neardup_groups" -> (q32NearDupGroups(_, _)),
+    "q33_stream_window"  -> (q33StreamWindow(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -841,10 +896,56 @@ object SparkEntry {
          |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
          |ORDER BY id_a, id_b""".stripMargin
     },
-    "q18_minhash_pairs" -> {
-      // full minhash-LSH replication: sha60 word-2-shingles -> 64 splitmix
-      // minhashes -> 16 bands of 4 (string keys) -> candidate pairs ->
-      // exact jaccard over distinct shingle sets, threshold 0.2
+    "q18_minhash_pairs" -> duckMinhashPairsSql,
+    "q32_neardup_groups" ->
+      // connected components over the SAME minhash pair derivation as q18:
+      // a recursive-CTE transitive closure re-derives each member's group
+      // representative (min reachable id) fully independently of the Spark
+      // label-propagation algorithm
+      s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT d.doc_id AS member_id,
+         |  coalesce(least(d.doc_id, min(r.dst)), d.doc_id) AS group_id
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id ORDER BY member_id""".stripMargin,
+    "q33_stream_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS window_start,
+        | event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q21_ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+         | ${duckBucket("embedding::DOUBLE[]", planes = 10, band = 0)} AS bucket
+         | FROM embeddings),
+         |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+         |SELECT vec_id, round(list_cosine_similarity(e, qe), 4) AS cos_sim
+         |FROM b, q
+         |WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 2
+         |ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC
+         |LIMIT 10""".stripMargin,
+    "q23_lsh_neardup" -> {
+      val bandSelects = (0 until 4).map { band =>
+        s"SELECT vec_id, e, $band AS band, ${duckBucket("e", planes = 8, band = band)} AS bucket FROM v"
+      }.mkString("\n UNION ALL ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |bands AS ($bandSelects)
+         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         | round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+  )
+
+  /** full minhash-LSH replication: sha60 word-2-shingles -> 64 splitmix
+    * minhashes -> 16 bands of 4 (string keys) -> candidate pairs ->
+    * exact jaccard over distinct shingle sets, threshold 0.2 — shared by
+    * the q18 pair oracle and the q32 group oracle. */
+  private def duckMinhashPairsSql: String =
       s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
          |sh AS (
          | SELECT doc_id, ${duckSha60("sgl")} AS x
@@ -874,28 +975,4 @@ object SparkEntry {
          |      JOIN sets sa ON sa.doc_id = c.id_a
          |      JOIN sets sb ON sb.doc_id = c.id_b)
          |WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin
-    },
-    "q21_ann_lsh" ->
-      s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
-         | ${duckBucket("embedding::DOUBLE[]", planes = 10, band = 0)} AS bucket
-         | FROM embeddings),
-         |q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
-         |SELECT vec_id, round(list_cosine_similarity(e, qe), 4) AS cos_sim
-         |FROM b, q
-         |WHERE vec_id <> 0 AND bit_count(xor(bucket, qb)) <= 2
-         |ORDER BY list_cosine_similarity(e, qe) DESC, vec_id ASC
-         |LIMIT 10""".stripMargin,
-    "q23_lsh_neardup" -> {
-      val bandSelects = (0 until 4).map { band =>
-        s"SELECT vec_id, e, $band AS band, ${duckBucket("e", planes = 8, band = band)} AS bucket FROM v"
-      }.mkString("\n UNION ALL ")
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-         |bands AS ($bandSelects)
-         |SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
-         | round(list_cosine_similarity(a.e, b.e), 4) AS cos_sim
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.e, b.e) >= 0.3
-         |ORDER BY id_a, id_b""".stripMargin
-    },
-  )
 }

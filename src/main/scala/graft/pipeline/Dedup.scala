@@ -87,6 +87,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected-component (member, representative) output over a near-dup
+    * pair set — THE 100-TB output shape: pair emission is quadratic inside a
+    * degenerate same-hash clique, while (member → group) is linear in corpus
+    * size by construction. Iterative min-label propagation with pointer
+    * doubling (label-of-label), the MapReduce-CC family of algorithms from
+    * the published literature: each round one equi-join + min-aggregate,
+    * converging in O(log diameter) rounds — near-dup graphs are
+    * clique-heavy, so 2-4 rounds in practice. Lineage is truncated per round
+    * (localCheckpoint) so plans stay flat however many rounds run.
+    *
+    * Returns one row per id in `df`: (member_id, group_id) where group_id is
+    * the smallest id reachable through the pair graph (singletons map to
+    * themselves). */
+  def nearDupGroups(df: DataFrame, idCol: String, pairs: DataFrame,
+                    maxIter: Int = 25): DataFrame = {
+    val ids = df.select(col(idCol).cast("long").as("id")).distinct()
+    val sym = pairs
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = ids.withColumn("label", col("id")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // candidate labels: own, the neighbors', and the label's own label
+      // (pointer doubling — collapses long chains logarithmically)
+      val viaNeighbor = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"))
+      val viaLabel = labels
+        .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
+          col("label") === col("lid"))
+        .select(col("id"), col("llabel").as("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(viaNeighbor).union(viaLabel)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") < col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as("member_id"), col("label").as("group_id"))
+  }
+
   /** cosine similarity of two float-array embedding columns (double math,
     * native expression — see CosineSimExpr). */
   def cosine(a: Column, b: Column): Column = TextFunctions.cosine_sim(a, b)

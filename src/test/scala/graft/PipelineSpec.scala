@@ -195,4 +195,19 @@ class PipelineSpec extends SparkTestBase {
     val a = MediaCodec.audioFeatures(wav, 8)
     assert(math.abs(a.map(v => v * v).sum - 1.0f) < 1e-3, "RMS profile not L2-normalized")
   }
+
+  test("nearDupGroups: connected components over chain, clique and singletons") {
+    import spark.implicits._
+    // graph: chain 1-2-3-4-5 (diameter 4 — exercises pointer doubling),
+    // clique {10,11,12}, cross-edge 20-12, singletons 30, 31
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 30L, 31L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (10L, 11L), (10L, 12L), (11L, 12L), (20L, 12L))
+      .toDF("id_a", "id_b")
+    val got = graft.pipeline.Dedup.nearDupGroups(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L, 30L -> 30L, 31L -> 31L)
+    assert(got == expected, s"got $got")
+  }
 }
