@@ -368,6 +368,11 @@ object Earley {
         i += 1
       }
     }
+    // chart iteration yields completions in SET order, which zero-width
+    // completions (Neg guards, epsilon chains) can permute; both pick paths
+    // below assume DECLARATION order. All pids of one (nt, origin, end)
+    // bucket belong to the same nt, so ascending pid IS declaration order.
+    compProd.values.foreach(_.sortInPlace())
 
     sealed trait DNode
     final case class DNt(nt: Int, mark: Char, kids: Seq[DNode]) extends DNode

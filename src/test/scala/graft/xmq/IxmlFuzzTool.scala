@@ -31,7 +31,13 @@ object IxmlFuzzTool {
       "pair" -> "pair = key, -\":\", value.\nkey = ~[\":\"]+.\nvalue = [\"0\"-\"9\"]+.\n",
       // the richest grammar in the library: xmq described in ixml — deep
       // Earley recursion, comments, quotes, entities, and failure positions
-      "xmq" -> Files.readString(Paths.get("/root/reference/library/core/xmq.ixml")))
+      "xmq" -> Files.readString(Paths.get("/root/reference/library/core/xmq.ixml")),
+      // guard-heavy: zero-width !-lookahead on every word char plus a
+      // leading-digit guard — stresses the epsilon-completion path the r2
+      // ADVICE flagged (Neg-only completions consumed by later-predicted
+      // items) and the word/num overlap keeps 2-way ambiguity in play
+      "guard" -> ("doc = seg++\"-\".\nseg = word; num.\n" +
+        "word = (!\"z\", !\"q\", ~[\"-\"])+.\nnum = !\"0\", [\"0\"-\"9\"]+.\n"))
 
     val tmp = Files.createTempDirectory("ixmlfuzz")
     var total = 0
@@ -162,6 +168,10 @@ object IxmlFuzzTool {
             (if (rnd.nextBoolean()) randomCell().replace(":", "") + ":" + rnd.nextInt(1000)
              else randomCell() + ":" + randomCell())
           else if (name == "xmq") randomXmq()
+          else if (name == "guard") {
+            val alphabet = "abzq019-"
+            (0 until 1 + rnd.nextInt(10)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+          }
           else randomInput(sep)
         total += 1
         val inFile = tmp.resolve(s"$name-$i.inp")

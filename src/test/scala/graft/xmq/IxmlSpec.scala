@@ -129,4 +129,13 @@ class IxmlSpec extends AnyFunSuite {
     val fail = XmqEngine.toXmq(Ixml.parseToDoc(grammar, "z"), compact = true)
     assert(!fail.contains("S{"), fail)
   }
+
+  // chart items pack (prodId, dot, origin) into one long; a production past
+  // the dot field's 12 bits would silently corrupt parses via the
+  // dot-increment carry — the compiler must refuse instead (ADVICE r3)
+  test("a production with 4096+ symbols is rejected as too large") {
+    val big = "S: " + Seq.fill(4096)("\"a\"").mkString(", ") + ".\n"
+    val e = intercept[IllegalArgumentException] { Ixml.parseToDoc(big, "a" * 4096) }
+    assert(e.getMessage.contains("grammar too large"), e.getMessage)
+  }
 }
