@@ -313,6 +313,62 @@ object SparkEntry {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** XMQCoreType scalar vocabulary (xmq.h:382-407) over derived columns:
+    * every core type validated (and one cast summed) on deterministic
+    * values built from the documents table; DuckDB recomputes each verdict
+    * with the same regexes / string-math bounds. */
+  private def q34CoreTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.CoreTypes
+    val d = t(s, dir, "documents")
+      .withColumn("v_bool", when($"doc_id" % 3 === 0, lit("true"))
+        .when($"doc_id" % 3 === 1, lit("false")).otherwise(lit("True")))
+      .withColumn("v_int", ($"doc_id" * 37 - 40000).cast("string"))
+      .withColumn("v_pow", concat(when($"doc_id" % 2 === 0, lit("")).otherwise(lit("-")),
+        lit("1"), expr("repeat('0', cast(doc_id % 45 as int))")))
+      .withColumn("v_float", concat($"n_chars".cast("string"), lit(".25e"),
+        ($"doc_id" % 45).cast("string")))
+      .withColumn("v_b64", when($"doc_id" % 4 === 0, lit("QUJD"))
+        .when($"doc_id" % 4 === 1, lit("QUJDRQ=="))
+        .when($"doc_id" % 4 === 2, lit("QQ=")).otherwise($"source"))
+      .withColumn("v_email", when($"doc_id" % 4 === 0,
+        concat($"source", lit("@example.com"))).otherwise($"source"))
+      .withColumn("v_url", when($"doc_id" % 5 === 0,
+        concat(lit("https://"), $"source", lit(".org/x")))
+        .otherwise(concat(lit("ftp:/broken "), $"source")))
+      .withColumn("v_ip4", concat(($"doc_id" % 300).cast("string"), lit("."),
+        ($"n_chars" % 300).cast("string"), lit(".7.1")))
+      .withColumn("v_ip6", when($"doc_id" % 3 === 0, lit("fe80::1a2b"))
+        .when($"doc_id" % 3 === 1, lit("::1")).otherwise(lit("g::1")))
+      .withColumn("v_ip", when($"doc_id" % 2 === 0, $"v_ip4").otherwise($"v_ip6"))
+    def n(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    d.groupBy($"lang").agg(
+      count(lit(1)).as("n_docs"),
+      n(CoreTypes.valid($"v_bool", "bool")).as("ok_bool"),
+      n(CoreTypes.valid($"v_int", "i8")).as("ok_i8"),
+      n(CoreTypes.valid($"v_int", "i16")).as("ok_i16"),
+      n(CoreTypes.valid($"v_int", "i32")).as("ok_i32"),
+      n(CoreTypes.valid($"v_pow", "i64")).as("ok_i64"),
+      n(CoreTypes.valid($"v_pow", "i128")).as("ok_i128"),
+      n(CoreTypes.valid($"v_int", "u8")).as("ok_u8"),
+      n(CoreTypes.valid($"v_int", "u16")).as("ok_u16"),
+      n(CoreTypes.valid($"v_int", "u32")).as("ok_u32"),
+      n(CoreTypes.valid($"v_pow", "u64")).as("ok_u64"),
+      n(CoreTypes.valid($"v_pow", "u128")).as("ok_u128"),
+      n(CoreTypes.valid($"v_float", "f32")).as("ok_f32"),
+      n(CoreTypes.valid($"v_float", "f64")).as("ok_f64"),
+      n(CoreTypes.valid($"text", "string")).as("ok_string"),
+      n(CoreTypes.valid($"v_b64", "base64")).as("ok_b64"),
+      n(CoreTypes.valid($"v_email", "email")).as("ok_email"),
+      n(CoreTypes.valid($"v_url", "uri")).as("ok_uri"),
+      n(CoreTypes.valid($"v_url", "url")).as("ok_url"),
+      n(CoreTypes.valid($"v_ip4", "ipv4_address")).as("ok_ipv4"),
+      n(CoreTypes.valid($"v_ip6", "ipv6_address")).as("ok_ipv6"),
+      n(CoreTypes.valid($"v_ip", "ip_address")).as("ok_ip"),
+      sum(CoreTypes.castTo($"v_int", "i32")).as("sum_i32"))
+      .orderBy($"lang")
+  }
+
   private def q19SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // maxHamming=3 with maxHamming+1 chunk blocking — full recall by
@@ -591,6 +647,7 @@ object SparkEntry {
     "q31_ixml_recover"  -> (q31IxmlRecover(_, _)),
     "q32_neardup_groups" -> (q32NearDupGroups(_, _)),
     "q33_stream_window"  -> (q33StreamWindow(_, _)),
+    "q34_core_types"     -> (q34CoreTypes(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -917,6 +974,66 @@ object SparkEntry {
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q34_core_types" -> {
+      // the SAME regexes / bound strings as CoreTypes, interpolated so both
+      // engines decide from one definition; integer ranges re-derived with
+      // the same string math (RE2-safe: no lookahead anywhere)
+      import graft.expr.CoreTypes
+      def re(v: String, r: String) = s"regexp_matches($v, '$r')"
+      def mag(v: String) = {
+        val s0 = s"regexp_replace(regexp_replace($v, '^[+-]', ''), '^0+', '')"
+        s"(CASE WHEN $s0 = '' THEN '0' ELSE $s0 END)"
+      }
+      def magLe(v: String, bound: String) = {
+        val d = mag(v)
+        s"(length($d) < ${bound.length} OR (length($d) = ${bound.length} AND $d <= '$bound'))"
+      }
+      def signed(v: String, t: String) = {
+        val (mx, mnAbs) = CoreTypes.SignedBounds(t)
+        s"(${re(v, CoreTypes.IntRe)} AND (CASE WHEN $v LIKE '-%' THEN ${magLe(v, mnAbs)} ELSE ${magLe(v, mx)} END))"
+      }
+      def unsigned(v: String, t: String) =
+        s"(${re(v, CoreTypes.IntRe)} AND $v NOT LIKE '-%' AND ${magLe(v, CoreTypes.UnsignedBounds(t))})"
+      def cnt(c: String, alias: String) = s"sum(CASE WHEN $c THEN 1 ELSE 0 END)::BIGINT AS $alias"
+      val fMax = java.lang.Float.MAX_VALUE.toDouble
+      s"""WITH d AS (SELECT lang, text,
+         |  CASE doc_id % 3 WHEN 0 THEN 'true' WHEN 1 THEN 'false' ELSE 'True' END AS v_bool,
+         |  (doc_id * 37 - 40000)::VARCHAR AS v_int,
+         |  (CASE WHEN doc_id % 2 = 0 THEN '' ELSE '-' END) || '1' || repeat('0', (doc_id % 45)::INT) AS v_pow,
+         |  n_chars::VARCHAR || '.25e' || (doc_id % 45)::VARCHAR AS v_float,
+         |  CASE doc_id % 4 WHEN 0 THEN 'QUJD' WHEN 1 THEN 'QUJDRQ==' WHEN 2 THEN 'QQ=' ELSE source END AS v_b64,
+         |  CASE WHEN doc_id % 4 = 0 THEN source || '@example.com' ELSE source END AS v_email,
+         |  CASE WHEN doc_id % 5 = 0 THEN 'https://' || source || '.org/x' ELSE 'ftp:/broken ' || source END AS v_url,
+         |  (doc_id % 300)::VARCHAR || '.' || (n_chars % 300)::VARCHAR || '.7.1' AS v_ip4,
+         |  CASE doc_id % 3 WHEN 0 THEN 'fe80::1a2b' WHEN 1 THEN '::1' ELSE 'g::1' END AS v_ip6,
+         |  doc_id
+         | FROM documents),
+         |d2 AS (SELECT *, CASE WHEN doc_id % 2 = 0 THEN v_ip4 ELSE v_ip6 END AS v_ip_x FROM d)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         | ${cnt("v_bool IN ('true','false')", "ok_bool")},
+         | ${cnt(signed("v_int", "i8"), "ok_i8")},
+         | ${cnt(signed("v_int", "i16"), "ok_i16")},
+         | ${cnt(signed("v_int", "i32"), "ok_i32")},
+         | ${cnt(signed("v_pow", "i64"), "ok_i64")},
+         | ${cnt(signed("v_pow", "i128"), "ok_i128")},
+         | ${cnt(unsigned("v_int", "u8"), "ok_u8")},
+         | ${cnt(unsigned("v_int", "u16"), "ok_u16")},
+         | ${cnt(unsigned("v_int", "u32"), "ok_u32")},
+         | ${cnt(unsigned("v_pow", "u64"), "ok_u64")},
+         | ${cnt(unsigned("v_pow", "u128"), "ok_u128")},
+         | ${cnt(s"${re("v_float", CoreTypes.FloatRe)} AND abs(TRY_CAST(v_float AS DOUBLE)) <= $fMax", "ok_f32")},
+         | ${cnt(re("v_float", CoreTypes.FloatRe), "ok_f64")},
+         | ${cnt("text IS NOT NULL AND NOT regexp_matches(text, '\\x00')", "ok_string")},
+         | ${cnt(re("v_b64", CoreTypes.Base64Re), "ok_b64")},
+         | ${cnt(re("v_email", CoreTypes.EmailRe), "ok_email")},
+         | ${cnt(re("v_url", CoreTypes.UriRe), "ok_uri")},
+         | ${cnt(re("v_url", CoreTypes.UrlRe), "ok_url")},
+         | ${cnt(re("v_ip4", CoreTypes.Ipv4Re), "ok_ipv4")},
+         | ${cnt(re("v_ip6", CoreTypes.Ipv6Re), "ok_ipv6")},
+         | ${cnt(s"(${re("v_ip_x", CoreTypes.Ipv4Re)} OR ${re("v_ip_x", CoreTypes.Ipv6Re)})", "ok_ip")},
+         | sum(CASE WHEN ${signed("v_int", "i32")} THEN TRY_CAST(v_int AS INTEGER) END)::BIGINT AS sum_i32
+         |FROM d2 GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "q21_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          | ${duckBucket("embedding::DOUBLE[]", planes = 10, band = 0)} AS bucket

@@ -102,13 +102,22 @@ object Dedup {
     * themselves). */
   def nearDupGroups(df: DataFrame, idCol: String, pairs: DataFrame,
                     maxIter: Int = 25): DataFrame = {
+    // localCheckpoint truncates the lineage but LogicalRDD snapshots the
+    // ORIGIN plan's size estimate — in an iterative join loop those
+    // estimates SQUARE every round (products of products), and by ~15
+    // rounds the driver spends minutes multiplying million-digit BigInts
+    // inside Catalyst's stats visitor. Rebuilding the frame from the
+    // checkpointed RDD resets each round's leaves to the constant default.
+    def ckpt(d: DataFrame): DataFrame = {
+      val c = d.localCheckpoint(true)
+      d.sparkSession.createDataFrame(c.rdd, c.schema)
+    }
     val ids = df.select(col(idCol).cast("long").as("id")).distinct()
-    val sym = pairs
+    val sym = ckpt(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = ids.withColumn("label", col("id")).localCheckpoint(true)
+      .distinct())
+    var labels = ckpt(ids.withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -121,10 +130,9 @@ object Dedup {
         .join(labels.select(col("id").as("lid"), col("label").as("llabel")),
           col("label") === col("lid"))
         .select(col("id"), col("llabel").as("label"))
-      val next = labels.select(col("id"), col("label"))
+      val next = ckpt(labels.select(col("id"), col("label"))
         .union(viaNeighbor).union(viaLabel)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min("label").as("label")))
       changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
         .filter(col("label") < col("old")).count()
       labels = next

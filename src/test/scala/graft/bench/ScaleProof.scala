@@ -26,7 +26,8 @@ object ScaleProof {
   private val QUERIES = Seq(
     "q13_dedup_exact", "q14_token_stats", "q16_text_analysis",
     "q18_minhash_pairs", "q19_simhash_pairs", "q23_lsh_neardup",
-    "q23s_lsh_p16", "q17_ann_topk", "q20_embedding_neardup", "q21_ann_lsh")
+    "q23s_lsh_p16", "q17_ann_topk", "q20_embedding_neardup", "q21_ann_lsh",
+    "q32_neardup_groups", "q32s_lsh_groups")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
@@ -34,14 +35,24 @@ object ScaleProof {
     * the 20k-vector setting. The pair shows the knob, with q23 left as the
     * mis-tuned contrast. */
   private val extraQueries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("q23s_lsh_p16" -> ((s: SparkSession, dir: String) => {
-      import s.implicits._
-      graft.pipeline.Dedup.embeddingPairsLsh(
-          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
-          threshold = 0.3, planes = 16, bands = 4)
-        .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
-        .orderBy($"id_a", $"id_b")
-    }))
+    Map(
+      "q23s_lsh_p16" -> ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        graft.pipeline.Dedup.embeddingPairsLsh(
+            s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+            threshold = 0.3, planes = 16, bands = 4)
+          .select($"id_a", $"id_b", round($"cos", 4).as("cos_sim"))
+          .orderBy($"id_a", $"id_b")
+      }),
+      // (member, representative) output over the SAME θ=0.3 LSH pair path:
+      // output rows == |corpus| by construction, however cliquey the pair
+      // set gets — the default 100-TB output shape (VERDICT r3 Next #5)
+      "q32s_lsh_groups" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val pairs = graft.pipeline.Dedup.embeddingPairsLsh(
+          emb, "vec_id", "embedding", threshold = 0.3, planes = 8, bands = 4)
+        graft.pipeline.Dedup.nearDupGroups(emb, "vec_id", pairs)
+      }))
 
   private def queryFn(q: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
     extraQueries.getOrElse(q, graft.SparkEntry.queries(q))
