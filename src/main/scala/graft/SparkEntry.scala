@@ -294,7 +294,12 @@ object SparkEntry {
     val staged = java.nio.file.Files.createTempDirectory("graft-q33-in").toString
     val events = t(s, dir, "events").withColumn("ts", $"ts".cast("timestamp"))
     events.repartition(4).write.mode("overwrite").parquet(staged)
-    val stream = s.readStream.schema(events.schema)
+    // dedicated stream session: the windowed state is a few hundred rows, so
+    // 32 shuffle partitions would pay 32 state stores × N microbatches of
+    // pure fixed overhead; 4 keeps the same multi-batch semantics
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = ss.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
     val agg = graft.streaming.EventStream.windowedCounts(stream)

@@ -411,8 +411,15 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // distributed — only counts cross to the driver
         val total = liveAll.count()
         val shardsN = math.max(1, math.ceil(total.toDouble / targetEntriesPerShard).toInt)
-        val live = liveAll.repartitionByRange(shardsN, $"partition", $"min_z", $"file_path")
-          .sortWithinPartitions($"partition", $"min_z", $"file_path")
+        // range repartition costs a sampling pass — skip it when everything
+        // fits one shard (the small-table common case); multi-shard tables
+        // get size-targeted range shards with no single-task funnel
+        val live =
+          if (shardsN == 1)
+            liveAll.coalesce(1).sortWithinPartitions($"partition", $"min_z", $"file_path")
+          else
+            liveAll.repartitionByRange(shardsN, $"partition", $"min_z", $"file_path")
+              .sortWithinPartitions($"partition", $"min_z", $"file_path")
         val newVersion = currentVersion + 1
         val addRel = s"meta/manifest-add-v$newVersion.parquet"
         live.write.mode("overwrite").parquet(io.abs(addRel).toString)
