@@ -402,6 +402,19 @@ object SparkEntry {
       .select($"vec_id", round($"cos", 4).as("cos_sim"))
   }
 
+  private def q35AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // IVF-flat ANN (the second scale path besides q21's LSH): deterministic
+    // coarse centroids (id % 50 == 1), nProbe=4 — the DuckDB oracle rebuilds
+    // the identical inverted index and probe set from scratch
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    graft.pipeline.Ann.ivfTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        query, k = 10, centroidEvery = 50, centroidResidue = 1, nProbe = 4)
+      .select($"vec_id", round($"cos", 4).as("cos_sim"))
+  }
+
   private def q23LshNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the 100-TB near-dup path: LSH-banded blocking (linear work) + exact
@@ -653,6 +666,7 @@ object SparkEntry {
     "q32_neardup_groups" -> (q32NearDupGroups(_, _)),
     "q33_stream_window"  -> (q33StreamWindow(_, _)),
     "q34_core_types"     -> (q34CoreTypes(_, _)),
+    "q35_ann_ivf"        -> (q35AnnIvf(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1039,6 +1053,20 @@ object SparkEntry {
          | sum(CASE WHEN ${signed("v_int", "i32")} THEN TRY_CAST(v_int AS INTEGER) END)::BIGINT AS sum_i32
          |FROM d2 GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q35_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
+        |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 1),
+        |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+        |asg AS (SELECT vec_id, e, cid FROM (
+        |  SELECT v.vec_id, v.e, c.cid,
+        |    row_number() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid ASC) AS rn
+        |  FROM v, c) WHERE rn = 1),
+        |probe AS (SELECT cid FROM c, q
+        |  ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, cid ASC LIMIT 4)
+        |SELECT a.vec_id, round(list_cosine_similarity(a.e, q.qe), 4) AS cos_sim
+        |FROM asg a JOIN probe p ON a.cid = p.cid, q
+        |ORDER BY list_cosine_similarity(a.e, q.qe) DESC, a.vec_id ASC LIMIT 10""".stripMargin,
     "q21_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          | ${duckBucket("embedding::DOUBLE[]", planes = 10, band = 0)} AS bucket

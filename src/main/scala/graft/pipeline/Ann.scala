@@ -26,6 +26,40 @@ object Ann {
       .limit(k)
   }
 
+  /** IVF-flat ANN — the second scale path besides LSH: a coarse quantizer
+    * partitions the corpus into inverted lists, the query probes only the
+    * `nProbe` nearest lists. The quantizer here is DETERMINISTIC — every
+    * corpus vector with id ≡ residue (mod every) IS a centroid (coarse
+    * centroids drawn from the data itself, no training iterations), so a
+    * cross-engine oracle can rebuild the identical index; swap in k-means
+    * centroids at deployment without touching the plan shape. Assignment is
+    * one broadcast-join map pass over the corpus (n×K cosines, no shuffle of
+    * vectors) ranked per vector; at scale the centroid count grows ~√n and
+    * the assigned list column persists as table state across queries. */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, centroidEvery: Int = 50,
+              centroidResidue: Int = 1, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val cents = v.filter(pmod(col("id"), lit(centroidEvery)) === centroidResidue)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    // nearest centroid per vector; (cos desc, cid asc) makes ties deterministic
+    val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = v.join(broadcast(cents))
+      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("v"), col("cid"))
+    // probe list: the nProbe centroids nearest the query (tiny, collected)
+    val q = typedLit(query.toSeq)
+    val probes = cents.select(col("cid"), Dedup.cosine(col("cv"), q).as("qcos"))
+      .orderBy(col("qcos").desc, col("cid").asc).limit(nProbe)
+      .select("cid").collect().map(_.getLong(0))
+    assigned.filter(col("cid").isin(probes.toSeq: _*))
+      .select(col("id").as(idCol), Dedup.cosine(col("v"), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: bucket the corpus, probe every bucket within hamming
     * distance `probeRadius` of the query's bucket (multi-probe), rank the
     * candidates exactly. True near neighbors flip few sign bits, so they land

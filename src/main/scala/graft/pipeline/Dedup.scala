@@ -118,9 +118,17 @@ object Dedup {
       .union(pairs.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .distinct())
     var labels = ckpt(ids.withColumn("label", col("id")))
-    var changed = 1L
+    // labels only ever DECREASE, so Σlabel is strictly monotone until the
+    // fixpoint: one decimal agg per round detects convergence without the
+    // extra join+count job a changed-row check would cost
+    def labelSum(d: DataFrame): java.math.BigDecimal = {
+      val r = d.agg(sum(col("label").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    var converged = false
+    while (!converged && iter < maxIter) {
       // candidate labels: own, the neighbors', and the label's own label
       // (pointer doubling — collapses long chains logarithmically)
       val viaNeighbor = sym
@@ -133,8 +141,9 @@ object Dedup {
       val next = ckpt(labels.select(col("id"), col("label"))
         .union(viaNeighbor).union(viaLabel)
         .groupBy("id").agg(min("label").as("label")))
-      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") < col("old")).count()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }

@@ -91,6 +91,37 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q30 nested-loop:\n$p")
   }
 
+  test("q34 core-type validation is a single aggregation pass, no joins") {
+    val p = planOf("q34_core_types")
+    assert(!p.contains("Join"), s"q34 unexpectedly joins:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2, s"q34 has $exchanges exchanges (expected agg + sort):\n$p")
+  }
+
+  test("q35 IVF assignment broadcasts centroids; no cartesian in the executed plan") {
+    val df = SparkEntry.queries("q35_ann_ivf")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"q35 cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"centroid table not broadcast:\n$p")
+  }
+
+  test("IVF ANN achieves high recall vs brute force on the test corpus") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val query = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+    val corpus = emb.filter($"vec_id" =!= 0)
+    val exact = graft.pipeline.Ann.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val ivf = graft.pipeline.Ann.ivfTopK(corpus, "vec_id", "embedding", query, 10,
+      centroidEvery = 20, centroidResidue = 1, nProbe = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact & ivf).size / 10.0
+    assert(recall >= 0.5, s"IVF recall@10 = $recall (exact=$exact ivf=$ivf)")
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString
