@@ -39,8 +39,13 @@ import java.util.UUID
   * that snapshot's manifest list → snapshot isolation for concurrent
   * maintenance.
   */
+/** fileCount = live data files at this snapshot, maintained arithmetically
+  * like recordCount (-1 when unknown, e.g. tables written before the field
+  * existed) — sizing decisions (manifest-rewrite sharding) read it instead
+  * of running a count job over the manifest union. */
 final case class Snapshot(version: Long, parent: Long, tsMillis: Long,
-                          operation: String, manifest: String, recordCount: Long)
+                          operation: String, manifest: String, recordCount: Long,
+                          fileCount: Long = -1L)
 
 final case class ManifestEntry(file_path: String, partition: String,
                                record_count: Long, file_bytes: Long,
@@ -108,7 +113,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     else {
       val m = parseJsonFlat(io.readString(rel))
       Some(Snapshot(m("version").toLong, m("parent").toLong, m("tsMillis").toLong,
-        m("operation"), m("manifest"), m("recordCount").toLong))
+        m("operation"), m("manifest"), m("recordCount").toLong,
+        m.getOrElse("fileCount", "-1").toLong))
     }
   }
 
@@ -262,7 +268,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
       else removedRecordSum(parent, removedPaths) // fallback: one metadata agg
     val liveCount = parent.map(_.recordCount).getOrElse(0L) +
       added.map(_.record_count).sum - removed
-    finishCommit(newVersion, parent, shards, operation, liveCount)
+    val parentFiles = parent.map(_.fileCount).getOrElse(0L)
+    val fileCount =
+      if (parentFiles < 0) -1L else parentFiles + added.size - removedPaths.size
+    finishCommit(newVersion, parent, shards, operation, liveCount, fileCount)
   }
 
   /** Commit with the removed-file set supplied as a DataFrame (full rewrites
@@ -270,7 +279,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * remove shard is a distributed write; pass `removedRecords` when the
     * caller knows it (a full rewrite removes parent.recordCount rows). */
   def commitDelta(added: Seq[ManifestEntry], removedDf: Option[DataFrame],
-                  operation: String, removedRecords: Long = -1L): Snapshot = {
+                  operation: String, removedRecords: Long = -1L,
+                  removedFiles: Long = -1L): Snapshot = {
     init()
     val parent = currentSnapshot
     val newVersion = currentVersion + 1
@@ -290,6 +300,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
       shards :+= ManifestShard(seq, "remove", rmRel)
     }
 
+    val parentFiles = parent.map(_.fileCount).getOrElse(0L)
+    val fileCount =
+      if (parentFiles < 0) -1L
+      else if (removedDf.isEmpty) parentFiles + added.size
+      else if (removedFiles >= 0L) parentFiles + added.size - removedFiles
+      else -1L
     val liveCount =
       if (removedDf.isEmpty)
         parent.map(_.recordCount).getOrElse(0L) + added.map(_.record_count).sum
@@ -300,11 +316,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
         val snap0 = Snapshot(newVersion, parent.map(_.version).getOrElse(0L),
           System.currentTimeMillis(), operation,
           writeList(newVersion, shards), 0L)
-        val r = manifest(snap0).agg(sum($"record_count")).head()
+        val r = manifest(snap0).agg(sum($"record_count"), count(lit(1))).head()
         val c = if (r.isNullAt(0)) 0L else r.getLong(0)
-        return finishCommitWithList(newVersion, parent, snap0.manifest, operation, c)
+        return finishCommitWithList(newVersion, parent, snap0.manifest, operation,
+          c, r.getLong(1))
       }
-    finishCommit(newVersion, parent, shards, operation, liveCount)
+    finishCommit(newVersion, parent, shards, operation, liveCount, fileCount)
   }
 
   private def parentShards(parent: Option[Snapshot]): (Seq[ManifestShard], Int) = {
@@ -320,19 +337,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   private def finishCommit(newVersion: Long, parent: Option[Snapshot],
                            shards: Seq[ManifestShard], operation: String,
-                           liveCount: Long): Snapshot =
+                           liveCount: Long, fileCount: Long): Snapshot =
     finishCommitWithList(newVersion, parent, writeList(newVersion, shards),
-      operation, liveCount)
+      operation, liveCount, fileCount)
 
   private def finishCommitWithList(newVersion: Long, parent: Option[Snapshot],
                                    listRel: String, operation: String,
-                                   liveCount: Long): Snapshot = {
+                                   liveCount: Long, fileCount: Long): Snapshot = {
     val snap = Snapshot(newVersion, parent.map(_.version).getOrElse(0L),
-      System.currentTimeMillis(), operation, listRel, liveCount)
+      System.currentTimeMillis(), operation, listRel, liveCount, fileCount)
     val json =
       s"""{"version": ${snap.version}, "parent": ${snap.parent}, "tsMillis": ${snap.tsMillis},
          | "operation": "${snap.operation}", "manifest": "${snap.manifest}",
-         | "recordCount": ${snap.recordCount}}""".stripMargin
+         | "recordCount": ${snap.recordCount}, "fileCount": ${snap.fileCount}}""".stripMargin
     io.writeString(s"meta/snapshot-v$newVersion.json", json)
     // atomic commit
     io.writeAtomic("meta/version-hint.text", newVersion.toString)
@@ -407,9 +424,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
           .flatMap(d => LakeIO.of(root).list(d).map(n => s"$d/$n"))
           .toDF("file_path")
         val liveAll = manifest(s).join(existing, Seq("file_path"), "left_semi")
-        // one metadata agg sizes the shard set; the entries themselves stay
-        // distributed — only counts cross to the driver
-        val total = liveAll.count()
+        // shard sizing from the snapshot's own file count (arithmetically
+        // maintained, an upper bound when files vanished) — a count job over
+        // the manifest union only when the table predates the field
+        val total = if (s.fileCount >= 0) s.fileCount else liveAll.count()
         val shardsN = math.max(1, math.ceil(total.toDouble / targetEntriesPerShard).toInt)
         // range repartition costs a sampling pass — skip it when everything
         // fits one shard (the small-table common case); multi-shard tables
@@ -427,10 +445,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
         // count comes from one agg over the freshly written shards (metadata)
         val r = spark.read.schema(GraftTable.manifestSchema)
           .parquet(io.abs(addRel).toString)
-          .agg(sum($"record_count")).head()
+          .agg(sum($"record_count"), count(lit(1))).head()
         val liveCount = if (r.isNullAt(0)) 0L else r.getLong(0)
         val listRel = writeList(newVersion, Seq(ManifestShard(1, "add", addRel)))
-        finishCommitWithList(newVersion, Some(s), listRel, "manifest_rewrite", liveCount)
+        finishCommitWithList(newVersion, Some(s), listRel, "manifest_rewrite",
+          liveCount, r.getLong(1))
     }
 
   /** Full rewrite commit (compaction/cluster jobs): adds replace the entire
@@ -441,7 +460,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     currentSnapshot match {
       case None => commitDelta(entries, None, operation)
       case Some(s) => commitDelta(entries, Some(manifest(s).select("file_path")),
-        operation, removedRecords = s.recordCount)
+        operation, removedRecords = s.recordCount, removedFiles = s.fileCount)
     }
 
   // tiny flat-json parser for our own snapshot files

@@ -100,12 +100,14 @@ object Maintenance {
     *
     * ONE full target scan (the key-match pass); everything after reads only
     * the affected files or the cached source. The distinct source key set is
-    * broadcast when it is small (the maintenance norm); past
-    * `maxBroadcastKeys` every key join falls back to a shuffle join — a 10%
-    * source at 100 TB would otherwise blow the driver/executor broadcast
-    * memory. The single-full-scan property holds on both paths. */
+    * broadcast when the source's PLAN-STATS size estimate is small (the
+    * maintenance norm — no extra count job, the same mechanism Spark's own
+    * autoBroadcastJoinThreshold uses); past `broadcastBytes` every key join
+    * falls back to a shuffle join — a 10% source at 100 TB would otherwise
+    * blow the driver/executor broadcast memory. The single-full-scan
+    * property holds on both paths. */
   def mergeInto(table: GraftTable, jobId: String, source: DataFrame,
-                maxBroadcastKeys: Long = 1L << 20): MergeResult = {
+                broadcastBytes: Long = 32L << 20): MergeResult = {
     val phase = "merge"
     if (Lineage.isDone(table, jobId, phase)) {
       val s = Lineage.summary(table, jobId, phase).get
@@ -124,10 +126,9 @@ object Maintenance {
     }
 
     val src = source.select(dataCols.map(col): _*).cache()
-    val srcKeys = src.select(keys.map(col): _*).distinct().cache()
-    // one tiny cached agg decides broadcast vs shuffle for every key join
-    val nKeys = srcKeys.count()
-    val small = nKeys <= maxBroadcastKeys
+    val srcKeys = src.select(keys.map(col): _*).distinct()
+    // plan-stats size estimate decides broadcast vs shuffle — zero jobs
+    val small = source.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     // 1. the ONLY full-table pass: rows whose key the source touches, with
@@ -167,7 +168,6 @@ object Maintenance {
 
     table.commit(addedRewrite ++ addedInsert, affectedRel, "merge")
     matched.unpersist()
-    srcKeys.unpersist()
     src.unpersist()
     Lineage.record(table, jobId, phase, affectedRel.toSeq, addedRewrite ++ addedInsert)
     MergeResult(updatedCount, insertedCount, affectedRel.size)

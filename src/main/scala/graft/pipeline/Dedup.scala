@@ -147,6 +147,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // pointer doubling collapses diameter ~2^maxIter, so this only fires on
+    // a genuinely pathological graph — wrong groups must never be silent
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupGroups did not converge in $maxIter rounds")
     labels.select(col("id").as("member_id"), col("label").as("group_id"))
   }
 

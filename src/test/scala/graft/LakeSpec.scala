@@ -367,9 +367,9 @@ class LakeSpec extends SparkTestBase {
       .withColumn("content", lit("updated_big"))
       .withColumn("lang", lit("text"))
     val inserts = synthDf(15, seed = 555)
-    // maxBroadcastKeys=1 forces the shuffle-join fallback for every key join
+    // broadcastBytes=1 forces the shuffle-join fallback for every key join
     val r = Maintenance.mergeInto(t, "jobbig", updates.unionByName(inserts),
-      maxBroadcastKeys = 1L)
+      broadcastBytes = 1L)
     assert(r.updated == 20 && r.inserted == 15, s"shuffle-path merge wrong: $r")
     val after = t.scan()
     assert(after.count() == 415)
