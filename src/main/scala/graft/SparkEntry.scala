@@ -318,6 +318,23 @@ object SparkEntry {
       .orderBy($"window_start", $"event_type")
   }
 
+  private def q36Sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // event-time sessionization through the TYPED flatMapGroupsWithState
+    // path (EventStream.sessionize — the same function streaming runs;
+    // batch execution closes trailing sessions at end of input). DuckDB
+    // recomputes sessions relationally: lag-gap flags → cumulative session
+    // ids → per-session aggregate.
+    val events = t(s, dir, "events")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .as[graft.streaming.EventStream.Event]
+    graft.streaming.EventStream.sessionize(events, gapMinutes = 30)
+      .toDF()
+      .select($"user_id", $"n_events",
+        round($"total_value", 2).as("total_value"), $"session_end_ts")
+      .orderBy($"user_id", $"session_end_ts")
+  }
+
   /** XMQCoreType scalar vocabulary (xmq.h:382-407) over derived columns:
     * every core type validated (and one cast summed) on deterministic
     * values built from the documents table; DuckDB recomputes each verdict
@@ -667,6 +684,7 @@ object SparkEntry {
     "q33_stream_window"  -> (q33StreamWindow(_, _)),
     "q34_core_types"     -> (q34CoreTypes(_, _)),
     "q35_ann_ivf"        -> (q35AnnIvf(_, _)),
+    "q36_sessionize"     -> (q36Sessionize(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1053,6 +1071,20 @@ object SparkEntry {
          | sum(CASE WHEN ${signed("v_int", "i32")} THEN TRY_CAST(v_int AS INTEGER) END)::BIGINT AS sum_i32
          |FROM d2 GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "q36_sessionize" ->
+      """WITH d AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  epoch_ms(max(ts)) AS session_end_ts
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_end_ts""".stripMargin,
     "q35_ann_ivf" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
         |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 1),
