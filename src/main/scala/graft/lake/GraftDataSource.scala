@@ -49,13 +49,40 @@ object GraftDataSource {
     StructField("content", StringType), StructField("z", LongType)))
 }
 
-class GraftSparkTable(location: String) extends Table with SupportsRead {
+class GraftSparkTable(location: String) extends Table
+  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$location`"
   override def schema(): StructType = GraftDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(location)
+
+  /** write path via the V1 bridge: `df.write.format("graft").save(loc)`
+    * appends through the SAME GraftTable.append used everywhere — one
+    * distributed data write, one distributed stats pass (per-file min/max,
+    * langs, z bounds, xor digest), one driver-side O(delta) metadata
+    * commit. A bespoke DataWriter would have to replicate Spark's
+    * xxhash64/sha2 semantics in-task to produce identical manifest stats —
+    * the bridge keeps one implementation of that contract. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation():
+              org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              val table = new GraftTable(data.sparkSession, location)
+              require(!overwrite, "graft sink supports append mode only")
+              val cols = GraftDataSource.schema.fieldNames.filter(data.columns.contains)
+              table.append(data.select(cols.map(org.apache.spark.sql.functions.col): _*))
+              ()
+            }
+        }
+    }
 }
 
 class GraftScanBuilder(location: String)
@@ -196,14 +223,22 @@ class GraftPartitionReader(absPath: String, columns: Array[String])
 
   private val conf = new Configuration()
   locally {
-    // projection pushdown: request only the needed columns from parquet
+    // projection pushdown: request only the needed columns, with each
+    // field's type/repetition taken from the FILE's own footer — files
+    // written by different writers disagree on e.g. z's requiredness, and
+    // parquet-mr rejects a projection whose repetition mismatches
     if (columns.nonEmpty) {
-      val fields = columns.map {
-        case "z" => "optional int64 z;"
-        case c => s"optional binary $c (UTF8);"
-      }.mkString(" ")
-      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        s"message graft { $fields }")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val fileSchema = try rd.getFooter.getFileMetaData.getSchema finally rd.close()
+      val fields = columns.toSeq.filter(fileSchema.containsField)
+        .map(c => fileSchema.getType(fileSchema.getFieldIndex(c)))
+      if (fields.nonEmpty) {
+        val proj = new org.apache.parquet.schema.MessageType("graft", fields: _*)
+        conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+          proj.toString)
+      }
     }
   }
   private val reader: ParquetReader[Group] =

@@ -376,6 +376,30 @@ class LakeSpec extends SparkTestBase {
     assert(after.filter($"content" === "updated_big").count() == 20)
   }
 
+  test("DSv2 write: df.write.format(graft) appends with full manifest stats") {
+    import spark.implicits._
+    val loc = Files.createTempDirectory("graft-dsv2-write").toString
+    val df = synthDf(150)
+    df.select("repo", "path", "commit", "lang", "content")
+      .write.format("graft").mode("append").save(loc)
+    // second append through the same path
+    synthDf(50, seed = 9).select("repo", "path", "commit", "lang", "content")
+      .write.format("graft").mode("append").save(loc)
+
+    val t = new GraftTable(spark, loc)
+    assert(t.currentVersion == 2)
+    assert(t.currentSnapshot.get.recordCount == 200)
+    assert(keyset(t.scan()) == keyset(synthDf(150).unionByName(synthDf(50, seed = 9))))
+    // manifest entries carry real stats (z bounds, digest, sizes)
+    val entries = t.manifestEntries(t.currentSnapshot.get)
+    assert(entries.nonEmpty)
+    assert(entries.forall(e => e.file_bytes > 0 && e.record_count > 0 && e.min_repo != null))
+    assert(entries.exists(_.digest != 0L))
+    // and the DSv2 READ path sees what the DSv2 write path wrote
+    val back = spark.read.format("graft").load(loc)
+    assert(back.count() == 200)
+  }
+
   test("driver-side metadata writes interoperate with Spark-written shards") {
     import graft.lake.MetaIO
     val t = freshTable("graft-metaio")
