@@ -113,7 +113,9 @@ object GraftScanBuilder {
     case LessThan(a, _) => Set("repo", "path").contains(a)
     case LessThanOrEqual(a, _) => Set("repo", "path").contains(a)
     case In(a, _) => Set("repo", "lang").contains(a)
+    case StringStartsWith(a, _) => Set("repo", "path").contains(a)
     case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
     case _ => false
   }
 }
@@ -198,8 +200,23 @@ object GraftScan {
         case v: String => keepIfUnknown(array_contains(col("langs"), v))
         case _ => lit(true)
       }.foldLeft(lit(false))(_ || _)
+    case StringStartsWith("repo", p: String) =>
+      keepIfUnknown(col("max_repo") >= p && col("min_repo") < nextPrefix(p))
+    case StringStartsWith("path", p: String) =>
+      keepIfUnknown(col("max_path") >= p && col("min_path") < nextPrefix(p))
     case And(l, r) => toCol(l) && toCol(r)
+    case Or(l, r) => toCol(l) || toCol(r)
     case _ => lit(true)
+  }
+
+  /** smallest string greater than every string with prefix `p`: increment
+    * the last non-max char, dropping any trailing U+FFFF run — strings with
+    * prefix p lie in [p, nextPrefix(p)). */
+  private def nextPrefix(p: String): String = {
+    var i = p.length - 1
+    while (i >= 0 && p.charAt(i) == '\uFFFF') i -= 1
+    if (i < 0) "\uFFFF" // degenerate: prefix is all U+FFFF — keep everything ≥ p
+    else p.substring(0, i) + (p.charAt(i) + 1).toChar
   }
 }
 

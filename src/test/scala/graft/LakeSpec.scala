@@ -279,6 +279,33 @@ class LakeSpec extends SparkTestBase {
     assert(keyset(df) == expected)
   }
 
+  test("DSv2 prefix and OR filters prune via manifest stats") {
+    import spark.implicits._
+    val t = freshTable("graft-dsv2-prefix")
+    // lexical-prefix pruning needs lexical file locality: range-partition by
+    // repo (hash-z clustering gives HASH locality — equality prunes, prefix
+    // ranges span everything; both layouts are legitimate table states)
+    t.append(synthDf(600).repartitionByRange(8, col("repo")))
+    val repo = SourceFiles.repoName(3)
+    val prefix = repo.substring(0, repo.lastIndexOf('/') + 1) // "orgNN/"
+    val total = t.manifestEntries(t.currentSnapshot.get).size
+
+    val df = spark.read.format("graft").load(t.location)
+      .filter($"repo".startsWith(prefix))
+    val expected = t.scan().filter($"repo".startsWith(prefix)).count()
+    assert(df.count() == expected)
+    assert(df.rdd.getNumPartitions < total,
+      s"prefix filter pruned nothing: ${df.rdd.getNumPartitions}/$total")
+
+    // OR of two repo equalities also prunes (both sides supported)
+    val r2 = SourceFiles.repoName(5)
+    val dfOr = spark.read.format("graft").load(t.location)
+      .filter($"repo" === repo || $"repo" === r2)
+    val expOr = t.scan().filter($"repo" === repo || $"repo" === r2).count()
+    assert(dfOr.count() == expOr)
+    assert(dfOr.rdd.getNumPartitions < total)
+  }
+
   test("DSv2 scan description reports the pruning ratio after planning") {
     import spark.implicits._
     val t = freshTable("graft-dsv2-desc")
