@@ -81,6 +81,21 @@ class LakeSpec extends SparkTestBase {
     assert(df.filter(col("repo") === repo).count() == expected)
   }
 
+  test("hilbert clustering preserves the row set and yields disjoint-ish ranges") {
+    val t = freshTable("graft-hilbert")
+    t.append(synthDf(400).repartition(8))
+    val before = keyset(t.scan())
+    Maintenance.cluster(t, "jobh", useHilbert = true, numFiles = 6)
+    assert(keyset(t.scan()) == before, "hilbert clustering changed the row set")
+    val entries = t.manifestEntries(t.currentSnapshot.get).sortBy(_.min_z)
+    assert(entries.size >= 3)
+    val overlaps = entries.sliding(2).count {
+      case Seq(a, b) => b.min_z < a.max_z
+      case _ => false
+    }
+    assert(overlaps <= 1, s"hilbert ranges overlap too much: $overlaps")
+  }
+
   test("merge into: copy-on-write updates + inserts, row set matches reference semantics") {
     import spark.implicits._
     val t = freshTable("graft-merge")
