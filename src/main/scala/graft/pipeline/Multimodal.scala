@@ -157,6 +157,31 @@ object MediaCodec {
     bos.toByteArray
   }
 
+  /** REAL image resize: decode, nearest-neighbor sample to (w, h) with
+    * explicit integer pixel math (bit-deterministic — interpolating
+    * Graphics2D filters vary across JDK raster paths), re-encode PNG.
+    * Empty array when the blob does not decode. */
+  def resizeImage(blob: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (w <= 0 || h <= 0) return Array.emptyByteArray
+    val img = try ImageIO.read(new ByteArrayInputStream(blob)) catch { case _: Exception => null }
+    if (img == null) return Array.emptyByteArray
+    val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * img.getHeight / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * img.getWidth / w).toInt
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
   /** deterministic 16-bit mono PCM: sine at an id-derived frequency plus
     * hash noise, wrapped in a real RIFF/WAV container. */
   def pcmSamples(id: Long, n: Int): Array[Short] = {
@@ -333,6 +358,20 @@ case class MediaFeaturesExpr(first: Expression, second: Expression, third: Expre
   override def prettyName: String = "media_features"
 }
 
+/** media_resize(blob, w, h): real decode → nearest-neighbor resample →
+  * PNG re-encode; empty binary when the blob does not decode. */
+case class MediaResizeExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(b: Any, w: Any, h: Any): Any =
+    MediaCodec.resizeImage(b.asInstanceOf[Array[Byte]],
+      w.asInstanceOf[Int], h.asInstanceOf[Int])
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "media_resize"
+}
+
 object MediaFunctions {
   import org.apache.spark.sql.GraftInternal.{col => mkCol, expr => exprOf}
 
@@ -342,4 +381,9 @@ object MediaFunctions {
   def media_features(blob: Column, kind: Column, dim: Int): Column =
     mkCol(MediaFeaturesExpr(exprOf(blob), exprOf(kind),
       org.apache.spark.sql.catalyst.expressions.Literal(dim)))
+
+  def media_resize(blob: Column, w: Int, h: Int): Column =
+    mkCol(MediaResizeExpr(exprOf(blob),
+      org.apache.spark.sql.catalyst.expressions.Literal(w),
+      org.apache.spark.sql.catalyst.expressions.Literal(h)))
 }

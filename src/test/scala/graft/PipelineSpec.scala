@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Ann, TextOps, Multimodal, MediaCodec}
+import graft.pipeline.{Dedup, Ann, TextOps, Multimodal, MediaCodec, MediaFunctions}
 import org.apache.spark.sql.functions._
 
 /** Correctness checks for the training-data operators beyond rows>0:
@@ -194,6 +194,28 @@ class PipelineSpec extends SparkTestBase {
     val wav = MediaCodec.encodeWav(11L, 8000, 900, 42)
     val a = MediaCodec.audioFeatures(wav, 8)
     assert(math.abs(a.map(v => v * v).sum - 1.0f) < 1e-3, "RMS profile not L2-normalized")
+  }
+
+  test("media resize: pixel-exact nearest-neighbor downscale, distributed") {
+    import spark.implicits._
+    // kernel check: every output pixel equals the mapped source pixel
+    val blob = MediaCodec.encodePng(7L, 40, 30, 42)
+    val small = MediaCodec.resizeImage(blob, 20, 15)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(small))
+    assert(img.getWidth == 20 && img.getHeight == 15)
+    for (y <- 0 until 15; x <- 0 until 20)
+      assert((img.getRGB(x, y) & 0xffffff) == MediaCodec.pixelRgb(7L, x * 2, y * 2, 40, 30),
+        s"resize pixel mismatch at ($x,$y)")
+    // corrupted input fails closed
+    assert(MediaCodec.resizeImage(Array[Byte](1, 2, 3), 8, 8).isEmpty)
+
+    // column operator over a corpus: resized blobs re-decode at target dims
+    val media = Multimodal.synthesize(spark, 60).filter($"kind" === "image")
+    val resized = media.withColumn("small",
+        MediaFunctions.media_resize($"blob", 16, 12))
+      .withColumn("d", MediaFunctions.media_decode($"small", lit("image")))
+    val ok = resized.filter($"d.ok" && $"d.width" === 16 && $"d.height" === 12).count()
+    assert(ok == resized.count() && ok > 0)
   }
 
   test("nearDupGroups: connected components over chain, clique and singletons") {
