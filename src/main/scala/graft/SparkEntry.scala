@@ -621,6 +621,19 @@ object SparkEntry {
       .orderBy($"repo", $"path")
   }
 
+  private def q37Dsv2Scan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the DataSourceV2 connector itself under the gate: read the maintained
+    // lake table through spark.read.format("graft") with a pushed repo
+    // filter (distributed manifest pruning + footer-driven projection),
+    // DuckDB recomputing the expected row set relationally
+    val table = lakeTableFor(s, dir, "q37")
+    s.read.format("graft").load(table.location)
+      .filter($"repo" === "repo_7")
+      .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"path")
+  }
+
   private def q25PostMaintenanceScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val table = lakeTableFor(s, dir, "q25")
@@ -685,6 +698,7 @@ object SparkEntry {
     "q34_core_types"     -> (q34CoreTypes(_, _)),
     "q35_ann_ivf"        -> (q35AnnIvf(_, _)),
     "q36_sessionize"     -> (q36Sessionize(_, _)),
+    "q37_dsv2_scan"      -> (q37Dsv2Scan(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -845,6 +859,10 @@ object SparkEntry {
       s"""$duckMergedCte
          |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
          |FROM merged WHERE repo = 'repo_3' ORDER BY path""".stripMargin,
+    "q37_dsv2_scan" ->
+      s"""$duckMergedCte
+         |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+         |FROM merged WHERE repo = 'repo_7' ORDER BY path""".stripMargin,
     "q28_xslt_extract" ->
       """SELECT doc_id, doc_id::VARCHAR || '-' || source AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -148,7 +148,9 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType)
       case Some(s) =>
         import spark.implicits._
         val m = table.manifest(s)
-        val total = m.count().toInt
+        // total for the pruning ratio comes free from the snapshot's
+        // arithmetic file count; a count job only for pre-field tables
+        val total = if (s.fileCount >= 0) s.fileCount.toInt else m.count().toInt
         val kept = m.filter(GraftScan.manifestPredicate(pushed))
           .select("file_path").as[String].collect()
         pruneInfo = Some((kept.length, total))
