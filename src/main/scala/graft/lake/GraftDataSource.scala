@@ -77,8 +77,14 @@ class GraftSparkTable(location: String) extends Table
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
               val table = new GraftTable(data.sparkSession, location)
               require(!overwrite, "graft sink supports append mode only")
-              val cols = GraftDataSource.schema.fieldNames.filter(data.columns.contains)
-              table.append(data.select(cols.map(org.apache.spark.sql.functions.col): _*))
+              // resolve case-insensitively (Spark's default resolution):
+              // a DataFrame column named `Repo` must match graft's `repo`,
+              // not be silently dropped from the append
+              val byLower = data.columns.map(c => c.toLowerCase -> c).toMap
+              val cols = GraftDataSource.schema.fieldNames.toSeq
+                .flatMap(f => byLower.get(f.toLowerCase).map(src =>
+                  data.col(src).as(f)))
+              table.append(data.select(cols: _*))
               ()
             }
         }
@@ -202,23 +208,34 @@ object GraftScan {
         case v: String => keepIfUnknown(array_contains(col("langs"), v))
         case _ => lit(true)
       }.foldLeft(lit(false))(_ || _)
-    case StringStartsWith("repo", p: String) =>
-      keepIfUnknown(col("max_repo") >= p && col("min_repo") < nextPrefix(p))
-    case StringStartsWith("path", p: String) =>
-      keepIfUnknown(col("max_path") >= p && col("min_path") < nextPrefix(p))
+    case StringStartsWith("repo", p: String) => startsWithCol("repo", p)
+    case StringStartsWith("path", p: String) => startsWithCol("path", p)
     case And(l, r) => toCol(l) && toCol(r)
     case Or(l, r) => toCol(l) || toCol(r)
     case _ => lit(true)
   }
 
-  /** smallest string greater than every string with prefix `p`: increment
-    * the last non-max char, dropping any trailing U+FFFF run — strings with
-    * prefix p lie in [p, nextPrefix(p)). */
-  private def nextPrefix(p: String): String = {
+  /** startsWith pruning: strings with prefix p lie in [p, nextPrefix(p)),
+    * where nextPrefix increments the last non-U+FFFF char. A prefix composed
+    * ENTIRELY of U+FFFF has no finite string upper bound — there emit only
+    * the lower-bound conjunct, never a fabricated `min < U+FFFF` that would
+    * wrongly prune files whose min is itself >= U+FFFF yet contains
+    * prefixed strings (file-level pruning loss is unrepairable by the
+    * residual filters). */
+  private def startsWithCol(field: String, p: String): Column =
+    nextPrefix(p) match {
+      case Some(np) =>
+        keepIfUnknown(col(s"max_$field") >= p && col(s"min_$field") < np)
+      case None => keepIfUnknown(col(s"max_$field") >= p)
+    }
+
+  /** smallest string greater than every string with prefix `p`, or None if
+    * no such string exists (prefix is all U+FFFF). */
+  private def nextPrefix(p: String): Option[String] = {
     var i = p.length - 1
     while (i >= 0 && p.charAt(i) == '\uFFFF') i -= 1
-    if (i < 0) "\uFFFF" // degenerate: prefix is all U+FFFF — keep everything ≥ p
-    else p.substring(0, i) + (p.charAt(i) + 1).toChar
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 }
 

@@ -61,11 +61,15 @@ final class LakeIO(val root: String) extends Serializable {
   }
 
   /** temp-write + rename-overwrite: readers see either the old or the new
-    * content — the target is never absent mid-commit. POSIX/local and HDFS
-    * rename atomically replace an existing destination, so the plain rename
-    * is the whole story there; only a store whose rename refuses to
-    * overwrite falls into the delete+retry branch (such stores need a
-    * commit service for true atomicity regardless — documented above). */
+    * content — the target is never absent mid-commit. POSIX/local rename
+    * atomically replaces an existing destination. HDFS's FileSystem.rename
+    * returns false when dst exists, so HDFS takes the delete+retry branch —
+    * non-atomic, but safe here because currentVersion recovers from a
+    * missing hint by scanning max snapshot id; a deployment wanting a truly
+    * atomic HDFS replace should use FileContext.rename with
+    * Options.Rename.OVERWRITE (not on the portable FileSystem seam this
+    * class targets). Stores whose rename refuses to overwrite need a commit
+    * service for true atomicity regardless — documented above. */
   def writeAtomic(rel: String, s: String): Unit = {
     val tmp = rel + ".tmp-" + java.util.UUID.randomUUID()
     writeString(tmp, s)

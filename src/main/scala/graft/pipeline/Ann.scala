@@ -39,21 +39,31 @@ object Ann {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               query: Array[Float], k: Int, centroidEvery: Int = 50,
               centroidResidue: Int = 1, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val cents = v.filter(pmod(col("id"), lit(centroidEvery)) === centroidResidue)
       .select(col("id").as("cid"), col("v").as("cv"))
-    // nearest centroid per vector; (cos desc, cid asc) makes ties deterministic
-    val w = Window.partitionBy("id").orderBy(col("ccos").desc, col("cid").asc)
+    // nearest centroid per vector as a PARTIAL-AGGREGABLE argmax: max over
+    // struct(ccos, -cid, v) is lexicographic, so (cos desc, cid asc) ties
+    // stay deterministic, and the map-side partial collapses each vector's
+    // K centroid rows to ONE before the exchange — the shuffle moves ~n
+    // rows, not n×K (a row_number window would shuffle all n×K). v rides in
+    // the struct tail: it is only compared on a full (ccos, cid) tie, which
+    // implies the same cid and therefore an identical v.
     val assigned = v.join(broadcast(cents))
-      .withColumn("ccos", Dedup.cosine(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("id"), col("v"), col("cid"))
+      .select(col("id"),
+        struct(Dedup.cosine(col("v"), col("cv")).as("ccos"),
+               (-col("cid")).as("ncid"), col("v").as("v")).as("cand"))
+      .groupBy("id").agg(max(col("cand")).as("best"))
+      .select(col("id"), col("best.v").as("v"), (-col("best.ncid")).as("cid"))
     // probe list: the nProbe centroids nearest the query (tiny, collected)
     val q = typedLit(query.toSeq)
     val probes = cents.select(col("cid"), Dedup.cosine(col("cv"), q).as("qcos"))
       .orderBy(col("qcos").desc, col("cid").asc).limit(nProbe)
       .select("cid").collect().map(_.getLong(0))
+    // no corpus id hits the residue class (tiny/sparse/non-contiguous ids):
+    // an empty inverted index must degrade to the exact scan, not silently
+    // return zero neighbors
+    if (probes.isEmpty) return bruteForceTopK(df, idCol, vecCol, query, k)
     assigned.filter(col("cid").isin(probes.toSeq: _*))
       .select(col("id").as(idCol), Dedup.cosine(col("v"), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol).asc)

@@ -101,15 +101,23 @@ object Dedup {
     * the smallest id reachable through the pair graph (singletons map to
     * themselves). */
   def nearDupGroups(df: DataFrame, idCol: String, pairs: DataFrame,
-                    maxIter: Int = 25): DataFrame = {
-    // localCheckpoint truncates the lineage but LogicalRDD snapshots the
+                    maxIter: Int = 25,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    // checkpointDir set → RELIABLE checkpoints (HDFS/object store): round
+    // state survives executor loss, the right mode for multi-hour cluster
+    // runs where localCheckpoint (executor-block storage) would lose blocks
+    // on any decommission and fail the whole job. Local/dev default stays
+    // localCheckpoint (no extra FS round-trip per round).
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    // checkpointing truncates the lineage but LogicalRDD snapshots the
     // ORIGIN plan's size estimate — in an iterative join loop those
     // estimates SQUARE every round (products of products), and by ~15
     // rounds the driver spends minutes multiplying million-digit BigInts
     // inside Catalyst's stats visitor. Rebuilding the frame from the
     // checkpointed RDD resets each round's leaves to the constant default.
     def ckpt(d: DataFrame): DataFrame = {
-      val c = d.localCheckpoint(true)
+      val c = if (checkpointDir.isDefined) d.checkpoint(true)
+              else d.localCheckpoint(true)
       d.sparkSession.createDataFrame(c.rdd, c.schema)
     }
     val ids = df.select(col(idCol).cast("long").as("id")).distinct()
@@ -152,7 +160,12 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"nearDupGroups did not converge in $maxIter rounds")
-    labels.select(col("id").as("member_id"), col("label").as("group_id"))
+    // pairs may mention ids absent from df (e.g. pairs computed over a
+    // superset); viaNeighbor propagates them into the label table, so
+    // restrict the output to exactly df's id set — one row per id in df,
+    // as documented
+    labels.join(ids, Seq("id"), "left_semi")
+      .select(col("id").as("member_id"), col("label").as("group_id"))
   }
 
   /** cosine similarity of two float-array embedding columns (double math,

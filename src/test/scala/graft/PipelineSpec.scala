@@ -232,4 +232,33 @@ class PipelineSpec extends SparkTestBase {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L, 30L -> 30L, 31L -> 31L)
     assert(got == expected, s"got $got")
   }
+
+  test("nearDupGroups: output restricted to df's ids even when pairs mention others") {
+    import spark.implicits._
+    // pairs computed over a superset: 99 is not in df but links 1-99-2;
+    // the closure must still merge {1,2} while 99 itself stays out of the
+    // output (one row per id in df, as documented)
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 99L), (99L, 2L)).toDF("id_a", "id_b")
+    val got = graft.pipeline.Dedup.nearDupGroups(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), s"got $got")
+  }
+
+  test("nearDupGroups: reliable-checkpoint mode produces identical groups") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 30L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (10L, 11L), (11L, 12L), (20L, 12L)).toDF("id_a", "id_b")
+    val local = graft.pipeline.Dedup.nearDupGroups(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = graft.pipeline.Dedup.nearDupGroups(ids, "doc_id", pairs,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local, s"reliable=$reliable local=$local")
+    // the reliable mode actually wrote RDD checkpoints to the dir
+    val wrote = new java.io.File(dir).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoints written")
+  }
 }

@@ -106,6 +106,27 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), s"q35 cartesian:\n$p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"centroid table not broadcast:\n$p")
+    // assignment argmax must be a partial-aggregable max-of-struct, not a
+    // row_number window: the map-side partial collapses each vector's K
+    // centroid candidates before the exchange (~n rows shuffled, not n×K)
+    assert(!p.contains("Window"), s"q35 assignment still uses a window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate") ||
+      p.contains("SortAggregate"), s"q35 assignment aggregate missing:\n$p")
+  }
+
+  test("ivfTopK falls back to exact scan when no id hits the centroid residue") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val query = emb.filter($"vec_id" === 0).select($"embedding").head().getSeq[Float](0).toArray
+    // centroidEvery larger than any id → zero centroids → must degrade to
+    // brute force, not return an empty result
+    val tiny = emb.filter($"vec_id" =!= 0).limit(30)
+    val exact = graft.pipeline.Ann.bruteForceTopK(tiny, "vec_id", "embedding", query, 5)
+      .select("vec_id").as[Long].collect().toSeq
+    val ivf = graft.pipeline.Ann.ivfTopK(tiny, "vec_id", "embedding", query, 5,
+      centroidEvery = 1000000, centroidResidue = 999999, nProbe = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivf == exact, s"empty-centroid fallback mismatch: ivf=$ivf exact=$exact")
   }
 
   test("IVF ANN achieves high recall vs brute force on the test corpus") {
