@@ -634,6 +634,52 @@ object SparkEntry {
       .orderBy($"path")
   }
 
+  private def q38TypedGet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.expr.XmqFunctions.xmq_typed_get
+    // CoreTypes reachable FROM DOCUMENTS (VERDICT r4 #6): deterministic XML
+    // is synthesized per documents row with typed fields planted inside it;
+    // xmq_typed_get must parse the document, recover each field by xpath,
+    // and produce the verdict + ANSI-safe typed cast. DuckDB re-derives the
+    // planted values arithmetically and applies the identical lexical rules
+    // — a raw/ok/value mismatch catches parse, xpath, validation or cast
+    // drift per row.
+    val d = t(s, dir, "documents").select($"doc_id",
+        ($"doc_id" * 37 - 40000).cast("string").as("v_int"),
+        when($"doc_id" % 3 === 0, lit("true")).when($"doc_id" % 3 === 1, lit("false"))
+          .otherwise(lit("True")).as("v_bool"),
+        concat(($"n_chars" % 1000).cast("string"), lit(".5e"),
+          ($"doc_id" % 40).cast("string")).as("v_float"),
+        concat(lit("user"), $"doc_id".cast("string"), lit("@example"),
+          when($"doc_id" % 4 === 0, lit(".com")).otherwise(lit("_com"))).as("v_email"),
+        concat(($"doc_id" % 300).cast("string"), lit("."),
+          ($"n_chars" % 300).cast("string"), lit(".7.1")).as("v_ip"))
+      .withColumn("xml", concat(lit("<doc><n>"), $"v_int", lit("</n><b>"), $"v_bool",
+        lit("</b><f>"), $"v_float", lit("</f><m>"), $"v_email",
+        lit("</m><ip>"), $"v_ip", lit("</ip></doc>")))
+    d.select($"doc_id",
+        xmq_typed_get($"xml", lit("xml"), lit("/doc/n"), "i32").as("g_i32"),
+        xmq_typed_get($"xml", lit("xml"), lit("/doc/n"), "i8").as("g_i8"),
+        xmq_typed_get($"xml", lit("xml"), lit("/doc/b"), "bool").as("g_bool"),
+        xmq_typed_get($"xml", lit("xml"), lit("/doc/f"), "f32").as("g_f32"),
+        xmq_typed_get($"xml", lit("xml"), lit("/doc/f"), "f64").as("g_f64"),
+        xmq_typed_get($"xml", lit("xml"), lit("/doc/m"), "email").as("g_email"),
+        xmq_typed_get($"xml", lit("xml"), lit("/doc/ip"), "ipv4_address").as("g_ip"),
+        xmq_typed_get($"xml", lit("xml"), lit("/doc/missing"), "i64").as("g_miss"))
+      .select($"doc_id",
+        $"g_i32.raw".as("raw_i32"), $"g_i32.ok".as("ok_i32"),
+        $"g_i32.value".cast("long").as("val_i32"),
+        $"g_i8.ok".as("ok_i8"), $"g_i8.value".cast("long").as("val_i8"),
+        $"g_bool.ok".as("ok_bool"), $"g_bool.value".as("val_bool"),
+        $"g_f32.ok".as("ok_f32"),
+        $"g_f64.ok".as("ok_f64"), $"g_f64.value".as("val_f64"),
+        $"g_email.raw".as("raw_email"), $"g_email.ok".as("ok_email"),
+        $"g_ip.raw".as("raw_ip"), $"g_ip.ok".as("ok_ip"),
+        $"g_miss.raw".as("raw_miss"), $"g_miss.ok".as("ok_miss"),
+        $"g_miss.value".cast("long").as("val_miss"))
+      .orderBy($"doc_id")
+  }
+
   private def q25PostMaintenanceScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val table = lakeTableFor(s, dir, "q25")
@@ -699,6 +745,7 @@ object SparkEntry {
     "q35_ann_ivf"        -> (q35AnnIvf(_, _)),
     "q36_sessionize"     -> (q36Sessionize(_, _)),
     "q37_dsv2_scan"      -> (q37Dsv2Scan(_, _)),
+    "q38_typed_get"      -> (q38TypedGet(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1088,6 +1135,49 @@ object SparkEntry {
          | ${cnt(s"(${re("v_ip_x", CoreTypes.Ipv4Re)} OR ${re("v_ip_x", CoreTypes.Ipv6Re)})", "ok_ip")},
          | sum(CASE WHEN ${signed("v_int", "i32")} THEN TRY_CAST(v_int AS INTEGER) END)::BIGINT AS sum_i32
          |FROM d2 GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "q38_typed_get" -> {
+      // per-row typed extraction: DuckDB re-derives the planted field values
+      // arithmetically (never parsing XML — the Spark side must recover them
+      // through a REAL parse + xpath) and applies the same CoreTypes lexical
+      // rules, interpolated from the single shared definition
+      import graft.expr.CoreTypes
+      def re(v: String, r: String) = s"regexp_matches($v, '$r')"
+      def mag(v: String) = {
+        val s0 = s"regexp_replace(regexp_replace($v, '^[+-]', ''), '^0+', '')"
+        s"(CASE WHEN $s0 = '' THEN '0' ELSE $s0 END)"
+      }
+      def magLe(v: String, bound: String) = {
+        val d = mag(v)
+        s"(length($d) < ${bound.length} OR (length($d) = ${bound.length} AND $d <= '$bound'))"
+      }
+      def signed(v: String, t: String) = {
+        val (mx, mnAbs) = CoreTypes.SignedBounds(t)
+        s"(${re(v, CoreTypes.IntRe)} AND (CASE WHEN $v LIKE '-%' THEN ${magLe(v, mnAbs)} ELSE ${magLe(v, mx)} END))"
+      }
+      val fMax = java.lang.Float.MAX_VALUE.toDouble
+      s"""WITH d AS (SELECT doc_id,
+         |  (doc_id*37-40000)::VARCHAR AS v_int,
+         |  CASE doc_id%3 WHEN 0 THEN 'true' WHEN 1 THEN 'false' ELSE 'True' END AS v_bool,
+         |  (n_chars%1000)::VARCHAR || '.5e' || (doc_id%40)::VARCHAR AS v_float,
+         |  'user' || doc_id::VARCHAR || '@example' ||
+         |    (CASE WHEN doc_id%4=0 THEN '.com' ELSE '_com' END) AS v_email,
+         |  (doc_id%300)::VARCHAR || '.' || (n_chars%300)::VARCHAR || '.7.1' AS v_ip
+         | FROM documents)
+         |SELECT doc_id,
+         | v_int AS raw_i32, ${signed("v_int", "i32")} AS ok_i32,
+         | CASE WHEN ${signed("v_int", "i32")} THEN TRY_CAST(v_int AS BIGINT) END AS val_i32,
+         | ${signed("v_int", "i8")} AS ok_i8,
+         | CASE WHEN ${signed("v_int", "i8")} THEN TRY_CAST(v_int AS BIGINT) END AS val_i8,
+         | v_bool IN ('true','false') AS ok_bool,
+         | CASE WHEN v_bool IN ('true','false') THEN v_bool = 'true' END AS val_bool,
+         | (${re("v_float", CoreTypes.FloatRe)} AND abs(TRY_CAST(v_float AS DOUBLE)) <= $fMax) AS ok_f32,
+         | ${re("v_float", CoreTypes.FloatRe)} AS ok_f64,
+         | CASE WHEN ${re("v_float", CoreTypes.FloatRe)} THEN TRY_CAST(v_float AS DOUBLE) END AS val_f64,
+         | v_email AS raw_email, ${re("v_email", CoreTypes.EmailRe)} AS ok_email,
+         | v_ip AS raw_ip, ${re("v_ip", CoreTypes.Ipv4Re)} AS ok_ip,
+         | NULL::VARCHAR AS raw_miss, NULL::BOOLEAN AS ok_miss, NULL::BIGINT AS val_miss
+         |FROM d ORDER BY doc_id""".stripMargin
     },
     "q36_sessionize" ->
       """WITH d AS (

@@ -666,6 +666,24 @@ object XmqFunctions {
     mkCol(XmqGetDouble(exprOf(content), exprOf(lang), exprOf(xpath)))
   def xmq_count(content: Column, lang: Column, xpath: Column): Column =
     mkCol(XmqCount(exprOf(content), exprOf(lang), exprOf(xpath)))
+
+  /** Typed document extraction — the reference's intended XMQCoreType use
+    * (xmq.h:803-860 getters + :382-407 vocabulary): the first xpath match's
+    * string through the parse kernel, validated and ANSI-safely cast per
+    * `coreType`. Returns struct(raw, ok, value) where value's Spark type
+    * follows CoreTypes.castTo. The parse runs ONCE: the raw extraction is
+    * let-bound through a single-element transform() lambda, so the verdict
+    * and the cast reference the bound value instead of three copies of the
+    * parsing expression. */
+  def xmq_typed_get(content: Column, lang: Column, path: Column,
+                    coreType: String): Column = {
+    import org.apache.spark.sql.functions._
+    val raw = xmq_get_string(content, lang, path)
+    element_at(transform(array(raw), x => struct(
+      x.as("raw"),
+      graft.expr.CoreTypes.valid(x, coreType).as("ok"),
+      graft.expr.CoreTypes.castTo(x, coreType).as("value"))), 1)
+  }
   def is_wellformed(content: Column, lang: Column): Column =
     mkCol(XmqWellformed(exprOf(content), exprOf(lang)))
   def ixml_parse(grammar: Column, input: Column): Column =

@@ -36,7 +36,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
                         properties: util.Map[String, String]): Table = {
     val location = Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("graft source requires .load(<table location>)"))
-    new GraftSparkTable(location)
+    // time travel: .option("snapshot", v) pins the scan to snapshot v — the
+    // same isolation the library API's pinned-snapshot reads give, now
+    // reachable through the public connector
+    val snapshot = Option(properties.get("snapshot")).map(_.toLong)
+    new GraftSparkTable(location, snapshot)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -49,7 +53,8 @@ object GraftDataSource {
     StructField("content", StringType), StructField("z", LongType)))
 }
 
-class GraftSparkTable(location: String) extends Table
+class GraftSparkTable(location: String, snapshot: Option[Long] = None)
+  extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$location`"
   override def schema(): StructType = GraftDataSource.schema
@@ -57,7 +62,7 @@ class GraftSparkTable(location: String) extends Table
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(location)
+    new GraftScanBuilder(location, snapshot)
 
   /** write path via the V1 bridge: `df.write.format("graft").save(loc)`
     * appends through the SAME GraftTable.append used everywhere — one
@@ -91,7 +96,7 @@ class GraftSparkTable(location: String) extends Table
     }
 }
 
-class GraftScanBuilder(location: String)
+class GraftScanBuilder(location: String, snapshot: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -107,7 +112,7 @@ class GraftScanBuilder(location: String)
     if (requiredSchema.nonEmpty) required = requiredSchema
   }
 
-  override def build(): Scan = new GraftScan(location, pushed, required)
+  override def build(): Scan = new GraftScan(location, pushed, required, snapshot)
 }
 
 object GraftScanBuilder {
@@ -126,7 +131,8 @@ object GraftScanBuilder {
   }
 }
 
-class GraftScan(location: String, pushed: Array[Filter], required: StructType)
+class GraftScan(location: String, pushed: Array[Filter], required: StructType,
+                snapshot: Option[Long] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -149,7 +155,12 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val table = new GraftTable(spark, location)
-    table.currentSnapshot match {
+    val snap = snapshot match {
+      case Some(v) => Some(table.snapshot(v).getOrElse(throw new IllegalArgumentException(
+        s"graft table $location has no snapshot $v (expired or never committed)")))
+      case None => table.currentSnapshot
+    }
+    snap match {
       case None => Array.empty
       case Some(s) =>
         import spark.implicits._
@@ -167,7 +178,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.fieldNames)
+    new GraftReaderFactory(required)
 }
 
 object GraftScan {
@@ -241,13 +252,105 @@ object GraftScan {
 
 case class GraftInputPartition(absPath: String) extends InputPartition
 
-/** reads one parquet data file via parquet-mr's example Group API (no Spark
-  * internals), projecting only the required columns. */
-class GraftReaderFactory(columns: Array[String]) extends PartitionReaderFactory {
+/** COLUMNAR read path (VERDICT r4 #1): each data file is decoded straight
+  * into ColumnarBatches by Spark's own VectorizedParquetRecordReader — the
+  * same vectorized decoder FileSourceScan uses, so the connector scan keeps
+  * whole-stage codegen's batch iteration instead of materializing one
+  * InternalRow object per row through parquet-mr's Group API. Columns
+  * missing from a file's footer (schema evolution) are spliced in as
+  * constant null vectors; the row-at-a-time Group reader remains only as
+  * the non-columnar fallback Spark may request. */
+class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
+  private val columns = required.fieldNames
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = true
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    new GraftColumnarPartitionReader(p.absPath, required)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.absPath, columns)
   }
+}
+
+/** Vectorized per-file reader: next()/get() surface one ColumnarBatch per
+  * call. Projection is the `required` schema intersected with the file's
+  * own footer (order preserved); absent columns become constant null
+  * vectors so schema evolution never fails the batch path. */
+class GraftColumnarPartitionReader(absPath: String, required: StructType)
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+  import org.apache.hadoop.conf.Configuration
+
+  private val columns = required.fieldNames
+  // one footer open to learn which requested columns this file has (and the
+  // row count for the degenerate all-missing case)
+  private val (present: Array[String], fileRows: Long) = {
+    val conf = new Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val fileSchema = rd.getFooter.getFileMetaData.getSchema
+      (columns.filter(fileSchema.containsField), rd.getRecordCount)
+    } finally rd.close()
+  }
+  private val allPresent = present.length == columns.length
+  private val presentIdx: Map[String, Int] = present.zipWithIndex.toMap
+
+  private val reader: VectorizedParquetRecordReader =
+    if (present.isEmpty) null
+    else {
+      val r = new VectorizedParquetRecordReader(
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+      r.initialize(absPath, java.util.Arrays.asList(present: _*))
+      r.resultBatch() // allocates the column vectors (initBatch) — nextBatch
+      r               // NPEs if called before the batch exists
+    }
+  private var emittedEmpty = false
+
+  override def next(): Boolean =
+    if (reader != null) reader.nextBatch()
+    else if (!emittedEmpty && fileRows > 0) { emittedEmpty = true; true }
+    else false
+
+  override def get(): ColumnarBatch = {
+    if (reader == null) {
+      // no requested column exists in this file: all-null constant vectors
+      // carrying the footer's row count (O(1) memory regardless of rows)
+      val n = fileRows.toInt
+      return new ColumnarBatch(columns.indices.map(i => nullVec(i, n)).toArray, n)
+    }
+    val inner = reader.resultBatch()
+    if (allPresent) inner
+    else {
+      val n = inner.numRows()
+      val vecs = new Array[ColumnVector](columns.length)
+      var i = 0
+      while (i < columns.length) {
+        vecs(i) = presentIdx.get(columns(i)) match {
+          case Some(j) => inner.column(j)
+          case None => nullVec(i, n)
+        }
+        i += 1
+      }
+      new ColumnarBatch(vecs, n)
+    }
+  }
+
+  private def nullVec(fieldIdx: Int, n: Int): ColumnVector = {
+    val v = new ConstantColumnVector(n, required.fields(fieldIdx).dataType)
+    v.setNull()
+    v
+  }
+
+  override def close(): Unit = if (reader != null) reader.close()
 }
 
 class GraftPartitionReader(absPath: String, columns: Array[String])

@@ -452,6 +452,19 @@ class GraftTable(val spark: SparkSession, val location: String) {
           liveCount, r.getLong(1))
     }
 
+  /** Register externally Spark-written add shards as a new snapshot — a
+    * metadata-only commit for manifest imports and scale harnesses, where
+    * the entry set is written DISTRIBUTED and must never pass through the
+    * driver as objects. */
+  private[graft] def commitSparkShards(addRels: Seq[String], operation: String,
+                                       recordCount: Long, fileCount: Long): Snapshot = {
+    init()
+    val parent = currentSnapshot
+    val newVersion = currentVersion + 1
+    val shards = addRels.zipWithIndex.map { case (r, i) => ManifestShard(i + 1, "add", r) }
+    finishCommit(newVersion, parent, shards, operation, recordCount, fileCount)
+  }
+
   /** Full rewrite commit (compaction/cluster jobs): adds replace the entire
     * previous live set; the removed paths are streamed from the previous
     * manifest DataFrame, never collected, and the removed record count is

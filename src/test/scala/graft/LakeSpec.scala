@@ -263,6 +263,36 @@ class LakeSpec extends SparkTestBase {
       keyset(synthDf(200)))
   }
 
+  test("batched compaction: bounded per-batch collects, per-batch commits, rows preserved") {
+    val t = freshTable("graft-compactbatch")
+    t.append(synthDf(400).repartition(16)) // 16 small files
+    val v0 = t.currentVersion
+    val (results, plan) = Maintenance.compactBatched(t, "jobcb",
+      smallBytes = 1L << 20, targetBytes = 1L << 30, batchFiles = 5)
+    // 16 paths in batches of <=5: driver never held more than 5 at once
+    assert(plan.peakBatchPaths <= 5 && plan.totalPaths == 16, s"plan=$plan")
+    assert(plan.batches >= 3, s"expected >=3 rewrite batches, got $plan")
+    assert(results.map(_.inputFiles).sum >= 15) // a trailing 1-file batch may skip
+    // one commit per batch — each is an independent recoverable snapshot
+    assert(t.currentVersion == v0 + plan.batches)
+    assert(keyset(t.scan()) == keyset(synthDf(400)))
+    assert(t.currentSnapshot.get.recordCount == 400)
+  }
+
+  test("batched clustering: rewrites everything in bounded batches, rows preserved") {
+    val t = freshTable("graft-clusterbatch")
+    t.append(synthDf(300).repartition(9))
+    val (rows, plan) = Maintenance.clusterBatched(t, "jobclb",
+      filesPerBatchOutput = 2, batchFiles = 4)
+    assert(rows == 300 && plan.peakBatchPaths <= 4 && plan.totalPaths == 9, s"$plan")
+    assert(plan.batches == 3)
+    assert(keyset(t.scan()) == keyset(synthDf(300)))
+    assert(t.currentSnapshot.get.recordCount == 300)
+    // every original file was rewritten: live set carries the cluster tag
+    val live = t.manifestEntries(t.currentSnapshot.get)
+    assert(live.forall(_.file_path.contains("cluster-b")), live.map(_.file_path).mkString(","))
+  }
+
   test("DSv2 planning prunes the manifest distributed: partitions == survivors over a 10k-entry manifest") {
     import spark.implicits._
     import graft.lake.ManifestEntry
@@ -331,6 +361,75 @@ class LakeSpec extends SparkTestBase {
     df.count() // plan + execute
     val descs = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
     assert(descs.contains("files="), s"no pruning ratio in scan description:\n$descs")
+  }
+
+  test("DSv2 read is columnar: batches flow from the connector scan") {
+    import spark.implicits._
+    val t = freshTable("graft-dsv2-col")
+    t.append(synthDf(300).repartition(4))
+    val df = spark.read.format("graft").load(t.location)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    // columnar connector scans are bridged by a ColumnarToRow node; the
+    // row-at-a-time reader would plan without one
+    assert(plan.contains("ColumnarToRow"), s"connector scan is not columnar:\n$plan")
+    assert(keyset(df) == keyset(t.scan()))
+    // projection subset decodes only those columns, still columnar
+    val two = spark.read.format("graft").load(t.location).select($"repo", $"z")
+    assert(two.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(two.count() == 300 && two.filter($"z".isNotNull).count() == 300)
+  }
+
+  test("DSv2 columnar reader splices null vectors for columns a file lacks") {
+    import org.apache.spark.sql.types._
+    // a data file written WITHOUT z/commit (schema evolution): the batch
+    // reader must keep the file's columns and null-fill the absent ones
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    spark.range(5).selectExpr("concat('r', id) AS repo", "concat('p', id) AS path",
+        "'xml' AS lang", "concat('c', id) AS content")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val reader = new graft.lake.GraftColumnarPartitionReader(
+      file.getAbsolutePath, graft.lake.GraftDataSource.schema)
+    var rows = 0
+    var nullZ = 0
+    while (reader.next()) {
+      val b = reader.get()
+      rows += b.numRows()
+      val zIdx = graft.lake.GraftDataSource.schema.fieldIndex("z")
+      val repoIdx = graft.lake.GraftDataSource.schema.fieldIndex("repo")
+      for (i <- 0 until b.numRows()) {
+        if (b.column(zIdx).isNullAt(i)) nullZ += 1
+        assert(b.column(repoIdx).getUTF8String(i).toString.startsWith("r"))
+      }
+    }
+    reader.close()
+    assert(rows == 5 && nullZ == 5, s"rows=$rows nullZ=$nullZ")
+  }
+
+  test("DSv2 time travel: .option(snapshot, v) reads an old snapshot during maintenance") {
+    import spark.implicits._
+    val t = freshTable("graft-dsv2-tt")
+    t.append(synthDf(200).repartition(4))
+    val v1 = t.currentVersion
+    val before = keyset(spark.read.format("graft").load(t.location))
+    // maintenance rewrites data files and commits new snapshots
+    Maintenance.compact(t, "jobtt", targetBytes = 1L << 20)
+    Maintenance.cluster(t, "jobtt2", numFiles = 2)
+    assert(t.currentVersion > v1)
+    // pinned read through the PUBLIC connector API sees the v1 row set even
+    // though the current snapshot has moved on
+    val pinned = spark.read.format("graft").option("snapshot", v1)
+      .load(t.location)
+    assert(keyset(pinned) == before, "pinned snapshot read drifted")
+    // unpinned read follows the current snapshot; row set preserved by
+    // maintenance, but served from the rewritten files
+    assert(keyset(spark.read.format("graft").load(t.location)) == before)
+    // a never-committed snapshot fails loudly, not as an empty table
+    val err = intercept[Exception] {
+      spark.read.format("graft").option("snapshot", 99999L).load(t.location).count()
+    }
+    assert(err.getMessage != null)
   }
 
   test("version-hint recovery: a lost hint resolves to the highest snapshot, not an empty table") {
