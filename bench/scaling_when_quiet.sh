@@ -24,10 +24,10 @@ while [ "$done_pairs" -lt "$PAIRS" ] && [ "$(date +%s)" -lt "$end" ]; do
   load=$(cut -d' ' -f1 /proc/loadavg)
   if python3 -c "import sys; sys.exit(0 if float('$load') < $THRESH else 1)"; then
     echo "{\"event\":\"window\",\"load1\":$load,\"ts\":\"$(date -u +%H:%M:%S)\"}" >> "$LOG"
-    a=$(timeout 500 "$SPARK_HOME/bin/spark-submit" --master 'local-cluster[2,3,6144]' "${COMMON[@]}" \
-      --class graft.bench.ClusterScalingBench "$JAR" "$ROWS" 4 6 2>/dev/null | grep cluster_scaling)
-    b=$(timeout 500 "$SPARK_HOME/bin/spark-submit" --master 'local-cluster[8,3,6144]' "${COMMON[@]}" \
-      --class graft.bench.ClusterScalingBench "$JAR" "$ROWS" 4 24 2>/dev/null | grep cluster_scaling)
+    a=$(timeout 900 "$SPARK_HOME/bin/spark-submit" --master 'local-cluster[2,3,6144]' "${COMMON[@]}" \
+      --class graft.bench.ClusterScalingBench "$JAR" "$ROWS" 3 6 2>/dev/null | grep cluster_scaling)
+    b=$(timeout 900 "$SPARK_HOME/bin/spark-submit" --master 'local-cluster[8,3,6144]' "${COMMON[@]}" \
+      --class graft.bench.ClusterScalingBench "$JAR" "$ROWS" 3 24 2>/dev/null | grep cluster_scaling)
     post=$(cut -d' ' -f1 /proc/loadavg)
     echo "$a" >> "$LOG"
     echo "$b" >> "$LOG"

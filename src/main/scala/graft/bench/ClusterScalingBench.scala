@@ -62,29 +62,52 @@ object ClusterScalingBench {
         }
     })
 
-    def scan(): (Double, Double, Double) = {
+    def timed(payload: () => Unit): (Double, Double, Double) = {
       cpuNs.set(0); gcMs.set(0)
       val t0 = System.nanoTime()
-      val ok = df.filter(graft.expr.XmqFunctions.xmq_roundtrip_ok($"content", $"lang")).count()
+      payload()
       val secs = (System.nanoTime() - t0) / 1e9
-      require(ok == rows, s"round-trip invariant broken: $ok != $rows")
       Thread.sleep(100) // listener drain
       (secs, cpuNs.get() / 1e9, gcMs.get() / 1e3)
     }
 
-    scan(); scan() // JIT warmup on every executor JVM
-    var best = (Double.MaxValue, 0.0, 0.0)
-    val all = (1 to trials).map { _ =>
-      val s = scan()
-      if (s._1 < best._1) best = s
-      s
+    // payload 1: the xmq round-trip verification scan (no shuffle)
+    def scan(): (Double, Double, Double) = timed { () =>
+      val ok = df.filter(graft.expr.XmqFunctions.xmq_roundtrip_ok($"content", $"lang")).count()
+      require(ok == rows, s"round-trip invariant broken: $ok != $rows")
     }
+
+    // payload 2: a WIDE shuffle — near-unique (repo, path, commit) keys mean
+    // the map-side partial cannot reduce, so ~all rows cross the exchange
+    // (key strings + hash ≈ 150-200 B/row; at 10M rows the shuffle working
+    // set is GBs, far past any LLC — the r4 #8 regime)
+    def shuffle(): (Double, Double, Double) = timed { () =>
+      val n = df.groupBy($"repo", $"path", $"commit")
+        .agg(max(xxhash64($"content")).as("h"))
+        // pmod keeps the consuming sum ANSI-safe (raw xxhash64 sums overflow)
+        .agg(count(lit(1)), sum(pmod($"h", lit(1000000007L)))).head().getLong(0)
+      require(n > 0)
+    }
+
+    def series(name: String, payload: () => (Double, Double, Double)): String = {
+      payload(); payload() // JIT warmup on every executor JVM
+      var best = (Double.MaxValue, 0.0, 0.0)
+      val all = (1 to trials).map { _ =>
+        val s = payload()
+        if (s._1 < best._1) best = s
+        s
+      }
+      s""""${name}rows_per_sec":${rows / best._1},"${name}best_secs":${best._1},""" +
+        s""""${name}best_cpu_secs":${best._2},"${name}best_gc_secs":${best._3},""" +
+        s""""${name}trials":[${all.map(_._1).mkString(",")}],""" +
+        s""""${name}cpu":[${all.map(_._2).mkString(",")}],""" +
+        s""""${name}gc":[${all.map(_._3).mkString(",")}]"""
+    }
+
+    val scanJson = series("", scan)
+    val shufJson = series("shuffle_", shuffle)
     println(s"""{"bench":"cluster_scaling","cores":$cores,"rows":$rows,""" +
-      s""""rows_per_sec":${rows / best._1},"best_secs":${best._1},""" +
-      s""""best_cpu_secs":${best._2},"best_gc_secs":${best._3},""" +
-      s""""trials":[${all.map(_._1).mkString(",")}],""" +
-      s""""cpu":[${all.map(_._2).mkString(",")}],""" +
-      s""""gc":[${all.map(_._3).mkString(",")}]}""")
+      scanJson + "," + shufJson + "}")
     spark.stop()
   }
 }

