@@ -43,8 +43,11 @@ object ClusterScalingBench {
 
     val nRepos = math.max(4, math.sqrt(rows.toDouble).toInt)
     // enough partitions that every core has several waves; generation is a
-    // pure function of (seed, idx) so the data is identical at every size
-    val parts = cores * 4
+    // pure function of (seed, idx) so the data is identical at every size.
+    // An explicit 4th arg FIXES the partition count so the N and 4N runs
+    // share the exact same data layout (and per-partition unroll size —
+    // cores*4 partitions at 10M rows OOM the small-N executors)
+    val parts = if (args.length > 3) args(3).toInt else cores * 4
     val df: DataFrame = spark.range(rows).repartition(parts).as[java.lang.Long]
       .mapPartitions(_.map(id => graft.synth.SourceFiles.row(42L, Long2long(id), nRepos)))
       .toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -1,0 +1,127 @@
+package graft.lake
+
+import java.util
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+
+/** TableCatalog plugin: makes graft tables first-class SQL citizens —
+  *
+  * {{{
+  * spark.conf: spark.sql.catalog.graft           = graft.lake.GraftCatalog
+  *             spark.sql.catalog.graft.warehouse = /data/graft
+  * spark.sql("SELECT * FROM graft.ns.t WHERE repo = 'r'")   // pruned scan
+  * spark.sql("INSERT INTO graft.ns.t SELECT ...")           // manifest commit
+  * }}}
+  *
+  * Identifiers map to warehouse paths (`ns.t` → `<warehouse>/ns/t`); each
+  * table is the same GraftSparkTable the path-based
+  * `spark.read.format("graft")` API serves, so SQL queries get the
+  * identical columnar read path, manifest pruning, runtime filtering and
+  * V1-bridge writes. `FOR VERSION AS OF v` resolves through the snapshot
+  * machinery (loadTable(ident, version)) for SQL time travel.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def tablePath(ident: Identifier): String =
+    (warehouse +: ident.namespace() :+ ident.name()).mkString("/")
+
+  /** a graft table is identified by its meta/ directory — present from
+    * init() on, BEFORE the first commit writes the version hint (an empty
+    * created table must be loadable so INSERT INTO can target it). */
+  private def isTable(path: String): Boolean = LakeIO.of(path).exists("meta")
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(path)
+  }
+
+  /** SQL time travel: SELECT ... FROM graft.ns.t FOR VERSION AS OF 3 */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    new GraftSparkTable(path, Some(version.toLong))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val io = LakeIO.of((warehouse +: namespace).mkString("/"))
+    io.list("").filter { child =>
+      isTable((warehouse +: namespace :+ child).mkString("/"))
+    }.map(Identifier.of(namespace, _)).toArray
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty, "graft tables manage their own layout (z-cluster)")
+    val path = tablePath(ident)
+    new GraftTable(SparkSession.active, path).init()
+    new GraftSparkTable(path)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("graft tables have a fixed schema")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val io = LakeIO.of(tablePath(ident))
+    io.delete("")
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("rename not supported (path-addressed tables)")
+
+  // -- SupportsNamespaces (warehouse directories) --
+  override def listNamespaces(): Array[Array[String]] = {
+    val io = LakeIO.of(warehouse)
+    io.list("").filter(child => !isTable(s"$warehouse/$child"))
+      .map(Array(_)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    LakeIO.of(warehouse).exists(namespace.mkString("/")) || namespace.isEmpty
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    LakeIO.of(warehouse).mkdirs(namespace.mkString("/"))
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("namespace metadata not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val io = LakeIO.of(warehouse)
+    val rel = namespace.mkString("/")
+    if (!io.exists(rel)) return false
+    require(cascade || io.list(rel).isEmpty, s"namespace $rel is not empty")
+    io.delete(rel)
+    true
+  }
+}

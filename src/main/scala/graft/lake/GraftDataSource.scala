@@ -139,7 +139,31 @@ object GraftScanBuilder {
 
 class GraftScan(location: String, pushed: Array[Filter], required: StructType,
                 snapshot: Option[Long] = None, columnar: Boolean = true)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** RUNTIME file pruning (the DSv2 analogue of dynamic partition pruning):
+    * when this scan sits under a join whose other side produces a runtime
+    * filter on repo/path/lang (e.g. a selective broadcast dim), Spark calls
+    * filter() at EXECUTION time and the scan re-prunes its file list
+    * against the manifest stats — files excluded by the join keys are never
+    * opened, the difference between scanning 100 TB and scanning the few
+    * TB the join actually touches. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array("repo", "path", "lang")
+      .filter(required.fieldNames.contains) // only columns this scan outputs resolve
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val usable = filters.filter(GraftScanBuilder.supported)
+    if (usable.nonEmpty) {
+      runtime = runtime ++ usable
+      planned = null // re-plan with the narrowed predicate on next access
+    }
+  }
+
+  @volatile private var runtime: Array[Filter] = Array.empty
+  @volatile private var planned: Array[InputPartition] = _
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -150,7 +174,8 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
 
   override def description(): String = {
     val files = pruneInfo.map { case (k, t) => s" files=$k/$t" }.getOrElse("")
-    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]$files"
+    val rt = if (runtime.nonEmpty) s" RuntimeFilters=[${runtime.mkString(", ")}]" else ""
+    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]$rt$files"
   }
 
   /** Manifest pruning runs DISTRIBUTED: the pushed filters become a Column
@@ -159,6 +184,14 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
     * (same planning cost prunedScan / FileSourceScan pay), never the full
     * entry rows. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val p = planned
+    if (p != null) return p
+    val out = planPartitions()
+    planned = out
+    out
+  }
+
+  private def planPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val table = new GraftTable(spark, location)
     val snap = snapshot match {
@@ -174,7 +207,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
         // total for the pruning ratio comes free from the snapshot's
         // arithmetic file count; a count job only for pre-field tables
         val total = if (s.fileCount >= 0) s.fileCount.toInt else m.count().toInt
-        val kept = m.filter(GraftScan.manifestPredicate(pushed))
+        val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime))
           .select("file_path").as[String].collect()
         pruneInfo = Some((kept.length, total))
         kept.map { p =>

@@ -432,6 +432,58 @@ class LakeSpec extends SparkTestBase {
     assert(err.getMessage != null)
   }
 
+  test("DSv2 runtime filtering: filter() at execution re-prunes the file list") {
+    import org.apache.spark.sql.sources.EqualTo
+    val t = freshTable("graft-dsv2-rtf")
+    t.append(synthDf(600).repartition(8))
+    Maintenance.cluster(t, "jobrtf", numFiles = 8)
+    val repo = SourceFiles.repoName(1)
+    // the exact call sequence Spark's BatchScanExec makes when a join
+    // produces a runtime filter on a declared filter attribute
+    val scan = new graft.lake.GraftScanBuilder(t.location).build()
+      .asInstanceOf[graft.lake.GraftScan]
+    assert(scan.filterAttributes().map(_.describe()).toSet == Set("repo", "path", "lang"))
+    val before = scan.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("repo", repo)))
+    val after = scan.planInputPartitions().length
+    assert(after < before, s"runtime filter pruned nothing: $after of $before")
+    // end-to-end: a selective broadcast join through the connector stays
+    // correct whether or not the optimizer injects the runtime filter
+    import spark.implicits._
+    val dim = Seq(repo).toDF("repo")
+    val joined = spark.read.format("graft").load(t.location)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "repo")
+    assert(keyset(joined) == keyset(t.scan().filter($"repo" === repo)))
+  }
+
+  test("catalog: SQL DDL/DML/time-travel over graft.ns.t") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-warehouse").toString
+    spark.conf.set("spark.sql.catalog.graftcat", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftcat.ns")
+    spark.sql("CREATE TABLE graftcat.ns.t (repo STRING, path STRING, commit STRING, lang STRING, content STRING, z BIGINT)")
+    assert(spark.sql("SHOW TABLES IN graftcat.ns").collect().map(_.getString(1)).contains("t"))
+
+    synthDf(120).createOrReplaceTempView("src_rows")
+    spark.sql("INSERT INTO graftcat.ns.t SELECT repo, path, commit, lang, content, xxhash64(repo) AS z FROM src_rows")
+    val v1 = new graft.lake.GraftTable(spark, s"$wh/ns/t").currentVersion
+    assert(spark.sql("SELECT count(*) FROM graftcat.ns.t").head().getLong(0) == 120)
+    // pushed predicate prunes through the catalog path too
+    val repo = SourceFiles.repoName(2)
+    val expected = keyset(new graft.lake.GraftTable(spark, s"$wh/ns/t").scan()
+      .filter($"repo" === repo))
+    assert(keyset(spark.sql(s"SELECT * FROM graftcat.ns.t WHERE repo = '$repo'")
+      .drop("z")) == expected)
+
+    spark.sql("INSERT INTO graftcat.ns.t SELECT repo, path, commit, lang, content, xxhash64(repo) AS z FROM src_rows LIMIT 30")
+    assert(spark.sql("SELECT count(*) FROM graftcat.ns.t").head().getLong(0) == 150)
+    // SQL time travel pins the first snapshot
+    assert(spark.sql(s"SELECT count(*) FROM graftcat.ns.t VERSION AS OF $v1")
+      .head().getLong(0) == 120)
+    assert(spark.sql("SHOW NAMESPACES IN graftcat").collect().map(_.getString(0)).contains("ns"))
+  }
+
   test("version-hint recovery: a lost hint resolves to the highest snapshot, not an empty table") {
     val t = freshTable("graft-hintloss")
     t.append(synthDf(120).repartition(2))
