@@ -68,7 +68,44 @@ object HtmlFuzzTool {
       case _ => sb.append(text())
     }
 
-    def block(sb: StringBuilder, depth: Int): Unit = rnd.nextInt(6) match {
+    def table(sb: StringBuilder): Unit = {
+      sb.append("<table>")
+      if (rnd.nextInt(3) == 0) sb.append("<caption>").append(text()).append("</caption>")
+      val rows = 1 + rnd.nextInt(3)
+      for (_ <- 0 until rows) {
+        sb.append("<tr>") // rows and cells lean on implied ends
+        val cells = 1 + rnd.nextInt(3)
+        for (c <- 0 until cells) {
+          sb.append(if (rnd.nextInt(4) == 0) "<th>" else "<td>")
+          inline(sb)
+          if (rnd.nextBoolean() && c == cells - 1) sb.append("</td>")
+        }
+        if (rnd.nextBoolean()) sb.append("</tr>")
+      }
+      sb.append("</table>")
+    }
+
+    def dlist(sb: StringBuilder): Unit = {
+      sb.append("<dl>")
+      val k = 1 + rnd.nextInt(3)
+      for (_ <- 0 until k) {
+        sb.append("<dt>").append(text()) // unclosed dt/dd alternation
+        sb.append("<dd>"); inline(sb)
+      }
+      sb.append("</dl>")
+    }
+
+    def form(sb: StringBuilder): Unit = {
+      sb.append("<form")
+      if (rnd.nextBoolean()) sb.append(" action=x")
+      sb.append("><select>")
+      val k = 1 + rnd.nextInt(3)
+      for (i <- 0 until k) sb.append("<option>").append(text()) // unclosed options
+      sb.append("</select><input type=text>")
+      if (rnd.nextBoolean()) sb.append("</form>")
+    }
+
+    def block(sb: StringBuilder, depth: Int): Unit = rnd.nextInt(9) match {
       case 0 => // unclosed <p> run — the parser must imply the closes
         val k = 1 + rnd.nextInt(3)
         for (_ <- 0 until k) { sb.append("<p>"); inline(sb) }
@@ -88,6 +125,11 @@ object HtmlFuzzTool {
       case 3 =>
         val lvl = 1 + rnd.nextInt(3)
         sb.append(s"<h$lvl>").append(text()).append(s"</h$lvl>")
+      case 4 => table(sb)
+      case 5 => dlist(sb)
+      case 6 => form(sb)
+      case 7 => // pre with inline content
+        sb.append("<pre>").append(text()).append("</pre>")
       case _ => inline(sb)
     }
 
