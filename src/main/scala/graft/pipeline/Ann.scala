@@ -70,6 +70,46 @@ object Ann {
       .limit(k)
   }
 
+  /** Build the IVF inverted index ONCE as a persistable DataFrame
+    * (id, v, cid): at scale this is written back as a table column /
+    * bucketed table, so every subsequent query pays only the probe —
+    * no per-query assignment pass over the corpus. Same deterministic
+    * quantizer and partial-aggregable argmax as ivfTopK. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroidEvery: Int = 50, centroidResidue: Int = 1): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val cents = v.filter(pmod(col("id"), lit(centroidEvery)) === centroidResidue)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    v.join(broadcast(cents))
+      .select(col("id"),
+        struct(Dedup.cosine(col("v"), col("cv")).as("ccos"),
+               (-col("cid")).as("ncid"), col("v").as("v")).as("cand"))
+      .groupBy("id").agg(max(col("cand")).as("best"))
+      .select(col("id"), col("best.v").as("v"), (-col("best.ncid")).as("cid"))
+  }
+
+  /** Query a PRE-BUILT index from ivfAssign: rank the query against the
+    * distinct centroid set (derived from the index — no corpus scan),
+    * then scan only the nProbe nearest inverted lists. The per-query cost
+    * is sublinear in the corpus once the index DataFrame is persisted. */
+  def ivfTopKAssigned(index: DataFrame, idCol: String,
+                      query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
+    val q = typedLit(query.toSeq)
+    // centroid vectors ride in the index: the row whose id == cid is the
+    // centroid itself (the quantizer draws centroids from the data)
+    val probes = index.filter(col("id") === col("cid"))
+      .select(col("cid"), Dedup.cosine(col("v"), q).as("qcos"))
+      .orderBy(col("qcos").desc, col("cid").asc).limit(nProbe)
+      .select("cid").collect().map(_.getLong(0))
+    if (probes.isEmpty)
+      return index.select(col("id").as(idCol), Dedup.cosine(col("v"), q).as("cos"))
+        .orderBy(col("cos").desc, col(idCol).asc).limit(k)
+    index.filter(col("cid").isin(probes.toSeq: _*))
+      .select(col("id").as(idCol), Dedup.cosine(col("v"), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** LSH-bucketed ANN: bucket the corpus, probe every bucket within hamming
     * distance `probeRadius` of the query's bucket (multi-probe), rank the
     * candidates exactly. True near neighbors flip few sign bits, so they land

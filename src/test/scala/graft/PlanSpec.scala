@@ -129,6 +129,32 @@ class PlanSpec extends SparkTestBase {
     assert(ivf == exact, s"empty-centroid fallback mismatch: ivf=$ivf exact=$exact")
   }
 
+  test("IVF pre-built index: assign once, query many — same results, no per-query assignment") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = emb.filter($"vec_id" > 1)
+    val index = graft.pipeline.Ann.ivfAssign(corpus, "vec_id", "embedding",
+      centroidEvery = 20, centroidResidue = 1).cache()
+    index.count() // persist the assignment — the table-state shape at scale
+    for (qid <- Seq(0L, 1L)) {
+      val query = emb.filter($"vec_id" === qid).select($"embedding").head()
+        .getSeq[Float](0).toArray
+      val viaIndex = graft.pipeline.Ann.ivfTopKAssigned(index, "vec_id", query, 10, nProbe = 6)
+      val direct = graft.pipeline.Ann.ivfTopK(corpus, "vec_id", "embedding", query, 10,
+        centroidEvery = 20, centroidResidue = 1, nProbe = 6)
+      assert(viaIndex.select("vec_id").as[Long].collect().toSeq ==
+             direct.select("vec_id").as[Long].collect().toSeq)
+      // the per-query plan reads the cached index: no join above the cache
+      // boundary (the InMemoryRelation's stored BUILD plan is printed too —
+      // only the part executed per query matters)
+      val p = viaIndex.queryExecution.executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), s"query did not hit the cached index:\n$p")
+      val perQuery = p.substring(0, p.indexOf("InMemoryRelation").max(0))
+      assert(!perQuery.contains("Join"), s"per-query plan re-joins the corpus:\n$p")
+    }
+    index.unpersist()
+  }
+
   test("IVF ANN achieves high recall vs brute force on the test corpus") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
