@@ -107,10 +107,16 @@ object ClusterScalingBench {
         s""""${name}gc":[${all.map(_._3).mkString(",")}]"""
     }
 
-    val scanJson = series("", scan)
-    val shufJson = series("shuffle_", shuffle)
+    // 5th arg selects payloads (both|scan|shuffle): a shuffle-only pair is
+    // short enough to land entirely inside one quiet gap on the shared host
+    val which = if (args.length > 4) args(4) else "both"
+    val parts0 = Seq(
+      "scan" -> (() => series("", scan)),
+      "shuffle" -> (() => series("shuffle_", shuffle)))
+      .filter { case (n, _) => which == "both" || which == n }
+      .map(_._2())
     println(s"""{"bench":"cluster_scaling","cores":$cores,"rows":$rows,""" +
-      scanJson + "," + shufJson + "}")
+      parts0.mkString(",") + "}")
     spark.stop()
   }
 }
