@@ -680,6 +680,34 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def q39SqlDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SQL `DELETE FROM` through the catalog plugin under the oracle gate:
+    // build a fresh lake table from documents, delete two repos' slices via
+    // one SQL statement (repo_3 whole → the metadata-only tier can fire;
+    // repo_7 partial on path → copy-on-write rewrite), then read the
+    // survivors back through the same SQL surface. DuckDB recomputes the
+    // expected post-delete row set relationally.
+    val docs = t(s, dir, "documents")
+    val rows = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q39-wh").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/ns/t")
+    // range partitioning on repo keeps most files repo-pure, so the DELETE
+    // exercises the metadata-drop tier, not only the CoW tier
+    table.append(rows.repartitionByRange(10, $"repo"))
+    // unique catalog name per invocation: Spark caches catalog instances by
+    // name, and each run points at a fresh warehouse
+    val cat = "g39_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"DELETE FROM $cat.ns.t WHERE repo = 'repo_3' OR (repo = 'repo_7' AND path < 'f/5')")
+    s.sql(s"SELECT repo, path, lang, sha2(content, 256) AS content_sha FROM $cat.ns.t")
+      .orderBy($"repo", $"path")
+  }
+
   private def q25PostMaintenanceScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val table = lakeTableFor(s, dir, "q25")
@@ -746,6 +774,7 @@ object SparkEntry {
     "q36_sessionize"     -> (q36Sessionize(_, _)),
     "q37_dsv2_scan"      -> (q37Dsv2Scan(_, _)),
     "q38_typed_get"      -> (q38TypedGet(_, _)),
+    "q39_sql_delete"     -> (q39SqlDelete(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -910,6 +939,16 @@ object SparkEntry {
       s"""$duckMergedCte
          |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
          |FROM merged WHERE repo = 'repo_7' ORDER BY path""".stripMargin,
+    // the post-DELETE survivor set, recomputed relationally: NOT the SQL
+    // statement q39 ran — the same predicate applied to the source rows
+    "q39_sql_delete" ->
+      """SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |  'f/' || doc_id::VARCHAR || '.txt' AS path, lang,
+        |  sha256(text) AS content_sha
+        |FROM documents
+        |WHERE NOT ((doc_id % 10) = 3
+        |  OR ((doc_id % 10) = 7 AND 'f/' || doc_id::VARCHAR || '.txt' < 'f/5'))
+        |ORDER BY repo, path""".stripMargin,
     "q28_xslt_extract" ->
       """SELECT doc_id, doc_id::VARCHAR || '-' || source AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -59,7 +59,8 @@ object GraftDataSource {
 class GraftSparkTable(location: String, snapshot: Option[Long] = None,
                       columnar: Boolean = true)
   extends Table
-  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.`$location`"
   override def schema(): StructType = GraftDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -67,6 +68,21 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
       TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(location, snapshot, columnar)
+
+  /** SQL `DELETE FROM` (SupportsDelete): metadata-only drop of files whose
+    * stats prove every row matches, copy-on-write rewrite of the rest —
+    * Delete.deleteWhere. canDeleteWhere is exact: any filter this engine
+    * cannot evaluate row-wise refuses the DELETE up front, and a
+    * time-travel-pinned table is read-only. TRUNCATE TABLE rides the
+    * inherited truncateTable() (deleteWhere over AlwaysTrue). */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    snapshot.isEmpty && filters.forall(Delete.translatable)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    require(snapshot.isEmpty, "cannot DELETE through a time-travel-pinned read")
+    Delete.deleteWhere(new GraftTable(SparkSession.active, location), filters)
+    ()
+  }
 
   /** write path via the V1 bridge: `df.write.format("graft").save(loc)`
     * appends through the SAME GraftTable.append used everywhere — one

@@ -484,6 +484,83 @@ class LakeSpec extends SparkTestBase {
     assert(spark.sql("SHOW NAMESPACES IN graftcat").collect().map(_.getString(0)).contains("ns"))
   }
 
+  test("delete: metadata-only drop when stats prove whole files match") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    val t = freshTable("graft-del-meta")
+    val df = synthDf(300)
+    // repoName(0) = "org00/..." sorts strictly below every other repo, so
+    // the second append's files all have min_repo > target — stats EXCLUDE
+    // them from the candidate set entirely
+    val target = SourceFiles.repoName(0)
+    // two appends with disjoint repo sets: the target repo's files carry
+    // min_repo == max_repo == target, every other file's stats EXCLUDE it
+    t.append(df.filter($"repo" === target).repartition(3))
+    t.append(df.filter($"repo" =!= target).repartition(4))
+    val before = keyset(t.scan())
+    val expectDeleted = df.filter($"repo" === target).count()
+
+    val r = graft.lake.Delete.deleteWhere(t, Array(EqualTo("repo", target)))
+    assert(r.droppedFiles == 3, s"expected 3 metadata drops, got $r")
+    assert(r.rewrittenFiles == 0, s"aligned delete opened data files: $r")
+    assert(r.deletedRows == expectDeleted)
+    assert(t.currentSnapshot.get.operation == "delete")
+    assert(t.currentSnapshot.get.recordCount == 300 - expectDeleted)
+    assert(keyset(t.scan()) == before.filter(_._1 != target))
+  }
+
+  test("delete: copy-on-write keeps non-matching rows; time travel sees pre-delete") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.GreaterThan
+    val t = freshTable("graft-del-cow")
+    val df = synthDf(400)
+    t.append(df.repartition(6)) // mixed files: nothing provably full-matches
+    val v1 = t.currentVersion
+    val before = keyset(t.scan())
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(GreaterThan("path", "m"))
+    val expectKept = df.filter(!($"path" > "m"))
+
+    val r = graft.lake.Delete.deleteWhere(t, filters)
+    assert(r.rewrittenFiles > 0)
+    assert(r.deletedRows == 400 - expectKept.count())
+    assert(keyset(t.scan()) == keyset(expectKept))
+    assert(t.currentSnapshot.get.recordCount == expectKept.count())
+    // pre-delete snapshot still reads the full row set through the connector
+    val pinned = spark.read.format("graft").option("snapshot", v1).load(t.location)
+    assert(keyset(pinned) == before)
+  }
+
+  test("catalog: SQL DELETE FROM (mixed metadata/CoW) and TRUNCATE TABLE") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-wh-del").toString
+    spark.conf.set("spark.sql.catalog.graftdel", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftdel.warehouse", wh)
+    spark.sql("CREATE NAMESPACE graftdel.ns")
+    spark.sql("CREATE TABLE graftdel.ns.t (repo STRING, path STRING, commit STRING, lang STRING, content STRING, z BIGINT)")
+    synthDf(200).createOrReplaceTempView("del_src")
+    spark.sql("INSERT INTO graftdel.ns.t SELECT repo, path, commit, lang, content, xxhash64(repo) AS z FROM del_src")
+    val lib = new graft.lake.GraftTable(spark, s"$wh/ns/t")
+    val v1 = lib.currentVersion
+    val rA = SourceFiles.repoName(0)
+    val rB = SourceFiles.repoName(3)
+    val expected = lib.scan()
+      .filter(!($"repo" === rA || ($"repo" === rB && $"path" < "m")))
+
+    spark.sql(
+      s"DELETE FROM graftdel.ns.t WHERE repo = '$rA' OR (repo = '$rB' AND path < 'm')")
+    assert(keyset(spark.sql("SELECT * FROM graftdel.ns.t").drop("z")) == keyset(expected))
+    // SQL time travel still reads the pre-delete snapshot
+    assert(spark.sql(s"SELECT count(*) FROM graftdel.ns.t VERSION AS OF $v1")
+      .head().getLong(0) == 200)
+
+    spark.sql("TRUNCATE TABLE graftdel.ns.t")
+    assert(spark.sql("SELECT count(*) FROM graftdel.ns.t").head().getLong(0) == 0)
+    // table metadata survives the truncate; history is intact
+    assert(spark.sql(s"SELECT count(*) FROM graftdel.ns.t VERSION AS OF $v1")
+      .head().getLong(0) == 200)
+  }
+
   test("version-hint recovery: a lost hint resolves to the highest snapshot, not an empty table") {
     val t = freshTable("graft-hintloss")
     t.append(synthDf(120).repartition(2))
