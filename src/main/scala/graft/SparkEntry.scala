@@ -318,6 +318,46 @@ object SparkEntry {
       .orderBy($"window_start", $"event_type")
   }
 
+  private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // STREAMING TTL dedup under the oracle gate: replay the events table as
+    // a ts-range-ordered file stream (one file per microbatch, mtimes pin
+    // the order) through dedupWithinTtl — emit an event iff nothing of the
+    // same key was emitted within 24h (event time) before it; state evicted
+    // by event-time timeout. DuckDB recomputes the greedy emission chain
+    // per key with a recursive CTE + LATERAL "next eligible" step.
+    val out = java.nio.file.Files.createTempDirectory("graft-q40").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q40-ckpt").toString
+    val staged = java.nio.file.Files.createTempDirectory("graft-q40-in").toString
+    val events = t(s, dir, "events").withColumn("ts", $"ts".cast("timestamp"))
+    events.repartitionByRange(8, $"ts").write.mode("overwrite").parquet(staged)
+    // deterministic batch order: range partition index == file-name order,
+    // and ascending mtimes make the file source replay them in ts order
+    val parts = new java.io.File(staged).listFiles()
+      .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1700000000000L + i * 2000L); ()
+    }
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val stream = ss.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .as[graft.streaming.EventStream.Event]
+    val emitted = graft.streaming.EventStream.dedupWithinTtl(stream, ttlMinutes = 1440)
+    emitted.toDF().writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(out))
+      .start()
+      .awaitTermination()
+    s.read.parquet(out)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+      .orderBy($"user_id", $"ts_us", $"event_id")
+  }
+
   private def q36Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // event-time sessionization through the TYPED flatMapGroupsWithState
@@ -775,6 +815,7 @@ object SparkEntry {
     "q37_dsv2_scan"      -> (q37Dsv2Scan(_, _)),
     "q38_typed_get"      -> (q38TypedGet(_, _)),
     "q39_sql_delete"     -> (q39SqlDelete(_, _)),
+    "q40_stream_dedup"   -> (q40StreamDedup(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1232,6 +1273,25 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value,
         |  epoch_ms(max(ts)) AS session_end_ts
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_end_ts""".stripMargin,
+    // the greedy TTL-dedup emission chain per key, recomputed independently:
+    // first event emits, then repeatedly the next (ts, event_id)-ordered
+    // event >= lastEmit + 24h — exactly the semantics the streaming operator
+    // maintains incrementally with one state row per key
+    "q40_stream_dedup" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |chain AS (
+        |  SELECT user_id, event_id, ts FROM ev WHERE rn = 1
+        |  UNION ALL
+        |  SELECT nxt.user_id, nxt.event_id, nxt.ts
+        |  FROM chain c JOIN LATERAL (
+        |    SELECT e.user_id, e.event_id, e.ts FROM ev e
+        |    WHERE e.user_id = c.user_id AND e.ts >= c.ts + INTERVAL 1440 MINUTE
+        |    ORDER BY e.ts, e.event_id LIMIT 1) nxt ON true)
+        |SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |FROM chain ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q35_ann_ivf" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
         |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id % 50 = 1),

@@ -90,6 +90,72 @@ object EventStream {
       }
   }
 
+  final case class DedupState(lastEmitTs: Long)
+  final case class EmittedEvent(user_id: Long, event_id: Long, ts: Timestamp)
+
+  /** Streaming ingestion dedup with an event-time TTL: an event is emitted
+    * iff no event of the same key was EMITTED within `ttl` before it — the
+    * suppress-repeats-then-let-through-again semantics a continuous
+    * training-data feed needs (a re-crawled page re-enters the corpus only
+    * after the TTL, not on every fetch).
+    *
+    * State is ONE timestamp per key (the last emission), evicted by
+    * event-time timeout once the watermark passes lastEmit + ttl. Eviction
+    * is semantics-preserving, not merely pragmatic: any later event has
+    * event time past the watermark ≥ lastEmit + ttl, so it would be emitted
+    * whether or not the state row still existed. Bounded state = keys
+    * active within one TTL window, the property that holds at a 100-TB/day
+    * feed where all-time key cardinality does not fit anywhere.
+    *
+    * Deterministic given per-key ts-ordered arrival (batch sorts each
+    * group; a file stream staged in ts-range order arrives that way):
+    * the greedy emission chain per key ordered by (ts, event_id). All
+    * arithmetic is in MICROSECONDS — the full precision of the timestamp
+    * column — so arrival order (µs-ranged files) and the operator's sort
+    * agree exactly, with no ms-truncation ties to break differently. Batch
+    * execution (isStreaming == false) computes the identical chain in one
+    * pass, so the same call serves backfill and the live stream. */
+  def dedupWithinTtl(events: Dataset[Event], ttlMinutes: Long): Dataset[EmittedEvent] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ttlUs = ttlMinutes * 60000000L
+    val streaming = events.isStreaming
+    val withWm = if (streaming) events.withWatermark("ts", "0 seconds") else events
+    withWm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[DedupState, EmittedEvent](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, it, state: GroupState[DedupState]) =>
+          if (streaming && state.hasTimedOut) {
+            state.remove() // watermark ≥ lastEmit + ttl: suppression expired
+            Iterator.empty
+          } else {
+            val evs = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+            var last = state.getOption.map(_.lastEmitTs)
+            val out = scala.collection.mutable.ArrayBuffer.empty[EmittedEvent]
+            evs.foreach { e =>
+              val t = micros(e.ts)
+              if (last.forall(l => t >= l + ttlUs)) {
+                out += EmittedEvent(userId, e.event_id, e.ts)
+                last = Some(t)
+              }
+            }
+            if (streaming) last.foreach { l =>
+              state.update(DedupState(l))
+              // timeout is in ms and must stay above the current watermark
+              // or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max((l + ttlUs) / 1000L + 1, state.getCurrentWatermarkMs() + 1))
+            } else state.remove()
+            out.iterator
+          }
+      }
+  }
+
+  /** epoch microseconds of a Timestamp (getTime is ms-truncated; the nanos
+    * field carries the full sub-second precision). */
+  private def micros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
   /** file-source streaming ingestion of events parquet into windowed counts;
     * returns the streaming DataFrame (caller attaches writeStream). */
   def streamFromDir(spark: SparkSession, dir: String): DataFrame = {

@@ -81,6 +81,75 @@ class StreamingSpec extends SparkTestBase {
     assert(closed.head.n_events == 3 && closed.head.total_value == 6.0)
   }
 
+  test("TTL dedup: greedy emission chain in batch mode") {
+    import spark.implicits._
+    val events = Seq(
+      Event(1, ts(0), 1, "a", 1.0, "{}"),   // emit (first)
+      Event(2, ts(10), 1, "a", 2.0, "{}"),  // suppressed (< 30 min after 0)
+      Event(3, ts(30), 1, "a", 3.0, "{}"),  // emit (exactly ttl after 0)
+      Event(4, ts(45), 1, "a", 4.0, "{}"),  // suppressed (< 30 after 30)
+      Event(5, ts(59), 1, "a", 5.0, "{}"),  // suppressed — chain is vs EMITTED ts(30), not vs ts(45)
+      Event(6, ts(60), 1, "a", 6.0, "{}"),  // emit
+      Event(7, ts(0), 2, "b", 9.0, "{}"))   // emit (other key)
+    val out = EventStream.dedupWithinTtl(events.toDS(), ttlMinutes = 30)
+      .collect().sortBy(e => (e.user_id, e.event_id))
+    assert(out.map(_.event_id).toSeq == Seq(1L, 3L, 6L, 7L))
+  }
+
+  test("TTL dedup: streaming microbatches match batch; state suppresses across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = Seq(
+      Event(1, ts(0), 1, "a", 1.0, "{}"),
+      Event(2, ts(20), 1, "a", 2.0, "{}"),   // suppressed by batch-1 state
+      Event(3, ts(35), 1, "a", 3.0, "{}"),   // emitted (35 >= 0 + 30)
+      Event(4, ts(40), 2, "b", 4.0, "{}"),
+      Event(5, ts(64), 1, "a", 5.0, "{}"),   // suppressed (64 < 35 + 30)
+      Event(6, ts(70), 2, "b", 6.0, "{}"),   // emitted (70 >= 40 + 30)
+      Event(7, ts(66), 1, "a", 7.0, "{}"))   // emitted (66 >= 35 + 30) — chain is vs emitted 35, not vs 64
+    val stream = MemoryStream[Event]
+    val query = EventStream.dedupWithinTtl(stream.toDS(), ttlMinutes = 30)
+      .writeStream.format("memory").queryName("ttl_dedup")
+      .outputMode("append").start()
+    // ts-ordered arrival split across three microbatches
+    stream.addData(all.take(2): _*)
+    query.processAllAvailable()
+    stream.addData(all.slice(2, 5): _*)
+    query.processAllAvailable()
+    stream.addData(all.drop(5): _*)
+    query.processAllAvailable()
+    val streamed = spark.sql("SELECT * FROM ttl_dedup").as[EmittedEvent]
+      .collect().map(_.event_id).sorted.toSeq
+    query.stop()
+    val batch = EventStream.dedupWithinTtl(all.toDS(), ttlMinutes = 30)
+      .collect().map(_.event_id).sorted.toSeq
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    assert(streamed == Seq(1L, 3L, 4L, 6L, 7L))
+  }
+
+  test("TTL dedup: state is evicted once the watermark passes lastEmit + ttl") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val query = EventStream.dedupWithinTtl(stream.toDS(), ttlMinutes = 30)
+      .writeStream.format("memory").queryName("ttl_evict")
+      .outputMode("append").start()
+    stream.addData(Event(1, ts(0), 1, "a", 1.0, "{}"))
+    query.processAllAvailable()
+    // another key far in the future drives the watermark past 0 + ttl;
+    // user 1's state row must be dropped (numRowsTotal counts only user 2)
+    stream.addData(Event(2, ts(120), 2, "b", 1.0, "{}"))
+    query.processAllAvailable()
+    stream.addData(Event(3, ts(125), 3, "c", 1.0, "{}")) // one more batch so the timeout fires
+    query.processAllAvailable()
+    val progress = query.lastProgress
+    val stateRows = progress.stateOperators.apply(0).numRowsTotal
+    query.stop()
+    assert(stateRows <= 2, s"expired dedup state not evicted: $stateRows rows")
+    // the expired key re-emits (suppression window genuinely over)
+    assert(spark.sql("SELECT * FROM ttl_evict").count() == 3)
+  }
+
   test("windowed counts on the real events table (batch form of the stream)") {
     val df = spark.read.parquet(s"$sfDir/events.parquet")
     val out = windowedCounts(df)
