@@ -358,6 +358,21 @@ object SparkEntry {
       .orderBy($"user_id", $"ts_us", $"event_id")
   }
 
+  private def q41CorpusSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // training-corpus curation: quality floor, then a deterministic
+    // per-language token-budget sample via the two-pass distributed prefix
+    // sum (bucketed by the top bits of mix64(doc_id)). DuckDB recomputes
+    // the same greedy fill with ONE global window per language — the
+    // cross-engine check that offset + local prefix == the global prefix.
+    val docs = t(s, dir, "documents").filter(length($"text") >= 100)
+    val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")
+    graft.pipeline.Curation
+      .tokenBudgetSample(docs, "doc_id", "lang", toks, budgetPerLang = 5000L, buckets = 64)
+      .select($"doc_id", $"lang", $"tokens", $"cum_before")
+      .orderBy($"lang", $"cum_before", $"doc_id")
+  }
+
   private def q36Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // event-time sessionization through the TYPED flatMapGroupsWithState
@@ -816,6 +831,7 @@ object SparkEntry {
     "q38_typed_get"      -> (q38TypedGet(_, _)),
     "q39_sql_delete"     -> (q39SqlDelete(_, _)),
     "q40_stream_dedup"   -> (q40StreamDedup(_, _)),
+    "q41_corpus_sample"  -> (q41CorpusSample(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1273,6 +1289,30 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value,
         |  epoch_ms(max(ts)) AS session_end_ts
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_end_ts""".stripMargin,
+    // the token-budget corpus sample recomputed with ONE global window per
+    // language (the formulation the distributed two-pass must equal): order
+    // by (signed mix64(doc_id), doc_id), keep while the running token total
+    // before the row is under budget. The splitmix64 key is re-derived in
+    // HUGEINT arithmetic and folded back to signed BIGINT so both engines
+    // sort identically.
+    "q41_corpus_sample" -> {
+      val signedH =
+        s"""((${duckMixInline("doc_id")})::HUGEINT -
+           | CASE WHEN (${duckMixInline("doc_id")})::HUGEINT >= 9223372036854775808::HUGEINT
+           |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS tokens,
+         |    $signedH AS h
+         |  FROM documents WHERE length(text) >= 100),
+         |c AS (
+         |  SELECT doc_id, lang, tokens,
+         |    coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         |  FROM d)
+         |SELECT doc_id, lang, tokens, cum_before FROM c
+         |WHERE cum_before < 5000 ORDER BY lang, cum_before, doc_id""".stripMargin
+    },
     // the greedy TTL-dedup emission chain per key, recomputed independently:
     // first event emits, then repeatedly the next (ts, event_id)-ordered
     // event >= lastEmit + 24h — exactly the semantics the streaming operator

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation: deterministic stratified sampling under a
+  * per-language token budget — the "data mixing" step of a pretraining
+  * pipeline (take N tokens of each language/source, chosen uniformly at
+  * random but reproducibly, after quality filtering and dedup).
+  *
+  * Semantics: within each stratum (language), documents are ordered by a
+  * deterministic pseudo-random key `mix64(id)` (ties broken by id) and
+  * taken greedily until the token budget is exhausted — a document is kept
+  * iff the total tokens of all documents BEFORE it in that order is still
+  * under the budget (so the last kept document may overflow the budget by a
+  * fraction of one document; no document is split).
+  *
+  * Scale shape: the textbook formulation is one window —
+  * `sum(tokens) over (partition by lang order by mix64(id))` — which puts
+  * an ENTIRE language through a single task's sort: a non-starter when one
+  * stratum is 40 TB. This implementation computes the same prefix sum in
+  * two distributed passes:
+  *
+  *   1. bucket each row by the TOP bits of its sort key (bucket order ==
+  *      key order), aggregate per-(lang, bucket) token totals — a partial
+  *      aggregate shuffling langs x buckets rows, i.e. KBs;
+  *   2. turn the tiny per-bucket totals into per-bucket starting offsets
+  *      (a window over the langs x buckets frame), broadcast them back,
+  *      and window only WITHIN each (lang, bucket) — parallelism = buckets
+  *      per language, each task sorting ~1/buckets of a stratum.
+  *
+  * offset(bucket) + local prefix == the global per-language prefix sum
+  * exactly, because the bucket is monotone in the sort key (top bits,
+  * arithmetic shift) and ties in the key share a bucket. The full data
+  * crosses the exchange once (keyed by lang, bucket), same bytes as the
+  * naive window, but no single-task stratum sort and no driver collect.
+  */
+object Curation {
+
+  /** Greedy token-budget sample per stratum; returns the kept rows of `df`
+    * with two extra columns: `tokens` (the per-row count, as given) and
+    * `cum_before` (exact tokens taken in this stratum before this row).
+    * `buckets` must be a power of two; raise it until one stratum's rows /
+    * buckets fits a task sort comfortably (1024 buckets at 40 TB/stratum =
+    * ~40 GB per task pre-projection; 64k buckets = ~600 MB). */
+  def tokenBudgetSample(df: DataFrame, idCol: String, langCol: String,
+                        tokens: Column, budgetPerLang: Long,
+                        buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val shift = 64 - Integer.numberOfTrailingZeros(buckets)
+    val base = df
+      .withColumn("tokens", tokens.cast("long"))
+      .withColumn("__h", TextFunctions.mix64(col(idCol).cast("long")))
+      // arithmetic shift keeps bucket order == signed key order; +B/2
+      // maps [-B/2, B/2) onto [0, B)
+      .withColumn("__b", (shiftright(col("__h"), shift) + buckets / 2).cast("int"))
+    val perBucket = base
+      .groupBy(col(langCol).as("__l"), col("__b").as("__bb"))
+      .agg(sum("tokens").as("__bt"))
+    val acrossBuckets = Window.partitionBy("__l").orderBy("__bb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum("__bt").over(acrossBuckets), lit(0L)))
+      .select("__l", "__bb", "__off")
+    val withinBucket = Window.partitionBy(col(langCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(offsets),
+        col(langCol) === col("__l") && col("__b") === col("__bb"))
+      .withColumn("cum_before",
+        col("__off") + coalesce(sum(col("tokens")).over(withinBucket), lit(0L)))
+      .filter(col("cum_before") < budgetPerLang)
+      .drop("__l", "__bb", "__off", "__b", "__h")
+  }
+
+  /** Reference single-window formulation (identical result; serializes each
+    * stratum through one task — test/verification use only). */
+  private[graft] def tokenBudgetSampleNaive(
+      df: DataFrame, idCol: String, langCol: String,
+      tokens: Column, budgetPerLang: Long): DataFrame = {
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(TextFunctions.mix64(col(idCol).cast("long")), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("tokens", tokens.cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < budgetPerLang)
+  }
+}

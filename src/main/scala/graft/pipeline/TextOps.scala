@@ -266,6 +266,22 @@ case class TokenEstimateExpr(child: Expression) extends UnaryExpression with Cod
   override def prettyName: String = "token_estimate"
 }
 
+/** splitmix64 finalizer over a long — the deterministic pseudo-random
+  * shuffle key for corpus sampling (same avalanche the minhash permutations
+  * use; cross-engine oracles replicate it with HUGEINT modular arithmetic).
+  * Codegen'd: one static call, stays inside whole-stage codegen. */
+case class Mix64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any): Any = TextOps.mix(x.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.pipeline.TextOps.mix($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "mix64"
+}
+
 /** cosine_sim(a, b) over two float-array embeddings — a tight primitive loop
   * instead of interpreted zip_with/aggregate lambdas (~50x faster on
   * brute-force pair scans). Generates code (doGenCode) so the near-dup
@@ -344,6 +360,7 @@ object TextFunctions {
   def quality_score(text: Column): Column = mkCol(QualityScoreExpr(exprOf(text)))
   def text_fingerprint(text: Column): Column = mkCol(FingerprintExpr(exprOf(text)))
   def token_estimate(text: Column): Column = mkCol(TokenEstimateExpr(exprOf(text)))
+  def mix64(x: Column): Column = mkCol(Mix64Expr(exprOf(x)))
   def cosine_sim(a: Column, b: Column): Column = mkCol(CosineSimExpr(exprOf(a), exprOf(b)))
   def lsh_buckets(vec: Column, planes: Int, bands: Int, seed: Long = 0L): Column =
     mkCol(LshBucketsExpr(exprOf(vec), planes, bands, seed))

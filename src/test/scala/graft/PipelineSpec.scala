@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Dedup, Ann, TextOps, Multimodal, MediaCodec, MediaFunctions}
+import graft.pipeline.{Dedup, Ann, TextOps, Multimodal, MediaCodec, MediaFunctions, Curation}
 import org.apache.spark.sql.functions._
 
 /** Correctness checks for the training-data operators beyond rows>0:
@@ -31,6 +31,46 @@ class PipelineSpec extends SparkTestBase {
     val hit = pairs.filter($"id_a" === 0 && $"id_b" === 900000L).collect()
     assert(hit.length == 1, "LSH missed the injected near-duplicate")
     assert(hit.head.getDouble(2) > 0.8)
+  }
+
+  test("token-budget sample: two-pass distributed prefix sum equals the global window") {
+    import spark.implicits._
+    val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")
+    val naive = Curation.tokenBudgetSampleNaive(docs, "doc_id", "lang", toks, 4000L)
+      .select($"doc_id", $"lang", $"tokens", $"cum_before")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    // the result must be invariant in the bucket count (2 buckets forces
+    // multi-bucket offsets even on the small corpus; 256 leaves most empty)
+    for (b <- Seq(2, 16, 256)) {
+      val got = Curation.tokenBudgetSample(docs, "doc_id", "lang", toks, 4000L, buckets = b)
+        .select($"doc_id", $"lang", $"tokens", $"cum_before")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq == naive.toSeq, s"buckets=$b diverged from the global window")
+    }
+    assert(naive.nonEmpty)
+  }
+
+  test("token-budget sample: greedy budget semantics per stratum") {
+    import spark.implicits._
+    val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")
+    val kept = Curation.tokenBudgetSample(docs, "doc_id", "lang", toks, 3000L, buckets = 8)
+    // every kept row started under budget; totals may overflow by < one doc
+    assert(kept.filter($"cum_before" >= 3000L).count() == 0)
+    val perLang = kept.groupBy($"lang")
+      .agg(sum($"tokens").as("total"), max($"cum_before" + $"tokens").as("hi"),
+        count(lit(1)).as("n")).collect()
+    perLang.foreach { r =>
+      assert(r.getAs[Long]("total") == r.getAs[Long]("hi"), "prefix sums inconsistent")
+    }
+    // a language with more than budget available must stop near the budget:
+    // the last kept doc crosses it, so total >= budget whenever any doc was cut
+    val totalByLang = docs.withColumn("t", toks).groupBy($"lang")
+      .agg(sum($"t").as("avail")).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { r =>
+      val lang = r.getString(0)
+      if (totalByLang(lang) > 3500L) // clearly over budget
+        assert(r.getAs[Long]("total") >= 3000L, s"$lang under-filled its budget")
+    }
   }
 
   test("sha60 matches the DuckDB oracle definition ('0x'||substr(sha256,1,15))::BIGINT") {

@@ -169,6 +169,19 @@ class PlanSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall@10 = $recall (exact=$exact ivf=$ivf)")
   }
 
+  test("q41 corpus sample: data window keyed by (lang, bucket), offsets broadcast") {
+    val df = SparkEntry.queries("q41_corpus_sample")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the full-data prefix sum must NOT sort a whole stratum in one task:
+    // its window partition key is (lang, bucket), never lang alone
+    assert(p.contains("Window"), s"q41 lost its window:\n$p")
+    val badStratumWindow = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(lang#") && !l.contains("__b"))
+    assert(!badStratumWindow, s"q41 windows a whole stratum in one task:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q41 offsets not broadcast:\n$p")
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString
