@@ -127,4 +127,112 @@ object Ann {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Lloyd's k-means over the embedding column, as Spark partial
+    * aggregates: assignment = broadcast-centroid argmax (the ivfAssign
+    * shape — map-side partial collapses each vector's k candidate rows, ~n
+    * rows cross the exchange), update = per-centroid vector mean via a
+    * typed Aggregator (map-side partial sums — k x partitions buffer rows
+    * shuffle, never the vectors). Driver state is k x dim floats and never
+    * grows with the corpus. Init is deterministic (the k rows with the
+    * smallest mix64(id)); float summation order can vary run-to-run, so
+    * convergence is deterministic in structure but means can differ in the
+    * last ulps — fine for a coarse quantizer. Empty clusters keep their
+    * previous centroid (standard Lloyd fallback). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): Array[Array[Float]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    var cents: Array[Array[Float]] = v
+      .orderBy(TextFunctions.mix64(col("id")), col("id")).limit(k)
+      .select("v").as[Array[Float]].collect()
+    require(cents.nonEmpty, "kmeansCentroids: empty corpus")
+    val dim = cents.head.length
+    val mean = new VecMeanAgg(dim)
+    for (_ <- 1 to iters) {
+      val means = assignTo(v, cents)
+        .select(col("cid"), col("v")).as[(Long, Array[Float])]
+        .groupByKey(_._1).agg(mean.toColumn.name("m"))
+        .collect().toMap
+      cents = cents.indices.map(i => means.getOrElse(i.toLong, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Assign every corpus vector to its nearest external centroid (cid =
+    * centroid array index). Same persistable (id, v, cid) index shape as
+    * ivfAssign, same partial-aggregable argmax — use after kmeansCentroids
+    * to build the trained inverted index. */
+  def ivfAssignCentroids(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Array[Array[Float]]): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    assignTo(v, centroids)
+  }
+
+  /** Query a centroid-index built by ivfAssignCentroids: probe ranking is
+    * pure driver arithmetic over the k x dim centroid array (no job), then
+    * one filtered scan of the nProbe inverted lists. */
+  def ivfTopKCentroids(index: DataFrame, centroids: Array[Array[Float]],
+                       idCol: String, query: Array[Float], k: Int,
+                       nProbe: Int = 4): DataFrame = {
+    val q = typedLit(query.toSeq)
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (i.toLong, TextOps.cosineLocal(c, query)) }
+      .sortBy { case (cid, cos) => (-cos, cid) }.take(nProbe).map(_._1)
+    if (probes.isEmpty)
+      return index.select(col("id").as(idCol), Dedup.cosine(col("v"), q).as("cos"))
+        .orderBy(col("cos").desc, col(idCol).asc).limit(k)
+    index.filter(col("cid").isin(probes.toSeq: _*))
+      .select(col("id").as(idCol), Dedup.cosine(col("v"), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** nearest-centroid argmax against a driver-local centroid array:
+    * broadcast the (cid, cv) rows, max over struct(ccos, -cid, v) — the
+    * deterministic partial-aggregable shape shared by every IVF path. */
+  private def assignTo(v: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    val cents = spark.createDataset(
+      centroids.toSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("cid", "cv")
+    v.join(broadcast(cents))
+      .select(col("id"),
+        struct(Dedup.cosine(col("v"), col("cv")).as("ccos"),
+               (-col("cid")).as("ncid"), col("v").as("v")).as("cand"))
+      .groupBy("id").agg(max(col("cand")).as("best"))
+      .select(col("id"), col("best.v").as("v"), (-col("best.ncid")).as("cid"))
+  }
+}
+
+/** typed partial aggregate for per-centroid vector means: double-precision
+  * running sums merged associatively across partitions. */
+private[pipeline] class VecMeanAgg(dim: Int)
+  extends org.apache.spark.sql.expressions.Aggregator[
+    (Long, Array[Float]), VecMeanAgg.Buf, Array[Float]] {
+  import VecMeanAgg.Buf
+  def zero: Buf = Buf(new Array[Double](dim), 0L)
+  def reduce(b: Buf, a: (Long, Array[Float])): Buf = {
+    var i = 0; while (i < dim) { b.sum(i) += a._2(i); i += 1 }
+    Buf(b.sum, b.n + 1)
+  }
+  def merge(x: Buf, y: Buf): Buf = {
+    var i = 0; while (i < dim) { x.sum(i) += y.sum(i); i += 1 }
+    Buf(x.sum, x.n + y.n)
+  }
+  def finish(b: Buf): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0; while (i < dim) { out(i) = (b.sum(i) / b.n).toFloat; i += 1 }
+    out
+  }
+  def bufferEncoder: org.apache.spark.sql.Encoder[Buf] =
+    org.apache.spark.sql.Encoders.product[Buf]
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[Float]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+}
+
+private[pipeline] object VecMeanAgg {
+  final case class Buf(sum: Array[Double], n: Long)
 }

@@ -188,6 +188,19 @@ object TextOps {
   // Achlioptas 2001). Components are ±1 so the identical plane matrix is
   // cheap to replicate as SQL literals in the DuckDB oracle. ----
 
+  /** driver-local cosine similarity (same double-loop as CosineSimExpr). */
+  def cosineLocal(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** deterministic ±1 hyperplane component for (seed, band, plane, dim). */
   @inline def planeSign(seed: Long, band: Int, plane: Int, d: Int): Double =
     if (mix(mix(mix(seed + band) + plane) + d) < 0) -1.0 else 1.0

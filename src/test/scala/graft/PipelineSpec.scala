@@ -73,6 +73,33 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("k-means recovers well-separated synthetic clusters") {
+    import spark.implicits._
+    // three orthogonal-ish cluster directions in 8 dims, 40 points each
+    // with small deterministic jitter
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 1f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f, 1f, 0f))
+    val pts = (0 until 120).map { i =>
+      val d = dirs(i % 3)
+      val v = d.indices.map(j =>
+        d(j) + 0.05f * (((TextOps.mix(i * 8 + j) % 1000) / 1000.0f))).toArray
+      (i.toLong, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = graft.pipeline.Ann.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 5)
+    // each true direction must have a centroid at cosine > 0.98
+    dirs.foreach { d =>
+      val best = cents.map(c => TextOps.cosineLocal(c, d)).max
+      assert(best > 0.98, s"no centroid recovered direction ${d.mkString(",")}: best=$best")
+    }
+    // assignment must put each cluster's points under one centroid
+    val idx = graft.pipeline.Ann.ivfAssignCentroids(df, "vec_id", "embedding", cents)
+    val groups = idx.select($"id" % 3, $"cid").distinct().count()
+    assert(groups == 3, s"cluster membership fragmented: $groups (id%3, cid) pairs")
+  }
+
   test("sha60 matches the DuckDB oracle definition ('0x'||substr(sha256,1,15))::BIGINT") {
     // sha256('hello') = 2cf24dba5fb0a30e...; DuckDB evaluates the cast to
     // 202421034056092208 — the two engines must agree bit-for-bit

@@ -182,6 +182,42 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"q41 offsets not broadcast:\n$p")
   }
 
+  test("k-means-trained IVF: recall matches or beats the modulo quantizer; no window in training") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 8).orderBy($"vec_id")
+      .select($"embedding").as[Array[Float]].collect()
+    val corpus = emb.filter($"vec_id" >= 8).cache()
+    val cents = graft.pipeline.Ann.kmeansCentroids(corpus, "vec_id", "embedding", k = 25, iters = 4)
+    assert(cents.length == 25 && cents.forall(_.length == 64))
+    val index = graft.pipeline.Ann.ivfAssignCentroids(corpus, "vec_id", "embedding", cents)
+    index.collect()
+    val p = index.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"trained assignment uses a window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"centroids not broadcast:\n$p")
+    index.cache().count()
+    // single-query recall on near-uniform synthetic vectors is noisy;
+    // compare MEAN recall@10 over 8 queries at the same probe fraction
+    val (trainedSum, moduloSum) = queries.foldLeft((0.0, 0.0)) { case ((ts, ms), query) =>
+      val exact = graft.pipeline.Ann.bruteForceTopK(corpus, "vec_id", "embedding", query, 10)
+        .select("vec_id").as[Long].collect().toSet
+      val trained = graft.pipeline.Ann.ivfTopKCentroids(index, cents, "vec_id", query, 10, nProbe = 6)
+        .select("vec_id").as[Long].collect().toSet
+      val modulo = graft.pipeline.Ann.ivfTopK(corpus, "vec_id", "embedding", query, 10,
+        centroidEvery = 20, centroidResidue = 1, nProbe = 6)
+        .select("vec_id").as[Long].collect().toSet
+      (ts + (exact & trained).size / 10.0, ms + (exact & modulo).size / 10.0)
+    }
+    val (trainedRecall, moduloRecall) = (trainedSum / 8, moduloSum / 8)
+    corpus.unpersist(); index.unpersist()
+    // trained lists are tighter, so mean recall must at least match the
+    // data-drawn modulo quantizer (small slack for probe-boundary ties)
+    assert(trainedRecall >= moduloRecall - 0.05,
+      s"k-means mean recall $trainedRecall < modulo mean recall $moduloRecall")
+    assert(trainedRecall >= 0.5, s"trained IVF mean recall@10 = $trainedRecall")
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString
