@@ -373,6 +373,20 @@ object SparkEntry {
       .orderBy($"lang", $"cum_before", $"doc_id")
   }
 
+  private def q42PackSequences(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // sequence packing for training loaders: every document assigned a
+    // (bin, offset) inside fixed 2048-token windows, in the deterministic
+    // mix64 curation order — same two-pass prefix sum as q41, exercised
+    // WITHOUT the budget cut so every row's cumulative position is checked.
+    val docs = t(s, dir, "documents")
+    val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")
+    graft.pipeline.Curation
+      .packSequences(docs, "doc_id", "lang", toks, windowTokens = 2048L, buckets = 64)
+      .select($"doc_id", $"lang", $"tokens", $"bin", $"bin_offset", $"spans_next")
+      .orderBy($"lang", $"bin", $"bin_offset", $"doc_id")
+  }
+
   private def q36Sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // event-time sessionization through the TYPED flatMapGroupsWithState
@@ -832,6 +846,7 @@ object SparkEntry {
     "q39_sql_delete"     -> (q39SqlDelete(_, _)),
     "q40_stream_dedup"   -> (q40StreamDedup(_, _)),
     "q41_corpus_sample"  -> (q41CorpusSample(_, _)),
+    "q42_pack_sequences" -> (q42PackSequences(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1312,6 +1327,31 @@ object SparkEntry {
          |  FROM d)
          |SELECT doc_id, lang, tokens, cum_before FROM c
          |WHERE cum_before < 5000 ORDER BY lang, cum_before, doc_id""".stripMargin
+    },
+    // sequence packing re-derived from the same global per-language window
+    // as q41, WITHOUT the budget cut: bin/offset are pure integer
+    // arithmetic over the prefix sum, so every row's cumulative position
+    // is cross-checked
+    "q42_pack_sequences" -> {
+      val signedH =
+        s"""((${duckMixInline("doc_id")})::HUGEINT -
+           | CASE WHEN (${duckMixInline("doc_id")})::HUGEINT >= 9223372036854775808::HUGEINT
+           |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT""".stripMargin
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS tokens,
+         |    $signedH AS h
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, tokens,
+         |    coalesce(sum(tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+         |  FROM d)
+         |SELECT doc_id, lang, tokens,
+         |  (cum_before // 2048)::BIGINT AS bin,
+         |  (cum_before % 2048)::BIGINT AS bin_offset,
+         |  (cum_before % 2048) + tokens > 2048 AS spans_next
+         |FROM c ORDER BY lang, bin, bin_offset, doc_id""".stripMargin
     },
     // the greedy TTL-dedup emission chain per key, recomputed independently:
     // first event emits, then repeatedly the next (ts, event_id)-ordered

@@ -46,7 +46,41 @@ object Curation {
     * ~40 GB per task pre-projection; 64k buckets = ~600 MB). */
   def tokenBudgetSample(df: DataFrame, idCol: String, langCol: String,
                         tokens: Column, budgetPerLang: Long,
-                        buckets: Int = 1024): DataFrame = {
+                        buckets: Int = 1024): DataFrame =
+    prefixSums(df, idCol, langCol, tokens, buckets)
+      .filter(col("cum_before") < budgetPerLang)
+
+  /** Greedy contiguous sequence packing: assign documents (in the same
+    * deterministic mix64(id) order as the sampler) to fixed token-capacity
+    * training windows — bin = floor(running token total / window), offset =
+    * running total mod window. A document spanning a bin boundary starts a
+    * continuation in the next bin (`spans_next` marks it), the contiguous
+    * layout a sequence-packing loader consumes (documents are not split
+    * across SHUFFLE boundaries — the bin/offset pair IS the split plan).
+    *
+    * Same two-pass distributed prefix sum as tokenBudgetSample, so no
+    * stratum ever sorts in one task; packing 100 TB is one bounded-memory
+    * pass. Output adds `tokens`, `bin`, `bin_offset`, `spans_next`. */
+  def packSequences(df: DataFrame, idCol: String, langCol: String,
+                    tokens: Column, windowTokens: Long,
+                    buckets: Int = 1024): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val cum = prefixSums(df, idCol, langCol, tokens, buckets)
+    cum
+      // DIV: exact long division (Column./ is floating and loses exactness
+      // past 2^53 cumulative tokens — reachable at corpus scale)
+      .withColumn("bin", expr(s"cum_before DIV $windowTokens"))
+      .withColumn("bin_offset", col("cum_before") % windowTokens)
+      .withColumn("spans_next",
+        col("bin_offset") + col("tokens") > windowTokens)
+      .drop("cum_before")
+  }
+
+  /** The shared two-pass distributed prefix sum (see object doc): every
+    * row of `df` plus `tokens` and `cum_before` = the exact token total of
+    * all same-stratum rows earlier in (mix64(id), id) order. */
+  private def prefixSums(df: DataFrame, idCol: String, langCol: String,
+                         tokens: Column, buckets: Int): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
     val shift = 64 - Integer.numberOfTrailingZeros(buckets)
@@ -72,7 +106,6 @@ object Curation {
         col(langCol) === col("__l") && col("__b") === col("__bb"))
       .withColumn("cum_before",
         col("__off") + coalesce(sum(col("tokens")).over(withinBucket), lit(0L)))
-      .filter(col("cum_before") < budgetPerLang)
       .drop("__l", "__bb", "__off", "__b", "__h")
   }
 

@@ -73,6 +73,33 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("sequence packing: bin/offset arithmetic matches the global-window prefix sums") {
+    import spark.implicits._
+    val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")
+    val W = 1500L
+    // expected: naive global window (budget = unlimited), bin math locally
+    val expected = Curation.tokenBudgetSampleNaive(docs, "doc_id", "lang", toks, Long.MaxValue)
+      .select($"doc_id", $"lang", $"tokens", $"cum_before")
+      .collect().map { r =>
+        val cum = r.getLong(3); val t = r.getLong(2)
+        (r.getLong(0), r.getString(1), t, cum / W, cum % W, cum % W + t > W)
+      }.sortBy(_.toString)
+    val got = Curation.packSequences(docs, "doc_id", "lang", toks, W, buckets = 16)
+      .select($"doc_id", $"lang", $"tokens", $"bin", $"bin_offset", $"spans_next")
+      .as[(Long, String, Long, Long, Long, Boolean)]
+      .collect().sortBy(_.toString)
+    assert(got.toSeq == expected.toSeq)
+    // structural sanity: within a language, bins are contiguous from 0 and
+    // every row fits its window start
+    assert(got.forall { case (_, _, _, bin, off, _) => bin >= 0 && off >= 0 && off < W })
+    val binsByLang = got.groupBy(_._2).map { case (l, rs) =>
+      l -> rs.map(_._4).distinct.sorted.toVector }
+    binsByLang.foreach { case (l, bins) =>
+      assert(bins == (0L until bins.length).toVector,
+        s"$l bins not contiguous: ${bins.mkString(",")}")
+    }
+  }
+
   test("k-means recovers well-separated synthetic clusters") {
     import spark.implicits._
     // three orthogonal-ish cluster directions in 8 dims, 40 points each
