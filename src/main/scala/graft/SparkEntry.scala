@@ -514,10 +514,10 @@ object SparkEntry {
 
   private def q22Multimodal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // REAL decode: PNG/JPEG via ImageIO, WAV via javax.sound — a row counts
-    // as decode_ok only when the codec recovered the dimensions / sample
-    // rate / frame count the synthesizer actually encoded (video is the
-    // documented header stub; the JDK has no video codec)
+    // REAL decode: PNG/JPEG via ImageIO, WAV via javax.sound, animated-GIF
+    // video via ImageIO's frame-sequence reader — a row counts as
+    // decode_ok only when the codec recovered the dimensions / sample rate
+    // / frame count the synthesizer actually encoded
     val media = graft.pipeline.Multimodal.synthesize(s, 300)
     val decoded = graft.pipeline.Multimodal.decode(media)
     val ok = $"decode_ok" &&

@@ -247,6 +247,41 @@ class PipelineSpec extends SparkTestBase {
     assert(feats.select($"feat").as[Seq[Float]].head().length == 8)
   }
 
+  test("media codec: animated GIF frames round-trip pixel-exact; count via real reader") {
+    val blob = MediaCodec.encodeAnimatedGif(5L, 33, 21, 7)
+    val d = MediaCodec.decode(blob, "video")
+    assert(d.ok && d.width == 33 && d.height == 21 && d.nFrames == 7)
+    // grayscale palette is lossless: every pixel of every frame survives
+    for (f <- Seq(0, 3, 6)) {
+      val img = MediaCodec.decodeGifFrame(blob, f)
+      assert(img != null && img.getWidth == 33 && img.getHeight == 21)
+      for (y <- 0 until 21; x <- 0 until 33)
+        assert((img.getRGB(x, y) & 0xff) == MediaCodec.pixelGray(5L, f, x, y, 33, 21),
+          s"frame $f pixel mismatch at ($x,$y)")
+    }
+    // frames genuinely differ
+    val a = MediaCodec.frameFeatures(blob, 0, 8)
+    val b = MediaCodec.frameFeatures(blob, 6, 8)
+    assert(a.toSeq != b.toSeq, "distinct frames produced identical histograms")
+    assert(math.abs(a.sum - 1.0f) < 1e-3)
+  }
+
+  test("sampleFrameFeatures: per-frame decode under the frame-index generate") {
+    import spark.implicits._
+    val media = Multimodal.synthesize(spark, 40)
+    val ff = Multimodal.sampleFrameFeatures(media, k = 4, dim = 8)
+    val rows = ff.select($"media_id", $"frame_idx", $"frame_feat")
+      .as[(Long, Int, Seq[Float])].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, fi, feat) =>
+      assert(math.abs(feat.sum - 1.0f) < 1e-3, s"media $id frame $fi not a histogram")
+    }
+    // the distributed expression equals the local kernel on a probe row
+    val (pid, pfi, pfeat) = rows.head
+    val blob = MediaCodec.synthRow(pid, 42).blob
+    assert(pfeat == MediaCodec.frameFeatures(blob, pfi, 8).toSeq)
+  }
+
   test("media codec: PNG round-trip is pixel-exact") {
     val blob = MediaCodec.encodePng(7L, 40, 30, 42)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
