@@ -373,6 +373,20 @@ object SparkEntry {
       .orderBy($"lang", $"cum_before", $"doc_id")
   }
 
+  private def q43NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // EXACT n-gram Jaccard dedup as its own oracled operator (q18 verifies
+    // jaccard only on minhash candidates; this one is approximation-free):
+    // inverted-index pairing + count arithmetic, boilerplate shingles cut
+    // at docfreq 50. DuckDB rebuilds the identical shingle space and pair
+    // counts relationally.
+    graft.pipeline.Dedup
+      .ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, threshold = 0.25, maxDocFreq = 50)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   private def q42PackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // sequence packing for training loaders: every document assigned a
@@ -847,6 +861,7 @@ object SparkEntry {
     "q40_stream_dedup"   -> (q40StreamDedup(_, _)),
     "q41_corpus_sample"  -> (q41CorpusSample(_, _)),
     "q42_pack_sequences" -> (q42PackSequences(_, _)),
+    "q43_ngram_jaccard"  -> (q43NgramJaccard(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1328,6 +1343,30 @@ object SparkEntry {
          |SELECT doc_id, lang, tokens, cum_before FROM c
          |WHERE cum_before < 5000 ORDER BY lang, cum_before, doc_id""".stripMargin
     },
+    // exact n-gram jaccard rebuilt relationally: distinct sha60 word-3-
+    // shingles, docfreq cutoff, shared-count arithmetic — no list
+    // intersections, the same count algebra the Spark plan uses
+    "q43_ngram_jaccard" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, x FROM (
+         |  SELECT doc_id, ${duckSha60("sgl")} AS x FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |      ELSE list_transform(range(1, len(w) - 1),
+         |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sgl
+         |    FROM ws))),
+         |keep AS (SELECT x FROM sh0 GROUP BY x HAVING count(*) <= 50),
+         |sh AS (SELECT sh0.doc_id, sh0.x FROM sh0 JOIN keep USING (x)),
+         |counts AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+         |         FROM sh a JOIN sh b ON a.x = b.x AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2)
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM (
+         |  SELECT c.id_a, c.id_b,
+         |    c.shared::DOUBLE / (na.nsh + nb.nsh - c.shared) AS jac
+         |  FROM cand c
+         |  JOIN counts na ON na.doc_id = c.id_a
+         |  JOIN counts nb ON nb.doc_id = c.id_b)
+         |WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,
     // sequence packing re-derived from the same global per-language window
     // as q41, WITHOUT the budget cut: bin/offset are pure integer
     // arithmetic over the prefix sum, so every row's cumulative position

@@ -62,6 +62,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** EXACT n-gram Jaccard near-dup pairs (no minhash approximation):
+    * inverted-index candidate generation — docs sharing at least one
+    * distinct word-k-shingle — with the exact similarity computed
+    * relationally from counts (shared / (|A| + |B| - shared)), never
+    * materializing per-pair shingle lists. Shingles present in more than
+    * `maxDocFreq` documents (boilerplate) are dropped from the feature
+    * space BEFORE pairing, which both kills the quadratic blowup of
+    * stop-shingles at corpus scale and bounds the inverted-index join's
+    * per-key fanout at maxDocFreq² candidates; the similarity is then
+    * Jaccard over the filtered shingle space, consistently on both sides
+    * of the oracle. Everything is equi-join + hash-aggregate: no
+    * cartesian, no driver state. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.25,
+                        maxDocFreq: Int = 50): DataFrame = {
+    val sh0 = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(
+        TextFunctions.shingle_hashes(col(textCol), lit(n)))).as("sh"))
+    val keep = sh0.groupBy("sh").agg(count(lit(1)).as("docfreq"))
+      .filter(col("docfreq") <= maxDocFreq).select("sh")
+    val sh = sh0.join(keep, "sh")
+    val counts = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val cand = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    cand
+      .join(counts.select(col("id").as("id_a"), col("nsh").as("nsh_a")), "id_a")
+      .join(counts.select(col("id").as("id_b"), col("nsh").as("nsh_b")), "id_b")
+      .withColumn("jaccard",
+        col("shared") / (col("nsh_a") + col("nsh_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** simhash near-dup pairs with pigeonhole-complete blocking: the 60-bit
     * simhash splits into maxHamming+1 chunks, so any pair within hamming
     * distance <= maxHamming shares at least one exact chunk — full recall by

@@ -279,6 +279,21 @@ case class TokenEstimateExpr(child: Expression) extends UnaryExpression with Cod
   override def prettyName: String = "token_estimate"
 }
 
+/** shingle_hashes(text, k): the sha60 word-k-shingle set of a document as
+  * array<long> (with duplicates; callers array_distinct as needed) — the
+  * feature basis shared by minhash and exact n-gram jaccard. */
+case class ShingleHashesExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(t: Any, k: Any): Any =
+    new GenericArrayData(
+      TextOps.shingleHashes(t.toString, k.asInstanceOf[Int]).map(x => x: Any))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "shingle_hashes"
+}
+
 /** splitmix64 finalizer over a long — the deterministic pseudo-random
   * shuffle key for corpus sampling (same avalanche the minhash permutations
   * use; cross-engine oracles replicate it with HUGEINT modular arithmetic).
@@ -374,6 +389,8 @@ object TextFunctions {
   def text_fingerprint(text: Column): Column = mkCol(FingerprintExpr(exprOf(text)))
   def token_estimate(text: Column): Column = mkCol(TokenEstimateExpr(exprOf(text)))
   def mix64(x: Column): Column = mkCol(Mix64Expr(exprOf(x)))
+  def shingle_hashes(text: Column, k: Column): Column =
+    mkCol(ShingleHashesExpr(exprOf(text), exprOf(k)))
   def cosine_sim(a: Column, b: Column): Column = mkCol(CosineSimExpr(exprOf(a), exprOf(b)))
   def lsh_buckets(vec: Column, planes: Int, bands: Int, seed: Long = 0L): Column =
     mkCol(LshBucketsExpr(exprOf(vec), planes, bands, seed))

@@ -33,6 +33,25 @@ class PipelineSpec extends SparkTestBase {
     assert(hit.head.getDouble(2) > 0.8)
   }
 
+  test("exact n-gram jaccard pairs: count algebra equals the local set kernel") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text").limit(30)
+    val near = base.filter($"doc_id" === 0)
+      .select(lit(900000L).as("doc_id"), concat($"text", lit(" extra tail")).as("text"))
+    val all = base.unionByName(near)
+    val pairs = Dedup.ngramJaccardPairs(all, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDocFreq = 1000) // cutoff inactive at 31 docs
+    val hit = pairs.filter($"id_a" === 0 && $"id_b" === 900000L).collect()
+    assert(hit.length == 1, "exact jaccard missed the injected near-duplicate")
+    val texts = all.filter($"doc_id".isin(0L, 900000L)).orderBy($"doc_id")
+      .select($"text").as[String].collect()
+    val local = TextOps.ngramJaccard(texts(0), texts(1), 3)
+    assert(math.abs(hit.head.getDouble(2) - local) < 1e-12,
+      s"distributed ${hit.head.getDouble(2)} != local $local")
+    // boilerplate cutoff: with maxDocFreq 0 every shingle is dropped → no pairs
+    assert(Dedup.ngramJaccardPairs(all, "doc_id", "text", 3, 0.0, maxDocFreq = 0).count() == 0)
+  }
+
   test("token-budget sample: two-pass distributed prefix sum equals the global window") {
     import spark.implicits._
     val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")
