@@ -218,6 +218,16 @@ class PlanSpec extends SparkTestBase {
     assert(trainedRecall >= 0.5, s"trained IVF mean recall@10 = $trainedRecall")
   }
 
+  test("q43 exact jaccard: equi-joins and hash aggregates only, no cartesian") {
+    val df = SparkEntry.queries("q43_ngram_jaccard")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q43 has a product join:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"q43 count algebra not a hash aggregate:\n$p")
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString

@@ -27,7 +27,8 @@ object ScaleProof {
     "q13_dedup_exact", "q14_token_stats", "q16_text_analysis",
     "q18_minhash_pairs", "q19_simhash_pairs", "q23_lsh_neardup",
     "q23s_lsh_p16", "q17_ann_topk", "q20_embedding_neardup", "q21_ann_lsh",
-    "q35_ann_ivf", "q32_neardup_groups", "q32s_lsh_groups")
+    "q35_ann_ivf", "q32_neardup_groups", "q32s_lsh_groups",
+    "q41_corpus_sample", "q42_pack_sequences", "q43_ngram_jaccard")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
