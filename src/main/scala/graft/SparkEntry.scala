@@ -274,6 +274,20 @@ object SparkEntry {
       .orderBy($"member_id")
   }
 
+  private def q44NearDupStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // same pair derivation and output contract as q32, but grouped by the
+    // edge-contracting large-star/small-star algorithm — the scale path for
+    // adversarial graph shapes (power-law hubs, giant components) where
+    // pointer doubling's full-edge-set re-join round is the bottleneck.
+    // Both implementations are pinned to ONE DuckDB transitive closure.
+    val docs = t(s, dir, "documents")
+    val pairs = graft.pipeline.Dedup.minHashPairs(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 4, shingleSize = 2, threshold = 0.2)
+    graft.pipeline.Dedup.nearDupGroupsStar(docs, "doc_id", pairs)
+      .orderBy($"member_id")
+  }
+
   private def q33StreamWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the STREAMING ENGINE under the oracle gate: replay the events table
@@ -862,6 +876,7 @@ object SparkEntry {
     "q41_corpus_sample"  -> (q41CorpusSample(_, _)),
     "q42_pack_sequences" -> (q42PackSequences(_, _)),
     "q43_ngram_jaccard"  -> (q43NgramJaccard(_, _)),
+    "q44_neardup_star"   -> (q44NearDupStar(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1182,22 +1197,8 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin
     },
     "q18_minhash_pairs" -> duckMinhashPairsSql,
-    "q32_neardup_groups" ->
-      // connected components over the SAME minhash pair derivation as q18:
-      // a recursive-CTE transitive closure re-derives each member's group
-      // representative (min reachable id) fully independently of the Spark
-      // label-propagation algorithm
-      s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
-         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-         |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
-         |reach(src, dst) AS (
-         |  SELECT a, b FROM edges
-         |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-         |SELECT d.doc_id AS member_id,
-         |  coalesce(least(d.doc_id, min(r.dst)), d.doc_id) AS group_id
-         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-         |GROUP BY d.doc_id ORDER BY member_id""".stripMargin,
+    "q32_neardup_groups" -> duckCcGroupsSql,
+    "q44_neardup_star"   -> duckCcGroupsSql,
     "q33_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS total_value
@@ -1453,6 +1454,24 @@ object SparkEntry {
     * minhashes -> 16 bands of 4 (string keys) -> candidate pairs ->
     * exact jaccard over distinct shingle sets, threshold 0.2 — shared by
     * the q18 pair oracle and the q32 group oracle. */
+  /** connected components over the SAME minhash pair derivation as q18: a
+    * recursive-CTE transitive closure re-derives each member's group
+    * representative (min reachable id) fully independently of EITHER Spark
+    * algorithm — shared by q32 (pointer doubling) and q44 (large/small-star),
+    * so the two implementations are pinned to one external answer. */
+  private def duckCcGroupsSql: String =
+      s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+         |SELECT d.doc_id AS member_id,
+         |  coalesce(least(d.doc_id, min(r.dst)), d.doc_id) AS group_id
+         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |GROUP BY d.doc_id ORDER BY member_id""".stripMargin
+
   private def duckMinhashPairsSql: String =
       s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
          |sh AS (

@@ -150,11 +150,7 @@ object Dedup {
     // rounds the driver spends minutes multiplying million-digit BigInts
     // inside Catalyst's stats visitor. Rebuilding the frame from the
     // checkpointed RDD resets each round's leaves to the constant default.
-    def ckpt(d: DataFrame): DataFrame = {
-      val c = if (checkpointDir.isDefined) d.checkpoint(true)
-              else d.localCheckpoint(true)
-      d.sparkSession.createDataFrame(c.rdd, c.schema)
-    }
+    def ckpt(d: DataFrame): DataFrame = truncate(d, checkpointDir.isDefined)
     val ids = df.select(col(idCol).cast("long").as("id")).distinct()
     val sym = ckpt(pairs
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
@@ -200,6 +196,108 @@ object Dedup {
     // restrict the output to exactly df's id set — one row per id in df,
     // as documented
     labels.join(ids, Seq("id"), "left_semi")
+      .select(col("id").as("member_id"), col("label").as("group_id"))
+  }
+
+  /** Lineage truncation for iterative loops: checkpoint (reliable when
+    * `reliable`, executor-local otherwise), then REBUILD the frame from the
+    * checkpointed RDD — LogicalRDD snapshots the origin plan's sizeInBytes,
+    * and in a self-join loop those estimates square every round until the
+    * driver drowns in BigInt stats math (round-4 find). */
+  private def truncate(d: DataFrame, reliable: Boolean): DataFrame = {
+    val c = if (reliable) d.checkpoint(true) else d.localCheckpoint(true)
+    d.sparkSession.createDataFrame(c.rdd, c.schema)
+  }
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds —
+    * the edge-contracting member of the MapReduce-CC family (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014; the same
+    * algorithm inside GraphFrames). Same (member_id, group_id) contract as
+    * [[nearDupGroups]], different scaling regime: pointer doubling re-joins
+    * the FULL static edge set every round and its label-of-label join can
+    * shuffle a hub's degree twice, while here the edge set itself CONTRACTS
+    * toward a star forest — each round is two groupBy-min aggregations
+    * (partial-aggregable, so a 10^8-degree hub combines map-side) plus two
+    * equi-joins on the shrinking set. Prefer this for adversarial graph
+    * shapes (giant near-clique components, power-law hub degrees); pointer
+    * doubling stays the default for the clique-heavy near-dup graphs the
+    * minhash pipeline actually emits (2-4 rounds, no re-orientation work).
+    *
+    * Invariants, checked not assumed:
+    * - every edge stays oriented high→low, so targets only ever improve;
+    * - convergence = the per-source min-target sum is stable for a full
+    *   round AND the original pair set is label-consistent (both ends of
+    *   every input pair share a group) — the second check makes a premature
+    *   plateau impossible rather than just unlikely. */
+  def nearDupGroupsStar(df: DataFrame, idCol: String, pairs: DataFrame,
+                        maxIter: Int = 30,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(d: DataFrame): DataFrame = truncate(d, checkpointDir.isDefined)
+    val ids = df.select(col(idCol).cast("long").as("id")).distinct()
+    // canonical high→low orientation; self-loops dropped
+    var edges = ckpt(pairs.select(
+        greatest(col("id_a").cast("long"), col("id_b").cast("long")).as("u"),
+        least(col("id_a").cast("long"), col("id_b").cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    val sym = ckpt(edges.union(edges.select(col("v").as("u"), col("u").as("v"))))
+    // label table spans EVERY node the pair graph mentions (pairs may cover
+    // a superset of df) — the consistency check must see both ends of every
+    // edge, or edges through superset-only nodes would silently drop out of
+    // its inner joins and stop certifying anything about them
+    val allIds = ckpt(ids.union(sym.select(col("u").as("id"))).distinct())
+
+    // Σ(min target per source) decreases monotonically while any source
+    // still points above its component min (its target's own neighborhood
+    // pulls it down next round); one decimal agg detects the plateau.
+    def minTargetSum(d: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = d.groupBy("u").agg(min("v").as("m"))
+        .agg(count(lit(1)), sum(col("m").cast("decimal(38,0)"))).head()
+      (r.getLong(0),
+       if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    // both ends of every ORIGINAL pair must land in one group — the
+    // authoritative fixpoint test, immune to potential-function plateaus
+    def consistent(labels: DataFrame): Boolean =
+      sym.join(labels.select(col("id").as("u"), col("label").as("lu")), "u")
+        .join(labels.select(col("id").as("v"), col("label").as("lv")), "v")
+        .filter(col("lu") =!= col("lv")).isEmpty
+    def toLabels(e: DataFrame): DataFrame = ckpt(
+      allIds.join(e.groupBy("u").agg(min("v").as("m"))
+                   .select(col("u").as("id"), col("m")), Seq("id"), "left")
+        .select(col("id"), coalesce(col("m"), col("id")).as("label")))
+
+    var prev = minTargetSum(edges)
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      // LARGE-STAR: over the symmetric neighborhood of u, attach every
+      // strictly larger neighbor to m(u) = min(N(u) ∪ {u}). Output edges
+      // (v, m) keep v > m by construction — orientation is free.
+      val nbrs = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      val large = nbrs.filter(col("v") > col("u")).join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // SMALL-STAR: on the high→low set, attach each source's smaller
+      // neighbors AND the source itself to its min neighbor.
+      val minsS = large.groupBy("u").agg(min("v").as("m"))
+      val next = ckpt(large.join(minsS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct())
+      val s = minTargetSum(next)
+      if (s == prev && consistent(toLabels(next))) done = true
+      prev = s
+      edges = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"nearDupGroupsStar did not converge in $maxIter rounds")
+    toLabels(edges)
+      .join(ids, Seq("id"), "left_semi")
       .select(col("id").as("member_id"), col("label").as("group_id"))
   }
 

@@ -409,4 +409,67 @@ class PipelineSpec extends SparkTestBase {
     val wrote = new java.io.File(dir).listFiles()
     assert(wrote != null && wrote.nonEmpty, "no reliable checkpoints written")
   }
+
+  test("nearDupGroupsStar: chain, clique, cross-edge, singletons — same contract") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L, 20L, 30L, 31L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (10L, 11L), (10L, 12L), (11L, 12L), (20L, 12L))
+      .toDF("id_a", "id_b")
+    val got = graft.pipeline.Dedup.nearDupGroupsStar(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 10L, 30L -> 30L, 31L -> 31L)
+    assert(got == expected, s"got $got")
+  }
+
+  test("nearDupGroupsStar: superset pairs route connectivity, output stays df's ids") {
+    import spark.implicits._
+    // 99 is absent from df but links 1-99-2: groups must merge THROUGH it
+    // (the consistency certificate labels every graph node, not just df's)
+    val ids = Seq(1L, 2L, 3L).toDF("doc_id")
+    val pairs = Seq((1L, 99L), (99L, 2L)).toDF("id_a", "id_b")
+    val got = graft.pipeline.Dedup.nearDupGroupsStar(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L), s"got $got")
+  }
+
+  test("nearDupGroupsStar ≡ nearDupGroups on adversarial graph shapes") {
+    import spark.implicits._
+    // the shapes that separate the two algorithms: a long path (deep
+    // diameter), a high-degree hub star (the skew case large-star
+    // contracts), a broom (hub + tail), and random noise edges — both
+    // algorithms must produce identical (member → min) maps
+    val n = 400
+    val rng = new scala.util.Random(7)
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+    val star = (1 to 150).map(i => (1000L, 1000L + i))       // hub 1000
+    val broom = (0 until 50).map(i => (2000L + i, 2001L + i)) :+ (2000L, 1000L)
+    val noise = Seq.fill(120)((rng.nextInt(n).toLong, 3000L + rng.nextInt(80)))
+    val pairs = (path ++ star ++ broom ++ noise).toDF("id_a", "id_b")
+    val ids = ((0L until n.toLong) ++ (1000L to 1150L) ++
+        (2000L to 2051L) ++ (3000L until 3080L)).toDF("doc_id")
+    val a = graft.pipeline.Dedup.nearDupGroups(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val b = graft.pipeline.Dedup.nearDupGroupsStar(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, s"pointer vs star differ: ${(a.toSet diff b.toSet).take(5)}")
+    // the broom tail reaches the hub: star+broom is one component rooted at
+    // the hub id; 2051 sits past the tail's last edge — a singleton
+    assert(b(1150L) == 1000L && b(2050L) == 1000L && b(2051L) == 2051L)
+  }
+
+  test("nearDupGroupsStar: reliable-checkpoint mode produces identical groups") {
+    import spark.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 12L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (10L, 11L), (11L, 12L)).toDF("id_a", "id_b")
+    val local = graft.pipeline.Dedup.nearDupGroupsStar(ids, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-star-ckpt").toString
+    val reliable = graft.pipeline.Dedup.nearDupGroupsStar(ids, "doc_id", pairs,
+        checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable == local, s"reliable=$reliable local=$local")
+  }
 }
