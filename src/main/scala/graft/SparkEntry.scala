@@ -731,6 +731,26 @@ object SparkEntry {
       .orderBy($"path")
   }
 
+  private def q45AggPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ZERO-SCAN aggregates through the public connector: COUNT(*)/MIN/MAX
+    // answered entirely from the manifest stats (Σ record_count, exact
+    // untruncated per-file bounds, exact langs sets) — no data file opened.
+    // The query REQUIRES the pushdown to have actually planned (the oracle
+    // row is only green if the zero-scan path produced the numbers DuckDB
+    // re-derives from the raw rows).
+    val table = lakeTableFor(s, dir, "q45")
+    val df = s.read.format("graft").load(table.location)
+      .agg(count(lit(1)).as("n_rows"),
+           min($"repo").as("mn_repo"), max($"repo").as("mx_repo"),
+           min($"path").as("mn_path"), max($"path").as("mx_path"),
+           min($"lang").as("mn_lang"), max($"lang").as("mx_lang"))
+    val plan = df.queryExecution.executedPlan.toString
+    require(plan.contains("PushedAggregates=[COUNT(*)"),
+      s"aggregate pushdown did not plan:\n$plan")
+    df
+  }
+
   private def q38TypedGet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.expr.XmqFunctions.xmq_typed_get
@@ -877,6 +897,7 @@ object SparkEntry {
     "q42_pack_sequences" -> (q42PackSequences(_, _)),
     "q43_ngram_jaccard"  -> (q43NgramJaccard(_, _)),
     "q44_neardup_star"   -> (q44NearDupStar(_, _)),
+    "q45_agg_pushdown"   -> (q45AggPushdown(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1199,6 +1220,16 @@ object SparkEntry {
     "q18_minhash_pairs" -> duckMinhashPairsSql,
     "q32_neardup_groups" -> duckCcGroupsSql,
     "q44_neardup_star"   -> duckCcGroupsSql,
+    // the aggregates the connector answered from manifest stats alone,
+    // re-derived from the raw merged rows — a drifted stat (wrong
+    // record_count, truncated min/max, stale langs set) mismatches here
+    "q45_agg_pushdown" ->
+      s"""$duckMergedCte
+         |SELECT count(*) AS n_rows,
+         |  min(repo) AS mn_repo, max(repo) AS mx_repo,
+         |  min(path) AS mn_path, max(path) AS mx_path,
+         |  min(lang) AS mn_lang, max(lang) AS mx_lang
+         |FROM merged""".stripMargin,
     "q33_stream_window" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts), '%Y-%m-%d %H:%M') AS window_start,
         | event_type, count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -118,10 +118,12 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
 
 class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
                        columnar: Boolean = true)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = GraftDataSource.schema
+  private var aggPushed: Option[Seq[GraftAggScan.PushedAgg]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftScanBuilder.supported)
@@ -130,11 +132,35 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    if (requiredSchema.nonEmpty) required = requiredSchema
+    // with a pushed aggregation the read schema IS the aggregate schema —
+    // a later prune call must not clobber it
+    if (aggPushed.isEmpty && requiredSchema.nonEmpty) required = requiredSchema
   }
 
-  override def build(): Scan =
-    new GraftScan(location, pushed, required, snapshot, columnar)
+  /** AGGREGATE pushdown — COUNT(*)/MIN/MAX answered ENTIRELY from manifest
+    * stats, zero data files opened (the Iceberg-style zero-scan aggregate).
+    * Exactness, not estimation: record_count is the committed per-file row
+    * count, min/max_{repo,path,z} are full untruncated column bounds over
+    * each file's actual rows, and `langs` is the file's exact distinct-lang
+    * set (collect_set at append/rewrite) — so Σ/min/max over live manifest
+    * entries equal the table-wide aggregates. Only offered COMPLETE (never
+    * partial) and only when NO filter reached the scan: stats pruning is
+    * file-level may-match, so any predicate forces the row path. At 100 TB
+    * this turns `SELECT count(*), max(repo) FROM t` from a full scan into
+    * one tiny manifest job. */
+  override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    pushed.isEmpty && GraftAggScan.translate(agg).isDefined
+
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    aggPushed = GraftAggScan.translate(agg)
+    aggPushed.isDefined
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some(aggs) => new GraftAggScan(location, snapshot, aggs)
+    case None => new GraftScan(location, pushed, required, snapshot, columnar)
+  }
 }
 
 object GraftScanBuilder {
@@ -156,7 +182,8 @@ object GraftScanBuilder {
 class GraftScan(location: String, pushed: Array[Filter], required: StructType,
                 snapshot: Option[Long] = None, columnar: Boolean = true)
   extends Scan with Batch
-  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** RUNTIME file pruning (the DSv2 analogue of dynamic partition pruning):
     * when this scan sits under a join whose other side produces a runtime
@@ -187,6 +214,25 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
   /** (kept, total) file counts from planning — surfaced in description() so
     * EXPLAIN/plan dumps show the pruning ratio once the scan has planned. */
   @volatile private[lake] var pruneInfo: Option[(Int, Int)] = None
+  /** Σ(record_count), Σ(file_bytes) over the files that SURVIVED pruning —
+    * accumulated in the same planning collect, no extra job. */
+  @volatile private[lake] var statsInfo: Option[(Long, Long)] = None
+
+  /** EXACT post-pruning statistics for Catalyst (SupportsReportStatistics):
+    * without them a V2 relation falls back to a spark.sql.defaultSizeInBytes
+    * guess and a selective connector read on the small side of a join never
+    * broadcasts — the difference between a broadcast hash join and shuffling
+    * the 100-TB fact side. Row counts are the committed per-file counts and
+    * sizes the committed file bytes, summed over exactly the files this
+    * scan's predicate kept. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    planInputPartitions() // ensure the pruning pass ran (result is cached)
+    val (rows, bytes) = statsInfo.getOrElse((0L, 0L))
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String = {
     val files = pruneInfo.map { case (k, t) => s" files=$k/$t" }.getOrElse("")
@@ -224,9 +270,11 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
         // arithmetic file count; a count job only for pre-field tables
         val total = if (s.fileCount >= 0) s.fileCount.toInt else m.count().toInt
         val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime))
-          .select("file_path").as[String].collect()
+          .select("file_path", "record_count", "file_bytes")
+          .as[(String, Long, Long)].collect()
         pruneInfo = Some((kept.length, total))
-        kept.map { p =>
+        statsInfo = Some((kept.map(_._2).sum, kept.map(_._3).sum))
+        kept.map { case (p, _, _) =>
           GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
         }
     }
@@ -306,6 +354,122 @@ object GraftScan {
 }
 
 case class GraftInputPartition(absPath: String) extends InputPartition
+
+/** Scan produced when a COMPLETE aggregate pushdown succeeded: the answer is
+  * computed by ONE small distributed job over the live manifest entries
+  * (Σ record_count / min / max — a few rows per data file, never the data),
+  * then shipped to the executor as a single one-row partition. Deliberately
+  * NOT SupportsRuntimeFiltering: this scan's output is the aggregate row,
+  * not pruneable source rows. */
+class GraftAggScan(location: String, snapshot: Option[Long],
+                   aggs: Seq[GraftAggScan.PushedAgg])
+  extends Scan with Batch {
+  import GraftAggScan._
+
+  override def readSchema(): StructType = StructType(aggs.map {
+    case CountStarAgg => StructField("count_star", LongType, nullable = false)
+    case MinAgg(c, dt) => StructField(s"min_$c", dt)
+    case MaxAgg(c, dt) => StructField(s"max_$c", dt)
+  })
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GraftAggScan location=$location PushedAggregates=[${aggs.map(_.sql).mkString(", ")}] (manifest stats only, zero data files read)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    import org.apache.spark.sql.functions._
+    // a global aggregate whose outputs were ALL pruned away (e.g. the query
+    // only counts the rows of the one-row agg result) still produces exactly
+    // one row — of zero columns, no manifest job needed
+    if (aggs.isEmpty) return Array(GraftAggPartition(Array.empty))
+    val spark = SparkSession.active
+    val table = new GraftTable(spark, location)
+    val snap = snapshot match {
+      case Some(v) => Some(table.snapshot(v).getOrElse(throw new IllegalArgumentException(
+        s"graft table $location has no snapshot $v (expired or never committed)")))
+      case None => table.currentSnapshot
+    }
+    val values: Array[Any] = snap match {
+      case None => aggs.map {
+        case CountStarAgg => 0L: Any
+        case _ => null: Any
+      }.toArray
+      case Some(s) =>
+        val m = table.manifest(s)
+        val cols = aggs.zipWithIndex.map { case (a, i) =>
+          (a match {
+            // empty manifest: count is 0, min/max are null — the exact
+            // values Spark's aggregate produces over an empty table
+            case CountStarAgg => coalesce(sum(col("record_count")), lit(0L))
+            // lang has no scalar min/max stat, but `langs` is the file's
+            // EXACT distinct set — its array min/max are exact file bounds
+            case MinAgg("lang", _) => min(array_min(col("langs")))
+            case MaxAgg("lang", _) => max(array_max(col("langs")))
+            case MinAgg(c, _) => min(col(s"min_$c"))
+            case MaxAgg(c, _) => max(col(s"max_$c"))
+          }).as(s"a$i")
+        }
+        val row = m.agg(cols.head, cols.tail: _*).head()
+        aggs.indices.map(i => row.get(i): Any).toArray
+    }
+    Array(GraftAggPartition(values))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+object GraftAggScan {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+
+  sealed trait PushedAgg { def sql: String }
+  case object CountStarAgg extends PushedAgg { val sql = "COUNT(*)" }
+  case class MinAgg(col: String, dt: DataType) extends PushedAgg { def sql = s"MIN($col)" }
+  case class MaxAgg(col: String, dt: DataType) extends PushedAgg { def sql = s"MAX($col)" }
+
+  /** columns whose manifest stats are EXACT table-wide bounds. */
+  private val statCols: Map[String, DataType] = Map(
+    "repo" -> StringType, "path" -> StringType, "lang" -> StringType,
+    "z" -> LongType)
+
+  private def simpleCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+
+  /** Some(pushed aggs) iff EVERY aggregate is answerable exactly from the
+    * manifest; any unsupported function (SUM, AVG, COUNT(col) — no null
+    * counts in the stats) or any GROUP BY refuses the whole pushdown. */
+  def translate(agg: Aggregation): Option[Seq[PushedAgg]] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val out = agg.aggregateExpressions.map {
+      case _: CountStar => Some(CountStarAgg)
+      case m: Min => simpleCol(m.column).flatMap(c => statCols.get(c).map(MinAgg(c, _)))
+      case m: Max => simpleCol(m.column).flatMap(c => statCols.get(c).map(MaxAgg(c, _)))
+      case _ => None
+    }
+    if (out.forall(_.isDefined)) Some(out.toSeq.flatten) else None
+  }
+}
+
+case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+class GraftAggReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val vals = p.asInstanceOf[GraftAggPartition].values
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(
+        vals.map {
+          case s: String => UTF8String.fromString(s): Any
+          case x => x
+        })
+      override def close(): Unit = ()
+    }
+}
 
 /** COLUMNAR read path (VERDICT r4 #1): each data file is decoded straight
   * into ColumnarBatches by Spark's own VectorizedParquetRecordReader — the

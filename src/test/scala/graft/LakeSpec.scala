@@ -687,4 +687,105 @@ class LakeSpec extends SparkTestBase {
     val langs = m.select(explode(col("langs"))).distinct().count()
     assert(langs > 0)
   }
+
+  test("DSv2 reported statistics: exact post-pruning rows/bytes drive the broadcast decision") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    val t = freshTable("graft-dsv2-stats")
+    t.append(synthDf(600).repartition(8))
+    Maintenance.cluster(t, "jobstat", numFiles = 8) // repo locality → pruning bites
+    val entries = t.manifestEntries(t.currentSnapshot.get)
+    val fullBytes = entries.map(_.file_bytes).sum
+    val fullRows = entries.map(_.record_count).sum
+
+    def relStats(df: DataFrame) = df.queryExecution.optimizedPlan.collect {
+      case r: DataSourceV2ScanRelation => r.stats
+    }.head
+
+    // unfiltered: the relation reports the exact committed totals — not
+    // spark.sql.defaultSizeInBytes (Long.MaxValue), the V2 fallback that
+    // makes every un-reported connector read "too big to broadcast"
+    val full = relStats(spark.read.format("graft").load(t.location))
+    assert(full.sizeInBytes == BigInt(fullBytes), s"${full.sizeInBytes} != $fullBytes")
+    assert(full.rowCount.contains(BigInt(fullRows)), s"rowCount=${full.rowCount}")
+
+    // filtered: totals shrink to exactly the files the predicate kept
+    val repo = SourceFiles.repoName(1)
+    val fdf = spark.read.format("graft").load(t.location).filter($"repo" === repo)
+    val pruned = relStats(fdf)
+    assert(pruned.sizeInBytes > 0 && pruned.sizeInBytes < full.sizeInBytes,
+      s"pruned=${pruned.sizeInBytes} full=${full.sizeInBytes}")
+
+    // the stats drive planning: with the threshold strictly between the
+    // pruned and full sizes, ONLY the pruned side can broadcast — a
+    // stats-less V2 relation would sort-merge here
+    val thr = (pruned.sizeInBytes + full.sizeInBytes) / 2
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr.toString)
+      val joined = spark.read.format("graft").load(t.location)
+        .join(fdf.select($"repo", $"path"), Seq("repo", "path"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("DSv2 aggregate pushdown: COUNT/MIN/MAX answered from manifest stats, zero files read") {
+    import spark.implicits._
+    val t = freshTable("graft-dsv2-agg")
+    t.append(synthDf(600).repartition(8))
+    Maintenance.compact(t, "jobagg", targetBytes = 1L << 20)
+
+    val df = spark.read.format("graft").load(t.location)
+      .agg(count(lit(1)).as("n"), min($"repo").as("min_repo"),
+           max($"repo").as("max_repo"), min($"path").as("min_path"),
+           max($"path").as("max_path"), min($"lang").as("min_lang"),
+           max($"lang").as("max_lang"), min($"z").as("min_z"),
+           max($"z").as("max_z"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates=[COUNT(*)"),
+      s"aggregate not pushed:\n$plan")
+    // no parquet data file is opened: the leaf is the agg scan, not a
+    // per-file batch scan
+    assert(!plan.contains("GraftScan location"), s"fell back to row scan:\n$plan")
+
+    // values equal the full-scan ground truth
+    val full = t.scan().agg(count(lit(1)), min($"repo"), max($"repo"),
+      min($"path"), max($"path"), min($"lang"), max($"lang"),
+      min($"z"), max($"z")).head()
+    assert(df.head() == full, s"pushed=${df.head()} truth=$full")
+
+    // a WHERE clause refuses the pushdown (file stats are may-match, so a
+    // filtered aggregate MUST take the row path) — and stays correct
+    val filtered = spark.read.format("graft").load(t.location)
+      .filter($"repo" === SourceFiles.repoName(1))
+      .agg(count(lit(1)).as("n"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(!fplan.contains("PushedAggregates"), s"filtered agg wrongly pushed:\n$fplan")
+    assert(filtered.head().getLong(0) ==
+      t.scan().filter($"repo" === SourceFiles.repoName(1)).count())
+
+    // GROUP BY refuses the pushdown; unsupported functions (COUNT DISTINCT
+    // — no distinct counts in the stats) refuse it and stay correct
+    // (sum(z) would be the natural probe but ANSI overflows on full-range
+    // 64-bit z values, in the ground truth and pushed plan alike)
+    val grouped = spark.read.format("graft").load(t.location)
+      .groupBy($"lang").agg(count(lit(1)))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    val distincts = spark.read.format("graft").load(t.location)
+      .agg(count_distinct($"lang"))
+    assert(!distincts.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    assert(distincts.head().getLong(0) ==
+      t.scan().agg(count_distinct($"lang")).head().getLong(0))
+
+    // time travel composes: pinned COUNT(*) sees the pinned row count
+    val v1 = t.currentVersion
+    t.append(synthDf(50, seed = 99))
+    val pinnedN = spark.read.format("graft").option("snapshot", v1)
+      .load(t.location).agg(count(lit(1))).head().getLong(0)
+    assert(pinnedN == 600L, s"pinned count $pinnedN")
+    val curN = spark.read.format("graft").load(t.location)
+      .agg(count(lit(1))).head().getLong(0)
+    assert(curN == 650L, s"current count $curN")
+  }
 }

@@ -100,10 +100,22 @@ object ConnectorScanBench {
       }.toMap
     }
 
+    // third workload: UNFILTERED table-wide aggregate — the connector's
+    // COMPLETE aggregate pushdown answers it from manifest stats (one tiny
+    // manifest job, zero data files), vs the same aggregate over the full
+    // scan; at 100 TB the gap is the whole table's scan time
+    def aggStats(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(lit(1)), min($"repo"), max($"repo"), min($"path"),
+        max($"path")).head().getLong(0)
+    val aggPaths = Seq(
+      "full_scan" -> (() => aggStats(t.scan())),
+      "agg_pushdown" -> (() => aggStats(spark.read.format("graft").load(dir))))
+
     val res = runSuite("wide  ", paths)
     val resN = runSuite("narrow", narrowPaths)
+    val resA = runSuite("agg   ", aggPaths)
 
-    for (r <- Seq(res, resN))
+    for (r <- Seq(res, resN, resA))
       require(r.values.map(_._2).toSet.size == 1, s"paths disagree on the row count: $r")
     def j(r: Map[String, (Double, Long)]) =
       f""""pruned_scan_sec":${r("pruned_scan")._1}%.3f,""" +
@@ -112,7 +124,10 @@ object ConnectorScanBench {
       f""""col_vs_pruned":${r("dsv2_col")._1 / r("pruned_scan")._1}%.2f,""" +
       f""""row_vs_pruned":${r("dsv2_row")._1 / r("pruned_scan")._1}%.2f"""
     println(s"""{"metric":"connector_scan","rows":$rows,"files":$total,""" +
-      s""""wide":{${j(res)}},"narrow":{${j(resN)}}}""")
+      s""""wide":{${j(res)}},"narrow":{${j(resN)}},""" +
+      f""""agg":{"full_scan_sec":${resA("full_scan")._1}%.3f,""" +
+      f""""agg_pushdown_sec":${resA("agg_pushdown")._1}%.3f,""" +
+      f""""pushdown_speedup":${resA("full_scan")._1 / resA("agg_pushdown")._1}%.2f}}""")
 
     org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(dir))
     spark.stop()

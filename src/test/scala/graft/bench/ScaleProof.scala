@@ -28,6 +28,7 @@ object ScaleProof {
     "q18_minhash_pairs", "q19_simhash_pairs", "q23_lsh_neardup",
     "q23s_lsh_p16", "q17_ann_topk", "q20_embedding_neardup", "q21_ann_lsh",
     "q35_ann_ivf", "q32_neardup_groups", "q32s_lsh_groups",
+    "q44_neardup_star", "q44s_lsh_stargroups",
     "q41_corpus_sample", "q42_pack_sequences", "q43_ngram_jaccard")
 
   /** q23 with scale-appropriate band width: collision probability per band
@@ -53,6 +54,15 @@ object ScaleProof {
         val pairs = graft.pipeline.Dedup.embeddingPairsLsh(
           emb, "vec_id", "embedding", threshold = 0.3, planes = 8, bands = 4)
         graft.pipeline.Dedup.nearDupGroups(emb, "vec_id", pairs)
+      }),
+      // SAME θ=0.3 pair set, grouped by large-star/small-star instead of
+      // pointer doubling — the head-to-head shuffle contrast between the
+      // two CC regimes on an identical dense pair graph
+      "q44s_lsh_stargroups" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val pairs = graft.pipeline.Dedup.embeddingPairsLsh(
+          emb, "vec_id", "embedding", threshold = 0.3, planes = 8, bands = 4)
+        graft.pipeline.Dedup.nearDupGroupsStar(emb, "vec_id", pairs)
       }))
 
   private def queryFn(q: String): (SparkSession, String) => org.apache.spark.sql.DataFrame =
