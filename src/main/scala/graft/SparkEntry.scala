@@ -751,6 +751,42 @@ object SparkEntry {
     df
   }
 
+  private val incrCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (graft.lake.GraftTable, Long)]()
+
+  private def q46IncrementalScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the APPEND-ONLY CHANGELOG through the public connector: a downstream
+    // pipeline reads only what arrived since its checkpoint snapshot instead
+    // of rescanning the table. Base append → checkpoint v1 → delta append →
+    // compaction (rowset-preserving, must contribute NOTHING) → incremental
+    // read of (v1, current] returns exactly the delta rows, which DuckDB
+    // re-derives from the source table.
+    val (table, fromV) = incrCache.computeIfAbsent((s, dir), _ => {
+      val docs = t(s, dir, "documents")
+      def shaped(df: DataFrame, v2: Boolean) = df.select(
+        concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+        concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+        lit("c0").as("commit"), $"lang",
+        (if (v2) concat(lit("v2 "), $"text") else $"text").as("content"))
+      val loc = java.nio.file.Files.createTempDirectory("graft-q46").toString
+      val tbl = new graft.lake.GraftTable(s, loc)
+      tbl.append(shaped(docs.filter($"doc_id" % 3 =!= 0), v2 = false).repartition(8))
+      val v1 = tbl.currentVersion
+      tbl.append(shaped(docs.filter($"doc_id" % 5 === 0), v2 = true).repartition(4))
+      graft.lake.Maintenance.compact(tbl, "q46",
+        smallBytes = Long.MaxValue, targetBytes = 4L << 20)
+      (tbl, v1)
+    })
+    val df = s.read.format("graft").option("fromSnapshot", fromV)
+      .load(table.location)
+      .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"path")
+    require(df.queryExecution.executedPlan.toString.contains("incrementalFrom=v"),
+      "incremental planning did not engage")
+    df
+  }
+
   private def q38TypedGet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.expr.XmqFunctions.xmq_typed_get
@@ -898,6 +934,7 @@ object SparkEntry {
     "q43_ngram_jaccard"  -> (q43NgramJaccard(_, _)),
     "q44_neardup_star"   -> (q44NearDupStar(_, _)),
     "q45_agg_pushdown"   -> (q45AggPushdown(_, _)),
+    "q46_incremental"    -> (q46IncrementalScan(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1220,6 +1257,13 @@ object SparkEntry {
     "q18_minhash_pairs" -> duckMinhashPairsSql,
     "q32_neardup_groups" -> duckCcGroupsSql,
     "q44_neardup_star"   -> duckCcGroupsSql,
+    // the delta rows the incremental read must return: exactly the second
+    // (v2-prefixed) append, maintenance contributing nothing
+    "q46_incremental" ->
+      """SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |  'f/' || doc_id::VARCHAR || '.txt' AS path, 'c0' AS "commit", lang,
+        |  sha256('v2 ' || text) AS content_sha
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY path""".stripMargin,
     // the aggregates the connector answered from manifest stats alone,
     // re-derived from the raw merged rows — a drifted stat (wrong
     // record_count, truncated min/max, stale langs set) mismatches here

@@ -40,10 +40,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // same isolation the library API's pinned-snapshot reads give, now
     // reachable through the public connector
     val snapshot = Option(properties.get("snapshot")).map(_.toLong)
+    // incremental read: .option("fromSnapshot", v) restricts the scan to
+    // rows APPENDED after snapshot v (exclusive), up to the end snapshot
+    // ("snapshot" option, else current) — the Iceberg-style changelog read
+    val fromSnapshot = Option(properties.get("fromSnapshot")).map(_.toLong)
     // .option("columnar", false): row-at-a-time fallback reader, kept for
     // A/B measurement and as an escape hatch — default is columnar
     val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
-    new GraftSparkTable(location, snapshot, columnar)
+    new GraftSparkTable(location, snapshot, columnar, fromSnapshot)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -57,7 +61,8 @@ object GraftDataSource {
 }
 
 class GraftSparkTable(location: String, snapshot: Option[Long] = None,
-                      columnar: Boolean = true)
+                      columnar: Boolean = true,
+                      fromSnapshot: Option[Long] = None)
   extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -67,7 +72,7 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(location, snapshot, columnar)
+    new GraftScanBuilder(location, snapshot, columnar, fromSnapshot)
 
   /** SQL `DELETE FROM` (SupportsDelete): metadata-only drop of files whose
     * stats prove every row matches, copy-on-write rewrite of the rest —
@@ -117,7 +122,8 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
 }
 
 class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
-                       columnar: Boolean = true)
+                       columnar: Boolean = true,
+                       fromSnapshot: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
 
@@ -149,7 +155,7 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
     * this turns `SELECT count(*), max(repo) FROM t` from a full scan into
     * one tiny manifest job. */
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && GraftAggScan.translate(agg).isDefined
+    pushed.isEmpty && fromSnapshot.isEmpty && GraftAggScan.translate(agg).isDefined
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (!supportCompletePushDown(agg)) return false
@@ -159,7 +165,8 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
 
   override def build(): Scan = aggPushed match {
     case Some(aggs) => new GraftAggScan(location, snapshot, aggs)
-    case None => new GraftScan(location, pushed, required, snapshot, columnar)
+    case None =>
+      new GraftScan(location, pushed, required, snapshot, columnar, fromSnapshot)
   }
 }
 
@@ -180,7 +187,8 @@ object GraftScanBuilder {
 }
 
 class GraftScan(location: String, pushed: Array[Filter], required: StructType,
-                snapshot: Option[Long] = None, columnar: Boolean = true)
+                snapshot: Option[Long] = None, columnar: Boolean = true,
+                fromSnapshot: Option[Long] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -237,7 +245,8 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
   override def description(): String = {
     val files = pruneInfo.map { case (k, t) => s" files=$k/$t" }.getOrElse("")
     val rt = if (runtime.nonEmpty) s" RuntimeFilters=[${runtime.mkString(", ")}]" else ""
-    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]$rt$files"
+    val inc = fromSnapshot.map(v => s" incrementalFrom=v$v").getOrElse("")
+    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]$rt$inc$files"
   }
 
   /** Manifest pruning runs DISTRIBUTED: the pushed filters become a Column
@@ -265,10 +274,19 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
       case None => Array.empty
       case Some(s) =>
         import spark.implicits._
-        val m = table.manifest(s)
+        // incremental read: only the entries APPENDED in (fromSnapshot, s]
+        // — stats pruning and projection apply to the changelog slice the
+        // same way they apply to a full read
+        val m = fromSnapshot match {
+          case Some(from) => table.incrementalEntries(from, s.version)
+          case None => table.manifest(s)
+        }
         // total for the pruning ratio comes free from the snapshot's
         // arithmetic file count; a count job only for pre-field tables
-        val total = if (s.fileCount >= 0) s.fileCount.toInt else m.count().toInt
+        val total =
+          if (fromSnapshot.isDefined) m.count().toInt
+          else if (s.fileCount >= 0) s.fileCount.toInt
+          else m.count().toInt
         val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime))
           .select("file_path", "record_count", "file_bytes")
           .as[(String, Long, Long)].collect()

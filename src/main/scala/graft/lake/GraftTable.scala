@@ -373,6 +373,66 @@ class GraftTable(val spark: SparkSession, val location: String) {
     commit(added, Set.empty, "append")
   }
 
+  /** Manifest entries snapshot `s` itself ADDED: its shard set minus its
+    * parent's, kind=add — a path diff, so it stays correct across manifest
+    * rewrites/rebases whatever the shard naming. Driver cost is two tiny
+    * shard lists. */
+  def addedShardPaths(s: Snapshot): Seq[String] = {
+    val parentPaths: Set[String] =
+      if (s.parent == 0L) Set.empty
+      else snapshot(s.parent).map(p => manifestShards(p).map(_.path).toSet)
+        .getOrElse(throw new IllegalStateException(
+          s"parent snapshot v${s.parent} of v${s.version} is expired — " +
+          "per-snapshot delta is no longer reconstructible"))
+    manifestShards(s).filter(sh => sh.kind == "add" && !parentPaths(sh.path))
+      .map(_.path)
+  }
+
+  /** snapshot operations that leave the live ROW SET untouched (file
+    * rewrites only) — they contribute nothing to an append changelog. */
+  private val rowsetPreservingOps =
+    Set("compact", "cluster_hilbert", "cluster_zorder", "manifest_rewrite")
+
+  /** The APPEND-ONLY CHANGELOG: manifest entries for rows appended in
+    * (fromV, toV] — the Iceberg-style incremental scan that lets a
+    * downstream pipeline process only what arrived since its last run
+    * instead of rescanning 100 TB. Walks the parent chain; rowset-preserving
+    * maintenance (compact/cluster/manifest-rewrite) is skipped — the
+    * appended rows are read from the ORIGINAL append files, which every
+    * still-live snapshot in the chain keeps on disk (expire deletes a
+    * snapshot's json before its files, so a broken chain fails loudly
+    * here, never silently returns partial rows). A merge or delete in the
+    * range changes rows in a way additions cannot express — refused. */
+  def incrementalEntries(fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 0 && fromV <= toV,
+      s"incremental range (v$fromV, v$toV] is not a valid version interval")
+    var v = toV
+    var addPaths = List.empty[String]
+    while (v > fromV) {
+      val s = snapshot(v).getOrElse(throw new IllegalArgumentException(
+        s"snapshot v$v is missing (expired?) — incremental read (v$fromV, v$toV] cannot be reconstructed"))
+      s.operation match {
+        case "append" => addPaths = addedShardPaths(s).toList ::: addPaths
+        case op if rowsetPreservingOps(op) => // no row change: skip
+        case op => throw new IllegalArgumentException(
+          s"incremental read crosses snapshot v$v (operation=$op): an " +
+          "appends-only changelog cannot express row rewrites — full refresh required")
+      }
+      v = s.parent
+    }
+    if (addPaths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], GraftTable.manifestSchema)
+    else spark.read.schema(GraftTable.manifestSchema)
+      .parquet(addPaths.map(p => io.abs(p).toString): _*)
+  }
+
+  /** Rows appended in (fromV, toV] (toV defaults to the current version). */
+  def incrementalScan(fromV: Long, toV: Long = -1L): DataFrame = {
+    val to = if (toV < 0) currentVersion else toV
+    import spark.implicits._
+    readFiles(incrementalEntries(fromV, to).select("file_path").as[String].collect().toSeq)
+  }
+
   /** Timestamp-based snapshot expire: drop expired snapshot json + their
     * manifest shards (only when unreferenced by kept snapshots), delete data
     * files referenced only by expired snapshots. The live-set difference is

@@ -688,6 +688,45 @@ class LakeSpec extends SparkTestBase {
     assert(langs > 0)
   }
 
+  test("incremental scan: appends-only changelog across maintenance; merge refuses") {
+    import spark.implicits._
+    val t = freshTable("graft-incr")
+    t.append(synthDf(200).repartition(4))
+    val v1 = t.currentVersion
+    t.append(synthDf(60, seed = 7).repartition(2))
+    val v2 = t.currentVersion
+    // rowset-preserving maintenance between appends must contribute NOTHING
+    Maintenance.compact(t, "jobi", targetBytes = 1L << 20)
+    Maintenance.cluster(t, "jobi2", numFiles = 2)
+    t.rewriteManifests()
+    t.append(synthDf(40, seed = 9).repartition(2))
+
+    // (v1, current]: exactly the second and third appended batches
+    val inc = keyset(t.incrementalScan(v1))
+    assert(inc == keyset(synthDf(60, seed = 7)) ++ keyset(synthDf(40, seed = 9)),
+      s"changelog rows wrong: ${inc.size}")
+    // sub-range (v1, v2]: only the second batch
+    assert(keyset(t.incrementalScan(v1, v2)) == keyset(synthDf(60, seed = 7)))
+    // empty range
+    assert(t.incrementalScan(v1, v1).count() == 0)
+
+    // the same changelog through the PUBLIC connector, with pruning intact
+    val cdf = spark.read.format("graft").option("fromSnapshot", v1).load(t.location)
+    assert(keyset(cdf) == inc)
+    val repo = SourceFiles.repoName(1)
+    val pruned = spark.read.format("graft").option("fromSnapshot", v1)
+      .load(t.location).filter($"repo" === repo)
+    assert(keyset(pruned) == inc.filter(_._1 == repo))
+    assert(pruned.queryExecution.executedPlan.toString.contains("incrementalFrom=v"))
+
+    // a merge inside the range changes rows additions cannot express
+    Maintenance.mergeInto(t, "jobi3", synthDf(10, seed = 11))
+    val err = intercept[IllegalArgumentException] { t.incrementalScan(v1).count() }
+    assert(err.getMessage.contains("full refresh"), err.getMessage)
+    // ranges that stop BEFORE the merge still work
+    assert(keyset(t.incrementalScan(v1, v2)) == keyset(synthDf(60, seed = 7)))
+  }
+
   test("DSv2 reported statistics: exact post-pruning rows/bytes drive the broadcast decision") {
     import spark.implicits._
     import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
