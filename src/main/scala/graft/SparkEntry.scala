@@ -754,15 +754,11 @@ object SparkEntry {
   private val incrCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (graft.lake.GraftTable, Long)]()
 
-  private def q46IncrementalScan(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    // the APPEND-ONLY CHANGELOG through the public connector: a downstream
-    // pipeline reads only what arrived since its checkpoint snapshot instead
-    // of rescanning the table. Base append → checkpoint v1 → delta append →
-    // compaction (rowset-preserving, must contribute NOTHING) → incremental
-    // read of (v1, current] returns exactly the delta rows, which DuckDB
-    // re-derives from the source table.
-    val (table, fromV) = incrCache.computeIfAbsent((s, dir), _ => {
+  /** append-only table shared by q46/q47: base append → (checkpoint v1) →
+    * delta append → compaction. Three snapshots, two of them row-adding. */
+  private def incrTableFor(s: SparkSession, dir: String): (graft.lake.GraftTable, Long) =
+    incrCache.computeIfAbsent((s, dir), _ => {
+      import s.implicits._
       val docs = t(s, dir, "documents")
       def shaped(df: DataFrame, v2: Boolean) = df.select(
         concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
@@ -778,6 +774,42 @@ object SparkEntry {
         smallBytes = Long.MaxValue, targetBytes = 4L << 20)
       (tbl, v1)
     })
+
+  private def q47StreamLake(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the lake table AS A STREAM, under the gate: snapshot versions are the
+    // offsets, maxVersionsPerBatch=1 forces one microbatch per snapshot
+    // (append, append, compaction — the last contributes zero rows), the
+    // parquet sink accumulates the appends-only changelog from v0. Rows
+    // appended twice (a doc in both the base and the delta) appear twice —
+    // the log semantics — and DuckDB rebuilds the same multiset with a
+    // UNION ALL.
+    val (table, _) = incrTableFor(s, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-q47-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q47-ck").toString
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerBatch", 1).load(table.location)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = new java.io.File(s"$ckpt/offsets").listFiles()
+      .count(f => f.getName.forall(_.isDigit))
+    require(batches >= 3, s"expected one microbatch per snapshot, saw $batches")
+    s.read.schema(graft.lake.GraftTable.dataSchema).parquet(out)
+      .select($"repo", $"path", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"path", $"content_sha")
+  }
+
+  private def q46IncrementalScan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the APPEND-ONLY CHANGELOG through the public connector: a downstream
+    // pipeline reads only what arrived since its checkpoint snapshot instead
+    // of rescanning the table. Base append → checkpoint v1 → delta append →
+    // compaction (rowset-preserving, must contribute NOTHING) → incremental
+    // read of (v1, current] returns exactly the delta rows, which DuckDB
+    // re-derives from the source table.
+    val (table, fromV) = incrTableFor(s, dir)
     val df = s.read.format("graft").option("fromSnapshot", fromV)
       .load(table.location)
       .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha"))
@@ -935,6 +967,7 @@ object SparkEntry {
     "q44_neardup_star"   -> (q44NearDupStar(_, _)),
     "q45_agg_pushdown"   -> (q45AggPushdown(_, _)),
     "q46_incremental"    -> (q46IncrementalScan(_, _)),
+    "q47_stream_lake"    -> (q47StreamLake(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1264,6 +1297,20 @@ object SparkEntry {
         |  'f/' || doc_id::VARCHAR || '.txt' AS path, 'c0' AS "commit", lang,
         |  sha256('v2 ' || text) AS content_sha
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY path""".stripMargin,
+    // the appends-only log the stream must accumulate: base ∪all delta
+    // (a doc in both appends appears twice, with different hashes)
+    "q47_stream_lake" ->
+      """SELECT repo, path, lang, content_sha FROM (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang,
+        |    sha256(text) AS content_sha
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang,
+        |    sha256('v2 ' || text) AS content_sha
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY path, content_sha""".stripMargin,
     // the aggregates the connector answered from manifest stats alone,
     // re-derived from the raw merged rows — a drifted stat (wrong
     // record_count, truncated min/max, stale langs set) mismatches here

@@ -44,10 +44,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // rows APPENDED after snapshot v (exclusive), up to the end snapshot
     // ("snapshot" option, else current) — the Iceberg-style changelog read
     val fromSnapshot = Option(properties.get("fromSnapshot")).map(_.toLong)
+    // streaming admission control: at most this many snapshot VERSIONS per
+    // microbatch (default: all available) — bounds per-batch work when a
+    // stream catches up on a long append backlog
+    val maxVersions = Option(properties.get("maxVersionsPerBatch")).map(_.toLong)
     // .option("columnar", false): row-at-a-time fallback reader, kept for
     // A/B measurement and as an escape hatch — default is columnar
     val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
-    new GraftSparkTable(location, snapshot, columnar, fromSnapshot)
+    new GraftSparkTable(location, snapshot, columnar, fromSnapshot, maxVersions)
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -62,7 +66,8 @@ object GraftDataSource {
 
 class GraftSparkTable(location: String, snapshot: Option[Long] = None,
                       columnar: Boolean = true,
-                      fromSnapshot: Option[Long] = None)
+                      fromSnapshot: Option[Long] = None,
+                      maxVersionsPerBatch: Option[Long] = None)
   extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -70,9 +75,10 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
   override def schema(): StructType = GraftDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(location, snapshot, columnar, fromSnapshot)
+    new GraftScanBuilder(location, snapshot, columnar, fromSnapshot, maxVersionsPerBatch)
 
   /** SQL `DELETE FROM` (SupportsDelete): metadata-only drop of files whose
     * stats prove every row matches, copy-on-write rewrite of the rest —
@@ -123,7 +129,8 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
 
 class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
                        columnar: Boolean = true,
-                       fromSnapshot: Option[Long] = None)
+                       fromSnapshot: Option[Long] = None,
+                       maxVersionsPerBatch: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
 
@@ -166,7 +173,8 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
   override def build(): Scan = aggPushed match {
     case Some(aggs) => new GraftAggScan(location, snapshot, aggs)
     case None =>
-      new GraftScan(location, pushed, required, snapshot, columnar, fromSnapshot)
+      new GraftScan(location, pushed, required, snapshot, columnar, fromSnapshot,
+        maxVersionsPerBatch)
   }
 }
 
@@ -188,7 +196,8 @@ object GraftScanBuilder {
 
 class GraftScan(location: String, pushed: Array[Filter], required: StructType,
                 snapshot: Option[Long] = None, columnar: Boolean = true,
-                fromSnapshot: Option[Long] = None)
+                fromSnapshot: Option[Long] = None,
+                maxVersionsPerBatch: Option[Long] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -296,6 +305,71 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
           GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
         }
     }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required, columnar)
+
+  /** `spark.readStream.format("graft")`: each microbatch is the appends-only
+    * changelog between two snapshot versions. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(location, pushed, required, columnar, fromSnapshot,
+      maxVersionsPerBatch)
+}
+
+/** STREAMING source over the lake table (the Iceberg-style streaming read):
+  * offsets are SNAPSHOT VERSIONS, and a microbatch (start, end] plans the
+  * same appends-only changelog `incrementalEntries` serves for batch — new
+  * appends become microbatches as they commit, rowset-preserving maintenance
+  * between them contributes no rows, and a merge/delete fails the stream
+  * loudly (start past it with .option("fromSnapshot", v)). Offsets live in
+  * the sink checkpoint, so a restarted stream resumes exactly after the last
+  * committed snapshot — the lake's own snapshot log IS the source's
+  * write-ahead log, no sidecar state. Pushed filters still prune the
+  * changelog's files by manifest stats before any file is opened. */
+class GraftMicroBatchStream(location: String, pushed: Array[Filter],
+                            required: StructType, columnar: Boolean,
+                            fromSnapshot: Option[Long],
+                            maxVersionsPerBatch: Option[Long] = None)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private case class V(v: Long) extends Offset { override def json: String = v.toString }
+  private def table = new GraftTable(SparkSession.active, location)
+  // AvailableNow pins the end version ONCE at query start, so the run drains
+  // a consistent prefix even while writers keep committing
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def initialOffset(): Offset = V(fromSnapshot.getOrElse(0L))
+  override def latestOffset(): Offset = V(table.currentVersion)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowEnd.getOrElse(table.currentVersion)
+    val capped = maxVersionsPerBatch match {
+      case Some(k) => math.min(target, start.asInstanceOf[V].v + k)
+      case None => target
+    }
+    V(capped)
+  }
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(table.currentVersion)
+  override def deserializeOffset(json: String): Offset = V(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[V].v
+    val to = end.asInstanceOf[V].v
+    if (to <= from) return Array.empty
+    val spark = SparkSession.active
+    import spark.implicits._
+    val t = table
+    t.incrementalEntries(from, to)
+      .filter(GraftScan.manifestPredicate(pushed))
+      .select("file_path").as[String].collect()
+      .map(p => GraftInputPartition(t.io.abs(p).toString).asInstanceOf[InputPartition])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
