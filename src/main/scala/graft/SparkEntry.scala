@@ -801,6 +801,33 @@ object SparkEntry {
       .orderBy($"path", $"content_sha")
   }
 
+  private def q48StreamSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // LAKE-TO-LAKE streaming, both halves through the public connector: the
+    // source turns the q46 table's snapshots into microbatches, the SINK
+    // commits each epoch into a brand-new graft table (task-side parquet
+    // writes + one stats pass + an epoch-marked snapshot — exactly-once).
+    // The destination's full scan must rebuild the same appends-only
+    // multiset the q47 parquet sink accumulated, which DuckDB re-derives
+    // with a UNION ALL. The destination is a REAL table: the scan goes
+    // through manifest planning, so a drifted stat or digest surfaces here.
+    val (table, _) = incrTableFor(s, dir)
+    val dst = java.nio.file.Files.createTempDirectory("graft-q48-dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q48-ck").toString
+    val q = s.readStream.format("graft")
+      .option("maxVersionsPerBatch", 1).load(table.location)
+      .writeStream.format("graft").option("path", dst)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dstTable = new graft.lake.GraftTable(s, dst)
+    val eps = dstTable.listSnapshots().count(_.operation.startsWith("stream-append"))
+    require(eps >= 3, s"expected one epoch commit per snapshot, saw $eps")
+    s.read.format("graft").load(dst)
+      .select($"repo", $"path", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"path", $"content_sha")
+  }
+
   private def q46IncrementalScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the APPEND-ONLY CHANGELOG through the public connector: a downstream
@@ -968,6 +995,7 @@ object SparkEntry {
     "q45_agg_pushdown"   -> (q45AggPushdown(_, _)),
     "q46_incremental"    -> (q46IncrementalScan(_, _)),
     "q47_stream_lake"    -> (q47StreamLake(_, _)),
+    "q48_stream_sink"    -> (q48StreamSink(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1300,6 +1328,19 @@ object SparkEntry {
     // the appends-only log the stream must accumulate: base ∪all delta
     // (a doc in both appends appears twice, with different hashes)
     "q47_stream_lake" ->
+      """SELECT repo, path, lang, content_sha FROM (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang,
+        |    sha256(text) AS content_sha
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang,
+        |    sha256('v2 ' || text) AS content_sha
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY path, content_sha""".stripMargin,
+    // lake-to-lake: the destination TABLE's scan must equal the same log
+    "q48_stream_sink" ->
       """SELECT repo, path, lang, content_sha FROM (
         |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
         |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang,

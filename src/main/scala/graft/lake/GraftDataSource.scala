@@ -76,7 +76,7 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(location, snapshot, columnar, fromSnapshot, maxVersionsPerBatch)
 
@@ -108,6 +108,11 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          // streaming path: df.writeStream.format("graft") — epoch-idempotent
+          // task-side parquet writes + one stats pass per microbatch
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new GraftStreamingWrite(location, info.queryId(), info.schema())
           override def toInsertableRelation():
               org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {

@@ -214,7 +214,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
     // one stats pass over the freshly written batch (stats + per-file digest)
     val written = spark.read.schema(withZ.schema).parquet(io.abs(outRel).toString)
-      .withColumn("h", GraftTable.rowHash())
+    entriesFor(written, tag, io.listWithSizes(outRel))
+  }
+
+  /** Manifest entries for data files that ALREADY exist under the table root
+    * (written by an external task-side writer, e.g. the streaming sink):
+    * the same single distributed stats pass writeDataFiles runs, over
+    * exactly the given files — never a directory listing, so leftover files
+    * from failed/zombie write attempts are not swept into the commit. */
+  def statsForFiles(relPaths: Seq[String], tag: String): Seq[ManifestEntry] = {
+    if (relPaths.isEmpty) return Seq.empty
+    val dirs = relPaths.map(p => p.substring(0, p.lastIndexOf('/'))).distinct
+    // file names carry a UUID, so bare names never collide across dirs
+    val sizes = dirs.flatMap(d => io.listWithSizes(d)).toMap
+    entriesFor(readFiles(relPaths), tag, sizes)
+  }
+
+  private def entriesFor(written0: DataFrame, tag: String,
+                         sizes: Map[String, Long]): Seq[ManifestEntry] = {
+    val written = written0.withColumn("h", GraftTable.rowHash())
     val stats = written.groupBy(input_file_name().as("abs_path"))
       .agg(count(lit(1)).as("record_count"),
            min($"repo").as("min_repo"), max($"repo").as("max_repo"),
@@ -225,11 +243,10 @@ class GraftTable(val spark: SparkSession, val location: String) {
            expr("bit_xor(h)").as("digest"))
       .collect()
 
-    // one directory listing supplies all byte sizes (no per-file stat RPCs);
-    // a lookup miss (decoding mismatch, unexpected layout) falls back to a
-    // single stat — committing file_bytes=0 would make the file permanently
-    // "small" and re-compacted forever
-    val sizes = io.listWithSizes(outRel)
+    // the caller's directory listing supplies all byte sizes (no per-file
+    // stat RPCs); a lookup miss (decoding mismatch, unexpected layout) falls
+    // back to a single stat — committing file_bytes=0 would make the file
+    // permanently "small" and re-compacted forever
     stats.toSeq.map { r =>
       val rel = io.relativize(r.getString(0))
       val name = rel.substring(rel.lastIndexOf('/') + 1)

@@ -205,4 +205,113 @@ class StreamingSpec extends SparkTestBase {
     val gotF = spark.read.schema(graft.lake.GraftTable.dataSchema).parquet(out2)
     assert(gotF.count() == got2.filter($"repo" === "repo_1").count())
   }
+
+  test("lake streaming sink: epoch commits land in the table, digests match a batch append") {
+    import spark.implicits._
+    val srcLoc = java.nio.file.Files.createTempDirectory("graft-sink-src").toString
+    val dstLoc = java.nio.file.Files.createTempDirectory("graft-sink-dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-ck").toString
+    val src = new graft.lake.GraftTable(spark, srcLoc)
+    def batch(ids: Range, tag: String) = ids.toDF("i").select(
+      concat(lit("repo_"), ($"i" % 4).cast("string")).as("repo"),
+      concat(lit(s"$tag/"), $"i".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), lit("xml").as("lang"),
+      concat(lit(s"content $tag "), $"i".cast("string")).as("content"))
+    src.append(batch(0 until 80, "a"))
+    src.append(batch(80 until 120, "b"))
+
+    val q = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", 1).load(srcLoc)
+      .writeStream.format("graft").option("path", dstLoc)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val dst = new graft.lake.GraftTable(spark, dstLoc)
+    // one epoch-marked snapshot per source snapshot
+    assert(dst.listSnapshots().count(_.operation.startsWith("stream-append")) == 2)
+    assert(dst.scan().count() == 120)
+    // the destination is a real table: scan content identical to the source
+    assert(dst.scan().orderBy("path").collect().toSeq ==
+      src.scan().orderBy("path").collect().toSeq)
+    // per-file digests xor to an order/split-independent table digest:
+    // streamed commits must carry the SAME rowHash contract as batch appends
+    def tableDigest(t: graft.lake.GraftTable): Long =
+      t.manifest(t.currentSnapshot.get).select("digest").as[Long]
+        .collect().foldLeft(0L)(_ ^ _)
+    val batchLoc = java.nio.file.Files.createTempDirectory("graft-sink-batch").toString
+    val bt = new graft.lake.GraftTable(spark, batchLoc)
+    bt.append(src.scan().select("repo", "path", "commit", "lang", "content"))
+    assert(tableDigest(dst) == tableDigest(bt), "streamed digest drifted from batch contract")
+    // record counts survive arithmetically
+    assert(dst.currentSnapshot.get.recordCount == 120)
+
+    // a restarted stream sees only new source snapshots — no re-appends
+    src.append(batch(120 until 130, "c"))
+    val q2 = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", 1).load(srcLoc)
+      .writeStream.format("graft").option("path", dstLoc)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(dst.scan().count() == 130)
+    assert(dst.scan().select("path").distinct().count() == 130)
+  }
+
+  test("lake streaming sink: a replayed epoch commits nothing and drops its files") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val loc = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    val schema = graft.lake.GraftTable.dataSchema
+    val sw = new graft.lake.GraftStreamingWrite(loc, "replay-test-query", schema)
+    val factory = sw.createStreamingWriterFactory(null)
+    def row(i: Int) = new GenericInternalRow(Array[Any](
+      UTF8String.fromString("r"), UTF8String.fromString(s"p/$i"),
+      UTF8String.fromString("c0"), UTF8String.fromString("xml"),
+      UTF8String.fromString(s"content $i"), i.toLong))
+    def writeEpoch(taskId: Long): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = factory.createWriter(0, taskId, 7L)
+      (0 until 10).foreach(i => w.write(row(i)))
+      w.commit()
+    }
+    sw.commit(7L, Array(writeEpoch(0L)))
+    val t = new graft.lake.GraftTable(spark, loc)
+    val v = t.currentVersion
+    assert(t.scan().count() == 10)
+    // sink-side recovery replays the epoch: same epochId, fresh files
+    sw.commit(7L, Array(writeEpoch(1L)))
+    assert(t.currentVersion == v, "replayed epoch must not commit")
+    assert(t.scan().count() == 10)
+    // the replayed attempt's files were removed, not orphaned
+    val live = t.manifestEntries(t.currentSnapshot.get).map(_.file_path).toSet
+    val onDisk = t.io.list("data").flatMap(d => t.io.list(s"data/$d").map(f => s"data/$d/$f"))
+      .filter(_.endsWith(".parquet")).toSet
+    assert(onDisk == live, s"orphans left by replay: ${onDisk -- live}")
+  }
+
+  test("lake streaming sink: input without z gets the batch path's z values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val loc = java.nio.file.Files.createTempDirectory("graft-sink-noz").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sink-noz-ck").toString
+    val rows = Seq(
+      ("repo_a", "x/1.txt", "c0", "xml", "one"),
+      ("repo_b", "x/2.txt", "c1", "json", "two"),
+      ("repo_c", "x/3.txt", "c2", "html", "three"))
+    val stream = MemoryStream[(String, String, String, String, String)]
+    stream.addData(rows: _*)
+    val q = stream.toDF().toDF("repo", "path", "commit", "lang", "content")
+      .writeStream.format("graft").option("path", loc)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batchLoc = java.nio.file.Files.createTempDirectory("graft-sink-noz-b").toString
+    val bt = new graft.lake.GraftTable(spark, batchLoc)
+    bt.append(rows.toDF("repo", "path", "commit", "lang", "content"))
+    val streamed = new graft.lake.GraftTable(spark, loc).scan()
+      .orderBy("path").collect().toSeq
+    val batched = bt.scan().orderBy("path").collect().toSeq
+    assert(streamed == batched, "task-side z diverged from the batch Column expression")
+  }
 }
