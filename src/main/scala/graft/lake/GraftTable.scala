@@ -480,6 +480,64 @@ class GraftTable(val spark: SparkSession, val location: String) {
     (expired.size, deleted.size)
   }
 
+  /** ROLLBACK: make snapshot `toVersion`'s rowset current again as a NEW
+    * commit — history stays intact (the bad snapshots remain time-travelable
+    * until expireSnapshots reaps them, at which point their now-unreferenced
+    * data files are physically deleted). Metadata-only: the new snapshot
+    * re-lists the target's manifest shards (its own list file, so the
+    * rollback survives the target's later expiry), zero data IO, zero Spark
+    * jobs. */
+  def rollback(toVersion: Long): Snapshot = {
+    val target = snapshot(toVersion).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot v$toVersion at $location"))
+    val parent = currentSnapshot
+    require(parent.exists(_.version != toVersion), s"v$toVersion is already current")
+    finishCommit(currentVersion + 1, parent, manifestShards(target),
+      s"rollback-to-v$toVersion", target.recordCount, target.fileCount)
+  }
+
+  /** Remove ORPHAN data files: files under data/ that no retained snapshot's
+    * manifest references and that are older than `olderThanMillis` — the
+    * debris of crashed write attempts (a task that died between writing its
+    * parquet file and its commit/abort). The age cutoff is the correctness
+    * fence for in-flight writers: pick it longer than any plausible
+    * write-to-commit window (Iceberg's default is 3 days).
+    *
+    * 100-TB shape: data directories are listed ON EXECUTORS (one listing RPC
+    * per directory, the rewriteManifests pattern), the referenced set is the
+    * distinct add-shard entries of all retained snapshots read distributed
+    * (a SUPERSET of any snapshot's live set, so time travel is never
+    * broken), the anti-join runs distributed, and only the orphan list —
+    * bounded by what gets deleted — reaches the driver. */
+  def removeOrphanFiles(olderThanMillis: Long): (Long, Long) = {
+    val root = location
+    val dataDirs = io.list("data").map(d => s"data/$d")
+    if (dataDirs.isEmpty) return (0L, 0L)
+    val listed = spark.createDataset(dataDirs)
+      .repartition(math.max(1, math.min(dataDirs.size, spark.sparkContext.defaultParallelism)))
+      .flatMap(d => LakeIO.of(root).listFileStatus(d).map {
+        case (n, mtime, bytes) => (s"$d/$n", mtime, bytes) })
+      .toDF("file_path", "mtime", "bytes")
+    val addShards = listSnapshots().flatMap(manifestShards)
+      .filter(_.kind == "add").map(_.path).distinct
+    val referenced =
+      if (addShards.isEmpty) null
+      else spark.read.schema(GraftTable.manifestSchema)
+        .parquet(addShards.map(p => io.abs(p).toString): _*)
+        .select($"file_path")
+    val aged = listed.filter($"mtime" < olderThanMillis)
+    val orphans =
+      (if (referenced == null) aged
+       else aged.join(referenced, Seq("file_path"), "left_anti"))
+        .select($"file_path", $"bytes").as[(String, Long)].collect()
+    orphans.foreach { case (p, _) => io.delete(p) }
+    // reap now-empty batch directories so listings stay proportional to
+    // live batches (safe under races: a concurrent writer recreates its dir)
+    orphans.map { case (p, _) => p.substring(0, p.lastIndexOf('/')) }.distinct
+      .foreach(d => if (io.list(d).isEmpty) io.delete(d))
+    (orphans.length.toLong, orphans.map(_._2).sum)
+  }
+
   /** Manifest-tree compaction: materialize the live entries (distributed),
     * drop entries whose data file has vanished, re-sort and RANGE-SHARD by
     * (partition, min_z) into size-targeted shards, and re-base the manifest

@@ -50,6 +50,16 @@ final class LakeIO(val root: String) extends Serializable {
     else fs.listStatus(p).iterator.map(st => st.getPath.getName -> st.getLen).toMap
   }
 
+  /** (name, mtimeMillis, bytes) of a directory's FILE children, one listing
+    * call — the orphan-scan primitive. */
+  def listFileStatus(relDir: String): Seq[(String, Long, Long)] = {
+    val p = abs(relDir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.collect {
+      case st if st.isFile => (st.getPath.getName, st.getModificationTime, st.getLen)
+    }
+  }
+
   def readString(rel: String): String = {
     val in = fs.open(abs(rel))
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()

@@ -154,6 +154,65 @@ class LakeSpec extends SparkTestBase {
     assert(keyset(t.scan()).size == 200)
   }
 
+  test("rollback restores an old rowset as a new commit; history stays time-travelable") {
+    val t = freshTable("graft-rollback")
+    val good = synthDf(200)
+    t.append(good.repartition(4))
+    val goodV = t.currentVersion
+    t.append(synthDf(50, seed = 7).repartition(2)) // the bad append
+    val badV = t.currentVersion
+    assert(t.scan().count() == 250)
+
+    val snap = t.rollback(goodV)
+    assert(snap.operation == s"rollback-to-v$goodV")
+    assert(keyset(t.scan()) == keyset(good))
+    assert(t.currentSnapshot.get.recordCount == 200)
+    // the bad snapshot remains readable until expired
+    assert(t.snapshot(badV).map(s => t.manifest(s).count()).get >= 1)
+    // new work proceeds on top of the rollback
+    t.append(synthDf(30, seed = 9).repartition(2))
+    assert(t.scan().count() == 230)
+    // expiring everything pre-rollback reaps the bad append's files but
+    // never the rolled-back-to rowset (still referenced by the current line)
+    val rollTs = snap.tsMillis
+    val (expired, deleted) = t.expireSnapshots(rollTs)
+    assert(expired >= 1 && deleted >= 1, s"expired=$expired deleted=$deleted")
+    assert(keyset(t.scan()).size == 230)
+  }
+
+  test("removeOrphanFiles deletes aged crash debris, never live or fresh files") {
+    val t = freshTable("graft-orphan")
+    t.append(synthDf(200).repartition(4))
+    Maintenance.compact(t, "jobo", smallBytes = Long.MaxValue, targetBytes = 4L << 20)
+    val before = keyset(t.scan())
+    // crash debris: files written by tasks that died before commit/abort —
+    // the engine's writers put part files DIRECTLY in batch dirs, which is
+    // the one level the sweep lists
+    val strayDir = Paths.get(t.location, "data", "b-deadbeef-stream")
+    Files.createDirectories(strayDir)
+    (0 until 5).foreach(i =>
+      Files.writeString(strayDir.resolve(s"part-$i.parquet"), "dead task output " * 10))
+    // a FRESH stray (younger than the cutoff) must survive the sweep
+    val freshStray = Paths.get(t.location, "data", "b-cafe-fresh")
+    Files.createDirectories(freshStray)
+    Files.writeString(freshStray.resolve("part-new.parquet"), "not yet committed")
+    val cutoff = System.currentTimeMillis() + 60000
+    Files.setLastModifiedTime(freshStray.resolve("part-new.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(cutoff + 3600000))
+
+    val (n, bytes) = t.removeOrphanFiles(cutoff)
+    assert(n >= 5 && bytes > 0, s"n=$n bytes=$bytes")
+    assert(!Files.exists(strayDir), "emptied stray dir should be reaped")
+    assert(Files.exists(freshStray.resolve("part-new.parquet")),
+      "fresh in-flight file must survive the age fence")
+    assert(keyset(t.scan()) == before, "orphan sweep touched live data")
+    // compaction's logically-removed files are still referenced by the
+    // pre-compaction snapshot -> NOT orphans; time travel still works
+    assert(t.snapshot(1).map(s => t.manifest(s).count()).get >= 1)
+    val (n2, _) = t.removeOrphanFiles(cutoff)
+    assert(n2 == 0, "second sweep must find nothing")
+  }
+
   test("DSv2 read: WHERE-clause filters prune files via manifest stats, rows match scan()") {
     import spark.implicits._
     val t = freshTable("graft-dsv2")
