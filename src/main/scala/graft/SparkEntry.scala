@@ -401,6 +401,32 @@ object SparkEntry {
       .orderBy($"id_a", $"id_b")
   }
 
+  private def q49Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // benchmark decontamination: corpus docs sharing >= 2 distinct word-3-
+    // shingles with any "benchmark" doc (the deterministic doc_id % 97
+    // slice, excluding self-hits). The benchmark shingle table broadcasts;
+    // DuckDB rebuilds the identical shingle space and join.
+    val docs = t(s, dir, "documents")
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    graft.pipeline.Dedup
+      .decontaminate(docs, "doc_id", "text", bench, "doc_id", "text",
+        n = 3, minShared = 2)
+      .filter($"doc_id" =!= $"bench_id")
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  private def q50DupRatio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // duplicated-shingle ratio (the CCNet-style repetition signal): per doc,
+    // the fraction of its distinct word-3-shingles seen in >= 2 docs.
+    graft.pipeline.Dedup
+      .duplicationRatio(t(s, dir, "documents"), "doc_id", "text", n = 3)
+      .select($"id".as("doc_id"), $"nsh", $"dup_sh",
+        round($"dup_ratio", 4).as("dup_ratio"))
+      .orderBy($"doc_id")
+  }
+
   private def q42PackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // sequence packing for training loaders: every document assigned a
@@ -996,6 +1022,8 @@ object SparkEntry {
     "q46_incremental"    -> (q46IncrementalScan(_, _)),
     "q47_stream_lake"    -> (q47StreamLake(_, _)),
     "q48_stream_sink"    -> (q48StreamSink(_, _)),
+    "q49_decontaminate"  -> (q49Decontaminate(_, _)),
+    "q50_dup_ratio"      -> (q50DupRatio(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1531,6 +1559,38 @@ object SparkEntry {
          |  JOIN counts na ON na.doc_id = c.id_a
          |  JOIN counts nb ON nb.doc_id = c.id_b)
          |WHERE jac >= 0.25 ORDER BY id_a, id_b""".stripMargin,
+    // decontamination rebuilt relationally: the same distinct sha60 word-3-
+    // shingle space as q43, benchmark slice doc_id % 97 = 0, shared-count
+    // join excluding self-hits
+    "q49_decontaminate" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, x FROM (
+         |  SELECT doc_id, ${duckSha60("sgl")} AS x FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |      ELSE list_transform(range(1, len(w) - 1),
+         |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sgl
+         |    FROM ws)))
+         |SELECT d.doc_id AS doc_id, b.doc_id AS bench_id, count(*) AS shared
+         |FROM sh d JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b USING (x)
+         |WHERE d.doc_id <> b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY 1, 2""".stripMargin,
+    // duplicated-shingle ratio: same shingle space, docfreq >= 2 share
+    "q50_dup_ratio" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, x FROM (
+         |  SELECT doc_id, ${duckSha60("sgl")} AS x FROM (
+         |    SELECT doc_id, unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         |      ELSE list_transform(range(1, len(w) - 1),
+         |             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) END) AS sgl
+         |    FROM ws))),
+         |freq AS (SELECT x, count(*) AS docfreq FROM sh GROUP BY x)
+         |SELECT doc_id, count(*) AS nsh,
+         |  sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_sh,
+         |  round(sum(CASE WHEN docfreq >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4)
+         |    AS dup_ratio
+         |FROM sh JOIN freq USING (x)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // sequence packing re-derived from the same global per-language window
     // as q41, WITHOUT the budget cut: bin/offset are pure integer
     // arithmetic over the prefix sum, so every row's cumulative position

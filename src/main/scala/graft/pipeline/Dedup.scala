@@ -97,6 +97,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark DECONTAMINATION: flag corpus docs that share at least
+    * `minShared` distinct word-n-gram shingles with any benchmark document —
+    * the n-gram-collision test training pipelines run against eval sets
+    * before training. Returns (doc_id, bench_id, shared).
+    *
+    * 100-TB shape: benchmark sets are small by definition (a few thousand
+    * eval documents), so the benchmark shingle table is BROADCAST and the
+    * corpus side streams through one map-side hash join + one aggregation —
+    * no corpus-sized shuffle. Set broadcastBench=false for the rare
+    * giant-benchmark case to fall back to a plain equi-join. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                    n: Int = 3, minShared: Long = 2,
+                    broadcastBench: Boolean = true): DataFrame = {
+    def shingles(df: DataFrame, id: String, text: String, out: String) =
+      df.select(col(id).cast("long").as(out),
+        explode(array_distinct(
+          TextFunctions.shingle_hashes(col(text), lit(n)))).as("sh"))
+    val d = shingles(docs, idCol, textCol, "doc_id")
+    val b0 = shingles(bench, benchIdCol, benchTextCol, "bench_id")
+    val b = if (broadcastBench) broadcast(b0) else b0
+    d.join(b, "sh")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Duplicated-shingle ratio (the CCNet-style repetition/boilerplate
+    * signal): per document, the fraction of its DISTINCT word-n-gram
+    * shingles that occur in two or more corpus documents. High ratios mark
+    * boilerplate-heavy or near-duplicated docs for downstream filtering.
+    * Returns (id, nsh, dup_sh, dup_ratio).
+    *
+    * 100-TB shape: one shingle explode, one docfreq hash-aggregate keyed by
+    * shingle, one join back on the SAME key (the aggregate's partitioning is
+    * reusable — no second full shuffle of the corpus side), one per-doc
+    * aggregate. Everything is linear in total shingle count. */
+  def duplicationRatio(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).cast("long").as("id"),
+      explode(array_distinct(
+        TextFunctions.shingle_hashes(col(textCol), lit(n)))).as("sh"))
+    val freq = sh.groupBy("sh").agg(count(lit(1)).as("docfreq"))
+    sh.join(freq, "sh")
+      .groupBy("id").agg(
+        count(lit(1)).as("nsh"),
+        sum(when(col("docfreq") >= 2, 1L).otherwise(0L)).as("dup_sh"))
+      .withColumn("dup_ratio", col("dup_sh").cast("double") / col("nsh"))
+  }
+
   /** simhash near-dup pairs with pigeonhole-complete blocking: the 60-bit
     * simhash splits into maxHamming+1 chunks, so any pair within hamming
     * distance <= maxHamming shares at least one exact chunk — full recall by

@@ -20,6 +20,46 @@ class PipelineSpec extends SparkTestBase {
     assert(dups.filter($"keep_id" >= 100000).count() == 0)
   }
 
+  test("decontaminate flags exactly the docs sharing shingles with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma zeta eta"),       // shares 2+ shingles with bench 10
+      (3L, "one two three four five"),          // disjoint
+      (4L, "beta gamma delta theta iota")       // shares "beta gamma delta" region
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val hits = Dedup.decontaminate(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, minShared = 1)
+      .orderBy("doc_id").collect()
+    // shingles of bench: {abg, bgd}; doc1 shares both, doc2 shares abg,
+    // doc4 shares bgd; doc3 none
+    assert(hits.map(r => (r.getLong(0), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (4L, 1L)))
+    // minShared=2 keeps only doc1
+    val strict = Dedup.decontaminate(corpus, "doc_id", "text",
+      bench, "doc_id", "text", n = 3, minShared = 2).collect()
+    assert(strict.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("duplicationRatio matches a local shingle-docfreq kernel") {
+    import spark.implicits._
+    val rows = docs.select($"doc_id", $"text").limit(60)
+      .as[(Long, String)].collect()
+    // local kernel over the same distinct-shingle space
+    val perDoc = rows.map { case (id, tx) =>
+      id -> TextOps.shingleHashes(tx, 3).distinct }
+    val freq = perDoc.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val expect = perDoc.map { case (id, shs) =>
+      id -> ((shs.length.toLong, shs.count(freq(_) >= 2).toLong)) }.toMap
+    val got = Dedup.duplicationRatio(rows.toSeq.toDF("doc_id", "text"),
+        "doc_id", "text", n = 3)
+      .select($"id", $"nsh", $"dup_sh").as[(Long, Long, Long)].collect()
+    assert(got.length == expect.size)
+    got.foreach { case (id, nsh, dup) =>
+      assert((nsh, dup) == expect(id), s"doc $id: got ($nsh,$dup) want ${expect(id)}") }
+  }
+
   test("minhash-LSH finds an injected near-duplicate with high jaccard") {
     import spark.implicits._
     val base = docs.select($"doc_id", $"text").limit(30)

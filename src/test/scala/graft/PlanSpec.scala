@@ -228,6 +228,25 @@ class PlanSpec extends SparkTestBase {
       s"q43 count algebra not a hash aggregate:\n$p")
   }
 
+  test("q49 decontamination broadcasts the benchmark shingles; no corpus-sized shuffle join") {
+    val df = SparkEntry.queries("q49_decontaminate")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"bench side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"q49 shuffled the corpus through a join:\n$p")
+  }
+
+  test("q50 dup-ratio: hash aggregates + one equi-join, no cartesian") {
+    val df = SparkEntry.queries("q50_dup_ratio")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q50 has a product join:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"q50 docfreq not a hash aggregate:\n$p")
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString
