@@ -518,8 +518,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .flatMap(d => LakeIO.of(root).listFileStatus(d).map {
         case (n, mtime, bytes) => (s"$d/$n", mtime, bytes) })
       .toDF("file_path", "mtime", "bytes")
-    val addShards = listSnapshots().flatMap(manifestShards)
-      .filter(_.kind == "add").map(_.path).distinct
+    // referenced = add shards of every retained snapshot PLUS unpublished
+    // WAP stages (their data files are live-in-waiting, not debris)
+    val addShards = (listSnapshots().flatMap(manifestShards)
+      .filter(_.kind == "add").map(_.path) ++
+      io.list("meta").filter(_.startsWith("staged-add-")).map(n => s"meta/$n")).distinct
     val referenced =
       if (addShards.isEmpty) null
       else spark.read.schema(GraftTable.manifestSchema)
@@ -536,6 +539,61 @@ class GraftTable(val spark: SparkSession, val location: String) {
     orphans.map { case (p, _) => p.substring(0, p.lastIndexOf('/')) }.distinct
       .foreach(d => if (io.list(d).isEmpty) io.delete(d))
     (orphans.length.toLong, orphans.map(_._2).sum)
+  }
+
+  /** WRITE-AUDIT-PUBLISH, stage phase: write an append's data files and
+    * manifest shard WITHOUT committing — no snapshot, no hint movement, so
+    * readers cannot see it. Returns the stage id. Staged state lives in its
+    * own namespace (`meta/staged-*`), never colliding with the linear
+    * version counter however many stages are open or how long they sit
+    * (the classic WAP problem with sequential snapshot ids). */
+  def stageAppend(df: DataFrame): String = {
+    init()
+    val id = UUID.randomUUID().toString.take(12)
+    val entries = writeDataFiles(df, s"wap-$id")
+    MetaIO.writeEntries(io, s"meta/staged-add-$id.parquet", entries)
+    io.writeString(s"meta/staged-$id.json",
+      s"""{"staged": "$id", "recordCount": ${entries.map(_.record_count).sum},
+         | "fileCount": ${entries.size}}""".stripMargin)
+    id
+  }
+
+  /** audit phase: the staged rows as a DataFrame (quality gates, row counts,
+    * contamination checks run here — against data no reader can see). */
+  def stagedScan(id: String): DataFrame = {
+    val paths = spark.read.schema(GraftTable.manifestSchema)
+      .parquet(io.abs(s"meta/staged-add-$id.parquet").toString)
+      .select($"file_path").as[String].collect()
+    readFiles(paths)
+  }
+
+  /** publish phase: promote the staged shard into a real snapshot — a
+    * METADATA-ONLY commit (the audited data files are already in place;
+    * nothing is rewritten or re-statted). */
+  def publishStaged(id: String): Snapshot = {
+    val meta = parseJsonFlat(io.readString(s"meta/staged-$id.json"))
+    val parent = currentSnapshot
+    val newVersion = currentVersion + 1
+    val (prev, seq) = parentShards(parent)
+    val shards = prev :+ ManifestShard(seq + 1, "add", s"meta/staged-add-$id.parquet")
+    val rc = parent.map(_.recordCount).getOrElse(0L) + meta("recordCount").trim.toLong
+    val parentFiles = parent.map(_.fileCount).getOrElse(0L)
+    val fc = if (parentFiles < 0) -1L else parentFiles + meta("fileCount").trim.toLong
+    val snap = finishCommit(newVersion, parent, shards, s"publish-wap-$id", rc, fc)
+    io.delete(s"meta/staged-$id.json")
+    snap
+  }
+
+  /** abandon a staged append: its data files, shard and marker are removed.
+    * Unpublished stages are also protected from removeOrphanFiles (their
+    * shard counts as referenced), so an audit can take arbitrarily long. */
+  def discardStaged(id: String): Unit = {
+    spark.read.schema(GraftTable.manifestSchema)
+      .parquet(io.abs(s"meta/staged-add-$id.parquet").toString)
+      .select($"file_path").as[String].collect()
+      .foreach(io.delete)
+    io.delete(s"meta/staged-add-$id.parquet")
+    io.delete(s"meta/staged-$id.json")
   }
 
   /** Manifest-tree compaction: materialize the live entries (distributed),

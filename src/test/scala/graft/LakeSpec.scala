@@ -180,6 +180,44 @@ class LakeSpec extends SparkTestBase {
     assert(keyset(t.scan()).size == 230)
   }
 
+  test("write-audit-publish: staged appends are invisible until published; discard cleans up") {
+    val t = freshTable("graft-wap")
+    t.append(synthDf(100).repartition(2))
+    val v1 = t.currentVersion
+    val before = keyset(t.scan())
+
+    val goodDf = synthDf(40, seed = 7)
+    val goodId = t.stageAppend(goodDf.repartition(2))
+    val badId = t.stageAppend(synthDf(10, seed = 13).repartition(1))
+    // staged state is invisible: no snapshot, no rows
+    assert(t.currentVersion == v1)
+    assert(keyset(t.scan()) == before)
+    // the audit sees exactly the staged rows
+    assert(keyset(t.stagedScan(goodId)) == keyset(goodDf))
+    // the orphan sweep must not eat unpublished stages, however old
+    val (swept, _) = t.removeOrphanFiles(System.currentTimeMillis() + 60000)
+    assert(keyset(t.stagedScan(goodId)) == keyset(goodDf),
+      s"orphan sweep ate a staged append (swept $swept files)")
+
+    // audit failed for the bad stage: discard removes files + markers
+    t.discardStaged(badId)
+    assert(!t.io.exists(s"meta/staged-add-$badId.parquet"))
+
+    // publish is metadata-only: row set = base + staged, counts arithmetic
+    val snap = t.publishStaged(goodId)
+    assert(snap.operation == s"publish-wap-$goodId")
+    assert(keyset(t.scan()) == before ++ keyset(goodDf))
+    assert(t.currentSnapshot.get.recordCount == 140)
+    // pre-publish snapshot still shows only the base (isolation)
+    assert(t.manifest(t.snapshot(v1).get).count() >= 1)
+    // published files survive a post-publish orphan sweep
+    val (n2, _) = t.removeOrphanFiles(System.currentTimeMillis() + 60000)
+    assert(keyset(t.scan()) == before ++ keyset(goodDf), s"sweep after publish broke the table ($n2)")
+    // maintenance composes with the published shard
+    Maintenance.compact(t, "wapc", smallBytes = Long.MaxValue, targetBytes = 4L << 20)
+    assert(keyset(t.scan()) == before ++ keyset(goodDf))
+  }
+
   test("removeOrphanFiles deletes aged crash debris, never live or fresh files") {
     val t = freshTable("graft-orphan")
     t.append(synthDf(200).repartition(4))

@@ -29,7 +29,8 @@ object ScaleProof {
     "q23s_lsh_p16", "q17_ann_topk", "q20_embedding_neardup", "q21_ann_lsh",
     "q35_ann_ivf", "q32_neardup_groups", "q32s_lsh_groups",
     "q44_neardup_star", "q44s_lsh_stargroups",
-    "q41_corpus_sample", "q42_pack_sequences", "q43_ngram_jaccard")
+    "q41_corpus_sample", "q42_pack_sequences", "q43_ngram_jaccard",
+    "q49_decontaminate", "q50_dup_ratio")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
