@@ -427,6 +427,33 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def q51PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.TextFunctions.{scrub_pii, pii_counts}
+    // PII redaction (the pre-release curation pass): emails → <email>,
+    // IPv4s → <ip>, 7+-digit runs → <phone>, in that order (the order is
+    // part of the contract — email local parts contain digits, IPs are
+    // dotted digits). PII is INJECTED deterministically (the corpus text is
+    // word soup), and DuckDB replays the identical RE2-subset regexes +
+    // injection to re-derive counts and the scrubbed-text hash per row.
+    val injected = t(s, dir, "documents").select($"doc_id", concat(
+      $"text",
+      when($"doc_id" % 7 === 0,
+        concat(lit(" contact user"), $"doc_id".cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when($"doc_id" % 11 === 0,
+        concat(lit(" host 10.0."), ($"doc_id" % 256).cast("string"),
+               lit("."), ($"doc_id" % 100).cast("string")))
+        .otherwise(lit("")),
+      when($"doc_id" % 13 === 0,
+        concat(lit(" tel 555"), lpad(($"doc_id" % 10000).cast("string"), 5, "0")))
+        .otherwise(lit(""))).as("text"))
+    injected.select($"doc_id", pii_counts($"text").as("c"),
+        sha2(scrub_pii($"text"), 256).as("scrub_sha"))
+      .select($"doc_id", $"c.n_emails", $"c.n_ips", $"c.n_phones", $"scrub_sha")
+      .orderBy($"doc_id")
+  }
+
   private def q42PackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // sequence packing for training loaders: every document assigned a
@@ -1024,6 +1051,7 @@ object SparkEntry {
     "q48_stream_sink"    -> (q48StreamSink(_, _)),
     "q49_decontaminate"  -> (q49Decontaminate(_, _)),
     "q50_dup_ratio"      -> (q50DupRatio(_, _)),
+    "q51_pii_scrub"      -> (q51PiiScrub(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1591,6 +1619,32 @@ object SparkEntry {
          |    AS dup_ratio
          |FROM sh JOIN freq USING (x)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // PII scrub replayed with the same ordered RE2-subset regexes: counts
+    // from the pre-scrub text of each stage, final hash from the fully
+    // scrubbed text ('g' = replace all, Spark's regexp_replace semantics)
+    "q51_pii_scrub" ->
+      """WITH injected AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |      THEN ' host 10.0.' || (doc_id % 256)::VARCHAR || '.' || (doc_id % 100)::VARCHAR
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' tel 555' || lpad((doc_id % 10000)::VARCHAR, 5, '0') ELSE '' END AS t
+        |  FROM documents),
+        |st AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g') AS de
+        |  FROM injected),
+        |st2 AS (SELECT doc_id, t, de,
+        |  regexp_replace(de, '\b(\d{1,3}\.){3}\d{1,3}\b', '<ip>', 'g') AS di
+        |  FROM st)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_emails,
+        |  len(regexp_extract_all(de, '\b(\d{1,3}\.){3}\d{1,3}\b'))::INT AS n_ips,
+        |  len(regexp_extract_all(di, '\d{7,}'))::INT AS n_phones,
+        |  sha256(regexp_replace(di, '\d{7,}', '<phone>', 'g')) AS scrub_sha
+        |FROM st2 ORDER BY doc_id""".stripMargin,
     // sequence packing re-derived from the same global per-language window
     // as q41, WITHOUT the budget cut: bin/offset are pure integer
     // arithmetic over the prefix sum, so every row's cumulative position

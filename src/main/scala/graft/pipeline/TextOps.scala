@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.GraftInternal.{col => mkCol, expr => exprOf}
+import org.apache.spark.sql.functions.{regexp_replace, regexp_count, struct, lit}
 
 /** Text-analysis expressions for training-data pipelines: minhash signatures,
   * simhash, n-gram jaccard, language-ID, rolling-hash fingerprints. All are
@@ -394,4 +395,33 @@ object TextFunctions {
   def cosine_sim(a: Column, b: Column): Column = mkCol(CosineSimExpr(exprOf(a), exprOf(b)))
   def lsh_buckets(vec: Column, planes: Int, bands: Int, seed: Long = 0L): Column =
     mkCol(LshBucketsExpr(exprOf(vec), planes, bands, seed))
+
+  // ---- PII scrubbing (the redaction pass every training pipeline runs
+  // before the data leaves curation). Pure Column compositions over
+  // codegen'd regexp functions; patterns restricted to the RE2-compatible
+  // subset (no lookaround) so external engines reproduce them verbatim.
+  // Scrub ORDER matters and is part of the contract: emails first (their
+  // local parts contain digits), then IPv4s (dotted digits), then long
+  // digit runs (phone-ish) over what remains.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhoneRe = "\\d{7,}"
+
+  /** text with emails → <email>, IPv4s → <ip>, 7+-digit runs → <phone>. */
+  def scrub_pii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<email>"),
+        Ipv4Re, "<ip>"),
+      PhoneRe, "<phone>")
+
+  /** (n_emails, n_ips, n_phones) found by the same ordered pass. */
+  def pii_counts(text: Column): Column = {
+    val deEmail = regexp_replace(text, EmailRe, "<email>")
+    val deIp = regexp_replace(deEmail, Ipv4Re, "<ip>")
+    struct(
+      regexp_count(text, lit(EmailRe)).as("n_emails"),
+      regexp_count(deEmail, lit(Ipv4Re)).as("n_ips"),
+      regexp_count(deIp, lit(PhoneRe)).as("n_phones"))
+  }
 }

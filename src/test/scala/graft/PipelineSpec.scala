@@ -20,6 +20,27 @@ class PipelineSpec extends SparkTestBase {
     assert(dups.filter($"keep_id" >= 100000).count() == 0)
   }
 
+  test("PII scrub: ordered redaction and per-type counts") {
+    import spark.implicits._
+    import graft.pipeline.TextFunctions
+    val df = Seq(
+      (1L, "write to a.b+c@mail.example.org or 192.168.0.1 call 5551234567 now"),
+      (2L, "no pii here"),
+      (3L, "two mails x@y.io z@w.co one ip 8.8.8.8"),
+      (4L, "digits 123456 are short, 1234567 is a phone")
+    ).toDF("id", "text")
+    val out = df.select($"id", TextFunctions.pii_counts($"text").as("c"),
+        TextFunctions.scrub_pii($"text").as("s"))
+      .select($"id", $"c.n_emails", $"c.n_ips", $"c.n_phones", $"s")
+      .orderBy("id").collect()
+    assert(out(0).toSeq.drop(1) ==
+      Seq(1, 1, 1, "write to <email> or <ip> call <phone> now"))
+    assert(out(1).toSeq.drop(1) == Seq(0, 0, 0, "no pii here"))
+    assert(out(2).toSeq.drop(1) == Seq(2, 1, 0, "two mails <email> <email> one ip <ip>"))
+    assert(out(3).toSeq.drop(1) ==
+      Seq(0, 0, 1, "digits 123456 are short, <phone> is a phone"))
+  }
+
   test("decontaminate flags exactly the docs sharing shingles with the benchmark") {
     import spark.implicits._
     val corpus = Seq(
