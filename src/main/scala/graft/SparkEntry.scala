@@ -454,6 +454,52 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private def q52Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Gopher-style within-document repetition signals: word totals,
+    // distinct-word count, longest same-word run, and the count of the most
+    // frequent word bigram. Pure per-row scan projection (no shuffle);
+    // DuckDB re-derives max_run with the gaps-and-islands window and
+    // top_bigram with an unnest + group.
+    t(s, dir, "documents")
+      .select($"doc_id", graft.pipeline.TextFunctions.repetition_stats($"text").as("r"))
+      .select($"doc_id", $"r.total_words", $"r.distinct_words", $"r.max_run",
+        $"r.n_bigrams", $"r.top_bigram")
+      .orderBy($"doc_id")
+  }
+
+  private def q53ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // corpus-level exact span dedup at 8-word chunk granularity (the
+    // paragraph-dedup pass): identical chunks keep only their first
+    // (doc_id, idx) occurrence corpus-wide; documents reassemble from
+    // surviving chunks. The shuffle carries (hash, id, idx) only — the
+    // survivor text is re-sliced from the original document.
+    graft.pipeline.Dedup.dedupChunks(t(s, dir, "documents"), "doc_id", "text", w = 8)
+      .select($"id".as("doc_id"), $"n_chunks", $"kept_chunks",
+        sha2($"kept_text", 256).as("kept_sha"))
+      .orderBy($"doc_id")
+  }
+
+  private def q54IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // incremental exact dedup of a synthetic ingest batch against the full
+    // corpus through a Bloom prefilter: batch rows are corpus docs with
+    // doc_id % 10 == 0, re-keyed +1_000_000, where every third row keeps
+    // its original text VERBATIM (a true duplicate the filter must drop)
+    // and the rest get a unique suffix (definitely-new rows that should
+    // skip the verify join on the Bloom-negative fast path).
+    val corpus = t(s, dir, "documents")
+    val batch = corpus.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        when($"doc_id" % 3 === 0, $"text")
+          .otherwise(concat($"text", lit(" new"), $"doc_id".cast("string"))).as("text"),
+        $"lang")
+    graft.pipeline.Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .select($"doc_id", $"lang", sha2($"text", 256).as("text_sha"))
+      .orderBy($"doc_id")
+  }
+
   private def q42PackSequences(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // sequence packing for training loaders: every document assigned a
@@ -1052,6 +1098,9 @@ object SparkEntry {
     "q49_decontaminate"  -> (q49Decontaminate(_, _)),
     "q50_dup_ratio"      -> (q50DupRatio(_, _)),
     "q51_pii_scrub"      -> (q51PiiScrub(_, _)),
+    "q52_repetition"     -> (q52Repetition(_, _)),
+    "q53_chunk_dedup"    -> (q53ChunkDedup(_, _)),
+    "q54_incremental_dedup" -> (q54IncrementalDedup(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1645,6 +1694,68 @@ object SparkEntry {
         |  len(regexp_extract_all(di, '\d{7,}'))::INT AS n_phones,
         |  sha256(regexp_replace(di, '\d{7,}', '<phone>', 'g')) AS scrub_sha
         |FROM st2 ORDER BY doc_id""".stripMargin,
+
+    // Gopher repetition signals re-derived: max_run via gaps-and-islands
+    // (i - row_number per (doc, word) groups consecutive equal words),
+    // top_bigram via unnest + group-max
+    "q52_repetition" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |u AS (SELECT doc_id, i, w[i] AS word
+         |      FROM (SELECT doc_id, w, unnest(range(1, len(w)+1)) AS i FROM ws)),
+         |r AS (SELECT doc_id, word,
+         |        i - row_number() OVER (PARTITION BY doc_id, word ORDER BY i) AS grp
+         |      FROM u),
+         |runlen AS (SELECT doc_id, count(*) AS rl FROM r GROUP BY doc_id, word, grp),
+         |mr AS (SELECT doc_id, max(rl) AS max_run FROM runlen GROUP BY doc_id),
+         |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+         |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM ws)),
+         |tb AS (SELECT doc_id, max(c) AS top_bigram FROM
+         |        (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g)
+         |       GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  len(d.w)::INT AS total_words,
+         |  len(list_distinct(d.w))::INT AS distinct_words,
+         |  coalesce(mr.max_run, 0)::INT AS max_run,
+         |  greatest(len(d.w) - 1, 0)::INT AS n_bigrams,
+         |  coalesce(tb.top_bigram, 0)::INT AS top_bigram
+         |FROM ws d LEFT JOIN mr USING (doc_id) LEFT JOIN tb USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // chunk dedup re-derived: the same 8-word chunk grid, winner = first
+    // (doc_id, idx) per chunk hash via row_number, survivor body re-joined
+    // in chunk order
+    "q53_chunk_dedup" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |ch AS (SELECT doc_id, i AS idx,
+         |         array_to_string(w[(i*8+1):least((i+1)*8, len(w))], ' ') AS chunk
+         |       FROM (SELECT doc_id, w, unnest(range(0, (len(w)+7)//8)) AS i FROM ws)),
+         |h AS (SELECT doc_id, idx, chunk, ${duckSha60("chunk")} AS hh FROM ch),
+         |k AS (SELECT doc_id, idx, chunk,
+         |        row_number() OVER (PARTITION BY hh ORDER BY doc_id, idx) AS rn FROM h),
+         |kept AS (SELECT doc_id, count(*) AS kept_chunks,
+         |           string_agg(chunk, ' ' ORDER BY idx) AS kt
+         |         FROM k WHERE rn = 1 GROUP BY doc_id)
+         |SELECT d.doc_id AS doc_id,
+         |  ((len(d.w) + 7) // 8)::BIGINT AS n_chunks,
+         |  coalesce(kept.kept_chunks, 0)::BIGINT AS kept_chunks,
+         |  sha256(coalesce(kept.kt, '')) AS kept_sha
+         |FROM ws d LEFT JOIN kept USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // incremental dedup = plain anti-join semantics: the Bloom prefilter is
+    // an implementation detail the oracle must not see (no false negatives
+    // by construction; positives are exactly verified)
+    "q54_incremental_dedup" ->
+      """WITH batch AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text
+        |         ELSE text || ' new' || doc_id::VARCHAR END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT b.doc_id AS doc_id, b.lang AS lang, sha256(b.text) AS text_sha
+        |FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
+        |ORDER BY doc_id""".stripMargin,
     // sequence packing re-derived from the same global per-language window
     // as q41, WITHOUT the budget cut: bin/offset are pure integer
     // arithmetic over the prefix sum, so every row's cumulative position

@@ -146,6 +146,70 @@ object Dedup {
       .withColumn("dup_ratio", col("dup_sh").cast("double") / col("nsh"))
   }
 
+  /** Corpus-level exact span dedup at w-word chunk granularity (the
+    * paragraph-dedup pass of Lee et al.'s "Deduplicating Training Data"
+    * adapted to the chunk grid): every document splits into consecutive
+    * w-word chunks; identical chunks across the WHOLE corpus keep only
+    * their first occurrence (smallest (id, chunk_idx)); each document is
+    * reassembled from its surviving chunks. Returns
+    * (id, n_chunks, kept_chunks, kept_text).
+    *
+    * 100-TB shape: the shuffle carries only (chunk_hash, id, idx) triples —
+    * never chunk text (the survivor body is re-sliced from the original
+    * text in the final projection). One hash-aggregate keyed by chunk hash,
+    * one join back on the same key, one per-doc aggregate of int indices.
+    * Linear in total chunk count; no window over the corpus. */
+  def dedupChunks(df: DataFrame, idCol: String, textCol: String,
+                  w: Int = 8): DataFrame = {
+    val chunks = df.select(col(idCol).cast("long").as("id"),
+        posexplode(TextFunctions.chunk_hashes(col(textCol), lit(w))))
+      .withColumnRenamed("pos", "idx").withColumnRenamed("col", "h")
+    val winners = chunks.groupBy("h")
+      .agg(min(struct(col("id"), col("idx"))).as("win"))
+    val kept = chunks.join(winners, "h")
+      .where(col("id") === col("win.id") && col("idx") === col("win.idx"))
+      .groupBy("id").agg(
+        sort_array(collect_list(col("idx"))).as("kept_idx"),
+        count(lit(1)).as("kept_chunks"))
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"),
+        size(TextFunctions.chunk_hashes(col("text"), lit(w))).cast("long").as("n_chunks"),
+        coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+        TextFunctions.chunk_slice(col("text"),
+          coalesce(col("kept_idx"), typedLit(Array.empty[Int])), lit(w)).as("kept_text"))
+  }
+
+  /** Incremental exact dedup of a NEW batch against an existing corpus with
+    * a Bloom prefilter: the corpus's text hashes fold into one fixed-size
+    * bitmap (bitwise-OR partial aggregation — one bitmap per partition
+    * crosses the wire, never the hashes), the batch filters against the
+    * broadcast bitmap, and only the Bloom-positive candidates (true dups +
+    * false positives) pay the anti-join against the corpus. Bloom-negative
+    * rows are DEFINITELY new (no false negatives by construction) and skip
+    * the join entirely. Returns the batch rows whose text does not appear
+    * in the corpus.
+    *
+    * 100-TB shape: the daily-ingest pattern — the corpus side is read once
+    * into a ~MB bitmap instead of shuffling 10^11 hashes into a join; the
+    * join input shrinks to batch_size × false-positive-rate + true dups. */
+  def incrementalExact(batch: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String,
+                       bloomBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    // sha60 of the text via codegen'd built-ins (same value as
+    // TextOps.sha60 and the DuckDB oracle's hex-prefix reconstruction)
+    def sha60c(c: Column): Column =
+      conv(substring(sha2(c, 256), 1, 15), 16, 10).cast("long")
+    val corpusHashes = corpus.select(sha60c(col(textCol)).as("h"))
+    val bitmap = Bloom.bloomFrom(corpusHashes, "h", bloomBits, numHashes)
+    val withH = batch.withColumn("_h", sha60c(col(textCol)))
+    def contains = Bloom.bloom_contains(col("_h"), lit(bitmap), bloomBits, numHashes)
+    val definiteNew = withH.filter(!contains)
+    val survivors = withH.filter(contains)
+      .join(corpusHashes.withColumnRenamed("h", "_h"), Seq("_h"), "left_anti")
+    definiteNew.unionByName(survivors).drop("_h")
+  }
+
   /** simhash near-dup pairs with pigeonhole-complete blocking: the 60-bit
     * simhash splits into maxHamming+1 chunks, so any pair within hamming
     * distance <= maxHamming shares at least one exact chunk — full recall by

@@ -203,6 +203,90 @@ object TextOps {
   }
 
   /** deterministic ±1 hyperplane component for (seed, band, plane, dim). */
+  /** Gopher-style within-document repetition signals over whitespace words:
+    * (total_words, distinct_words, max_run, n_bigrams, top_bigram_count).
+    * max_run = longest streak of the SAME word repeated consecutively;
+    * top_bigram_count = occurrences of the most frequent word bigram (only
+    * the count is reported, so bigram ties cannot make it nondeterministic).
+    * Single pass per row, no shuffle — the repetition filter runs as a scan
+    * projection at any corpus size. */
+  def repetitionStats(text: String): Array[Int] = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val total = words.length
+    val seen = new java.util.HashSet[String]()
+    var maxRun = if (total == 0) 0 else 1
+    var run = 1
+    var i = 0
+    while (i < total) {
+      seen.add(words(i))
+      if (i > 0) {
+        if (words(i) == words(i - 1)) { run += 1; if (run > maxRun) maxRun = run }
+        else run = 1
+      }
+      i += 1
+    }
+    val nBigrams = math.max(total - 1, 0)
+    var topBigram = 0
+    if (nBigrams > 0) {
+      val counts = new java.util.HashMap[String, Int]()
+      i = 0
+      while (i < total - 1) {
+        val g = words(i) + " " + words(i + 1)
+        val c = counts.merge(g, 1, (a, b) => a + b)
+        if (c > topBigram) topBigram = c
+        i += 1
+      }
+    }
+    Array(total, seen.size, maxRun, nBigrams, topBigram)
+  }
+
+  /** sha60 hashes of consecutive w-word chunks (the last chunk may be
+    * shorter). Chunk i covers words [i*w, min((i+1)*w, total)). Empty text
+    * yields zero chunks. The chunk grid is the unit of corpus-level exact
+    * span dedup: identical 8-word chunks across documents collapse to one
+    * surviving occurrence. */
+  def chunkHashes(text: String, w: Int): Array[Long] = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.isEmpty) return Array.empty
+    val n = (words.length + w - 1) / w
+    val out = new Array[Long](n)
+    var c = 0
+    while (c < n) {
+      val from = c * w
+      val until = math.min(from + w, words.length)
+      val sb = new java.lang.StringBuilder(words(from))
+      var j = from + 1
+      while (j < until) { sb.append(' ').append(words(j)); j += 1 }
+      out(c) = sha60(sb.toString)
+      c += 1
+    }
+    out
+  }
+
+  /** reassembles the kept chunks of `text` (chunk grid of width w, kept
+    * 0-based indices sorted ascending) into a space-joined string — the
+    * post-dedup document body. Recomputing the slice from the original text
+    * means the dedup shuffle carries only (hash, id, idx) triples, never
+    * chunk text. */
+  def chunkSlice(text: String, kept: Array[Int], w: Int): String = {
+    if (kept.isEmpty) return ""
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    val sb = new java.lang.StringBuilder()
+    var k = 0
+    while (k < kept.length) {
+      val from = kept(k) * w
+      val until = math.min(from + w, words.length)
+      var j = from
+      while (j < until) {
+        if (sb.length > 0) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      k += 1
+    }
+    sb.toString
+  }
+
   @inline def planeSign(seed: Long, band: Int, plane: Int, d: Int): Double =
     if (mix(mix(mix(seed + band) + plane) + d) < 0) -1.0 else 1.0
 
@@ -379,7 +463,60 @@ case class LshBucketsExpr(child: Expression, planes: Int, bands: Int, seed: Long
   override def prettyName: String = "lsh_buckets"
 }
 
+/** repetition_stats(text): struct of the five Gopher-style within-document
+  * repetition signals (see TextOps.repetitionStats). One pass per row. */
+case class RepetitionStatsExpr(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("total_words", IntegerType, nullable = false),
+    StructField("distinct_words", IntegerType, nullable = false),
+    StructField("max_run", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false)))
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(t: Any): Any = {
+    val s = TextOps.repetitionStats(t.toString)
+    org.apache.spark.sql.catalyst.InternalRow(s(0), s(1), s(2), s(3), s(4))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "repetition_stats"
+}
+
+/** chunk_hashes(text, w): sha60 of consecutive w-word chunks (chunk grid for
+  * corpus-level exact span dedup). */
+case class ChunkHashesExpr(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(t: Any, w: Any): Any =
+    new GenericArrayData(TextOps.chunkHashes(t.toString, w.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "chunk_hashes"
+}
+
+/** chunk_slice(text, kept, w): the surviving document body after chunk
+  * dedup — kept chunk indices resliced out of the original text. */
+case class ChunkSliceExpr(first: Expression, second: Expression, third: Expression)
+  extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(t: Any, k: Any, w: Any): Any = {
+    val kept = k.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    UTF8String.fromString(
+      TextOps.chunkSlice(t.toString, kept, w.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "chunk_slice"
+}
+
 object TextFunctions {
+  def repetition_stats(text: Column): Column = mkCol(RepetitionStatsExpr(exprOf(text)))
+  def chunk_hashes(text: Column, w: Column): Column =
+    mkCol(ChunkHashesExpr(exprOf(text), exprOf(w)))
+  def chunk_slice(text: Column, kept: Column, w: Column): Column =
+    mkCol(ChunkSliceExpr(exprOf(text), exprOf(kept), exprOf(w)))
   def minhash_sig(text: Column, numHashes: Column, shingleSize: Column): Column =
     mkCol(MinHashSigExpr(exprOf(text), exprOf(numHashes), exprOf(shingleSize)))
   def simhash(text: Column): Column = mkCol(SimHashExpr(exprOf(text)))

@@ -533,4 +533,71 @@ class PipelineSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(reliable == local, s"reliable=$reliable local=$local")
   }
+
+  test("repetition stats: totals, runs, and top-bigram counts") {
+    assert(TextOps.repetitionStats("a a a b").toSeq == Seq(4, 2, 3, 3, 2))
+    assert(TextOps.repetitionStats("").toSeq == Seq(0, 0, 0, 0, 0))
+    assert(TextOps.repetitionStats("x").toSeq == Seq(1, 1, 1, 0, 0))
+    // "a b a b a": bigrams (a b) x2, (b a) x2 -> top 2; no consecutive runs
+    assert(TextOps.repetitionStats("a b a b a").toSeq == Seq(5, 2, 1, 4, 2))
+  }
+
+  test("chunk grid: hashes and slice reassembly") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val h = TextOps.chunkHashes(text, 4)
+    assert(h.length == 3)
+    assert(h(0) == TextOps.sha60("w1 w2 w3 w4"))
+    assert(h(2) == TextOps.sha60("w9 w10"))
+    assert(TextOps.chunkSlice(text, Array(0, 2), 4) == "w1 w2 w3 w4 w9 w10")
+    assert(TextOps.chunkSlice(text, Array.empty[Int], 4) == "")
+    assert(TextOps.chunkHashes("", 4).isEmpty)
+  }
+
+  test("dedupChunks keeps first corpus-wide occurrence of each span") {
+    import spark.implicits._
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")   // one chunk
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val c = (1 to 8).map(i => s"c$i").mkString(" ")
+    val df = Seq(
+      (1L, a),                 // doc1: chunk A (first occurrence)
+      (2L, s"$a $b"),          // doc2: A (dup of doc1) + B (new)
+      (3L, s"$c $c")           // doc3: C + C (within-doc dup)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(df, "doc_id", "text", w = 8)
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 1 && out(0).getLong(2) == 1)         // doc1 keeps A
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 1 &&
+      out(1).getString(3) == b)                                      // doc2 keeps only B
+    assert(out(2).getLong(1) == 2 && out(2).getLong(2) == 1 &&
+      out(2).getString(3) == c)                                      // doc3 keeps one C
+  }
+
+  test("bloom filter: zero false negatives, bounded false positives") {
+    import graft.pipeline.Bloom
+    val members = (0L until 2000L).map(i => TextOps.mix(i)).toArray
+    val agg = new graft.pipeline.BloomFilterAgg(1 << 16, 5)
+    var buf = agg.zero
+    members.foreach(h => buf = agg.reduce(buf, h))
+    // merge path: second half folded separately then OR'd in
+    val bytes = agg.finish(buf)
+    members.foreach(h => assert(Bloom.containsLocal(bytes, h, 1 << 16, 5)))
+    val fp = (0 until 10000).count(i =>
+      Bloom.containsLocal(bytes, TextOps.mix(0xdead0000L + i), 1 << 16, 5))
+    assert(fp < 300, s"false-positive rate too high: $fp / 10000") // ~0.35% expected
+  }
+
+  test("incrementalExact equals the plain anti-join") {
+    import spark.implicits._
+    val corpus = docs.select($"doc_id", $"text")
+    val batch = corpus.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        when($"doc_id" % 3 === 0, $"text")
+          .otherwise(concat($"text", lit(" new"), $"doc_id".cast("string"))).as("text"))
+    val inc = Dedup.incrementalExact(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val anti = batch.join(corpus.select($"text"), Seq("text"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(inc == anti)
+    assert(inc.nonEmpty && inc.size < batch.count())  // both paths exercised
+  }
 }
