@@ -1019,6 +1019,55 @@ object SparkEntry {
       .orderBy($"repo", $"path")
   }
 
+  private def q55Update(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.sources.{EqualTo, LessThan}
+    // row-level UPDATE under the oracle gate: build a fresh lake table from
+    // documents (range-partitioned on repo so stats pruning has pure files
+    // to exclude), update one repo's early paths — version-stamp the commit
+    // column and prefix the content — then read the table back. DuckDB
+    // recomputes the post-update rows with the same CASE expression.
+    val docs = t(s, dir, "documents")
+    val rows = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q55-wh").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/t")
+    table.append(rows.repartitionByRange(10, $"repo"))
+    val res = graft.lake.Update.updateWhere(table,
+      Array(EqualTo("repo", "repo_4"), LessThan("path", "f/5")),
+      Map("commit" -> lit("c1"),
+          "content" -> concat(lit("upd "), $"content")))
+    assert(res.prunedFiles > 0, "stats pruning must exclude other repos' files")
+    assert(res.updatedRows > 0)
+    table.scan()
+      .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path")
+  }
+
+  private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.TextFunctions.mix64
+    // deterministic training-order export: a seeded global shuffle
+    // (order = splitmix64(doc_id xor seed)) assigns every document a shard
+    // and a position inside that shard. Shard = hash mod nshards (each
+    // shard an independent partition at write time); pos = rank within the
+    // shard — the window partitions BY SHARD, so no global sort and every
+    // shard sorts in parallel. DuckDB replays the identical hash.
+    val seed = 42L
+    val nshards = 8
+    val h = mix64($"doc_id".cast("long").bitwiseXOR(lit(seed)))
+    val withShard = t(s, dir, "documents")
+      .select($"doc_id", $"lang", h.as("h"), pmod(h, lit(nshards.toLong)).as("shard"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard").orderBy($"h", $"doc_id")
+    withShard
+      .select($"doc_id", $"lang", $"shard",
+        (row_number().over(w) - 1).cast("long").as("pos"))
+      .orderBy($"shard", $"pos")
+  }
+
   private def q25PostMaintenanceScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val table = lakeTableFor(s, dir, "q25")
@@ -1101,6 +1150,8 @@ object SparkEntry {
     "q52_repetition"     -> (q52Repetition(_, _)),
     "q53_chunk_dedup"    -> (q53ChunkDedup(_, _)),
     "q54_incremental_dedup" -> (q54IncrementalDedup(_, _)),
+    "q55_update"         -> (q55Update(_, _)),
+    "q56_shard_export"   -> (q56ShardExport(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1756,6 +1807,37 @@ object SparkEntry {
         |FROM batch b
         |WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
         |ORDER BY doc_id""".stripMargin,
+    // row-level UPDATE re-derived relationally: the same CASE expression
+    // over the same synthesized base table the lake was built from
+    "q55_update" ->
+      """WITH base AS (SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, 'c0' AS "commit",
+        |    lang, text AS content
+        |  FROM documents)
+        |SELECT repo, path,
+        |  CASE WHEN repo = 'repo_4' AND path < 'f/5' THEN 'c1' ELSE "commit" END AS "commit",
+        |  lang,
+        |  sha256(CASE WHEN repo = 'repo_4' AND path < 'f/5'
+        |              THEN 'upd ' || content ELSE content END) AS content_sha
+        |FROM base ORDER BY repo, path""".stripMargin,
+
+    // deterministic shard export: DuckDB replays the identical splitmix64
+    // order hash; the unsigned value is re-signed (the q42 pattern) so both
+    // engines sort by the same 64-bit two's-complement key
+    "q56_shard_export" -> {
+      val u = duckMixInline("xor(doc_id, 42)")
+      val signedH =
+        s"""(($u)::HUGEINT -
+           | CASE WHEN ($u)::HUGEINT >= 9223372036854775808::HUGEINT
+           |      THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END)::BIGINT""".stripMargin
+      s"""WITH h AS (SELECT doc_id, lang,
+         |    $signedH AS h,
+         |    (($u) % 8)::BIGINT AS shard
+         |  FROM documents)
+         |SELECT doc_id, lang, shard,
+         |  (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT AS pos
+         |FROM h ORDER BY shard, pos""".stripMargin
+    },
     // sequence packing re-derived from the same global per-language window
     // as q41, WITHOUT the budget cut: bin/offset are pure integer
     // arithmetic over the prefix sum, so every row's cumulative position

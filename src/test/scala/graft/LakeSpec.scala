@@ -628,6 +628,41 @@ class LakeSpec extends SparkTestBase {
     assert(keyset(pinned) == before)
   }
 
+  test("update: copy-on-write assignments, stats pruning, z recompute, time travel") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.StringStartsWith
+    val t = freshTable("graft-upd")
+    val df = synthDf(400)
+    // range partitioning on repo → most files are repo-pure → pruning bites
+    t.append(df.repartitionByRange(8, $"repo"))
+    val v1 = t.currentVersion
+    val before = keyset(t.scan())
+    val repo0 = df.select($"repo").orderBy($"repo").head().getString(0)
+    val filters: Array[org.apache.spark.sql.sources.Filter] =
+      Array(StringStartsWith("repo", repo0))
+
+    val r = graft.lake.Update.updateWhere(t, filters,
+      Map("lang" -> lit("updated"), "content" -> concat(lit("v2 "), $"content")))
+    assert(r.prunedFiles > 0, s"expected pruning, got $r")
+    assert(r.updatedRows == df.filter($"repo".startsWith(repo0)).count())
+
+    val after = t.scan()
+    val expect = df.select($"repo", $"path", $"commit",
+      when($"repo".startsWith(repo0), lit("updated")).otherwise($"lang").as("lang"),
+      when($"repo".startsWith(repo0), concat(lit("v2 "), $"content"))
+        .otherwise($"content").as("content"))
+    assert(keyset(after) == keyset(expect))
+    assert(after.filter($"lang" === "updated").count() == r.updatedRows)
+    // z is derived from (repo, path, lang) — rewritten rows must carry the
+    // recomputed key, not the stale pre-update one
+    val zExpr = graft.expr.XmqFunctions.zorder_interleave(
+      xxhash64($"repo"), xxhash64($"path"), pmod(xxhash64($"lang"), lit(256L)))
+    assert(after.filter($"z" =!= zExpr).count() == 0)
+    // pre-update snapshot still reads the original rows
+    val pinned = spark.read.format("graft").option("snapshot", v1).load(t.location)
+    assert(keyset(pinned) == before)
+  }
+
   test("catalog: SQL DELETE FROM (mixed metadata/CoW) and TRUNCATE TABLE") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft-wh-del").toString
