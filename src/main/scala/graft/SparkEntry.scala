@@ -1068,6 +1068,18 @@ object SparkEntry {
       .orderBy($"shard", $"pos")
   }
 
+  private def q57Mixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // weighted source mixture (epoch weighting): src0 repeated 2.5x, src1
+    // 1x, src2 quarter-sampled, everything else half-sampled. Fractions are
+    // exact binary doubles and the Bernoulli draw is the top 53 bits of the
+    // shared splitmix64, so DuckDB reproduces the selection bit-exactly.
+    graft.pipeline.Curation.mixture(t(s, dir, "documents"), "doc_id", "source",
+        Map("src0" -> 2.5, "src1" -> 1.0, "src2" -> 0.25),
+        defaultWeight = 0.5, seed = 42L)
+      .orderBy($"doc_id", $"copy")
+  }
+
   private def q25PostMaintenanceScan(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val table = lakeTableFor(s, dir, "q25")
@@ -1152,6 +1164,7 @@ object SparkEntry {
     "q54_incremental_dedup" -> (q54IncrementalDedup(_, _)),
     "q55_update"         -> (q55Update(_, _)),
     "q56_shard_export"   -> (q56ShardExport(_, _)),
+    "q57_mixture"        -> (q57Mixture(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1837,6 +1850,23 @@ object SparkEntry {
          |SELECT doc_id, lang, shard,
          |  (row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1)::BIGINT AS pos
          |FROM h ORDER BY shard, pos""".stripMargin
+    },
+    // weighted mixture re-derived: same weights, same splitmix64(id *
+    // 1000003 + copy xor seed) uniform draw from the top 53 bits
+    "q57_mixture" -> {
+      val u = duckMixInline("xor(doc_id * 1000003 + copy, 42)")
+      """WITH w AS (SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+        |                WHEN 'src2' THEN 0.25 ELSE 0.5 END AS wt
+        |  FROM documents),
+        |e AS (SELECT doc_id, source, wt,
+        |        unnest(range(0, greatest(ceil(wt)::BIGINT, 0))) AS copy
+        |      FROM w)
+        |SELECT doc_id, source, copy FROM e
+        |WHERE copy < floor(wt)
+        |   OR ((""".stripMargin + u +
+      """) >> 11)::DOUBLE / 9007199254740992 < wt - floor(wt)
+        |ORDER BY doc_id, copy""".stripMargin
     },
     // sequence packing re-derived from the same global per-language window
     // as q41, WITHOUT the budget cut: bin/offset are pure integer

@@ -50,6 +50,40 @@ object Curation {
     prefixSums(df, idCol, langCol, tokens, buckets)
       .filter(col("cum_before") < budgetPerLang)
 
+  /** Weighted multi-source mixture (epoch weighting): source s with weight
+    * w contributes floor(w) full copies of every row plus one
+    * frac(w)-Bernoulli-sampled partial copy — "repeat Wikipedia 2.5x, take
+    * a quarter of CommonCrawl". Copy selection is deterministic: the
+    * uniform draw for (row, copy) is the top 53 bits of
+    * splitmix64(id * 1000003 + copy, xor seed) scaled to [0, 1) — a value
+    * both engines (and any re-run) reproduce bit-exactly, so the mixture
+    * is a pure function of (corpus, weights, seed).
+    *
+    * Scale shape: one narrow per-row explode of at most ceil(max weight)
+    * copies — no shuffle, no sampling state, no driver collect; the output
+    * is written shard-parallel exactly like the input. Returns
+    * (id, source, copy). */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+              weights: Map[String, Double], defaultWeight: Double,
+              seed: Long): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 64),
+      "weights must be in [0, 64]")
+    val wt = weights.foldLeft(lit(defaultWeight)) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    val u = shiftrightunsigned(
+      TextFunctions.mix64((col(idCol).cast("long") * 1000003L + col("copy"))
+        .bitwiseXOR(lit(seed))), 11).cast("double") / lit(9007199254740992.0)
+    df.select(col(idCol), col(sourceCol), wt.as("wt"))
+      .withColumn("copy", explode(
+        // weight 0 → no copies (sequence(0,-1) would count DOWN in Spark)
+        when(ceil(col("wt")) >= 1,
+          sequence(lit(0L), ceil(col("wt")).cast("long") - 1))
+          .otherwise(typedLit(Array.empty[Long]))))
+      .filter(col("copy") < floor(col("wt")) || u < col("wt") - floor(col("wt")))
+      .select(col(idCol), col(sourceCol), col("copy"))
+  }
+
   /** Greedy contiguous sequence packing: assign documents (in the same
     * deterministic mix64(id) order as the sampler) to fixed token-capacity
     * training windows — bin = floor(running token total / window), offset =

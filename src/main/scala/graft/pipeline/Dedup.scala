@@ -195,7 +195,7 @@ object Dedup {
     * join input shrinks to batch_size × false-positive-rate + true dups. */
   def incrementalExact(batch: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String,
-                       bloomBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+                       bloomBits: Int = 1 << 22, numHashes: Int = 5): DataFrame = {
     // sha60 of the text via codegen'd built-ins (same value as
     // TextOps.sha60 and the DuckDB oracle's hex-prefix reconstruction)
     def sha60c(c: Column): Column =

@@ -600,4 +600,24 @@ class PipelineSpec extends SparkTestBase {
     assert(inc == anti)
     assert(inc.nonEmpty && inc.size < batch.count())  // both paths exercised
   }
+
+  test("mixture: integral weights exact, fractional rates converge, deterministic") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"s${i % 4}")).toDF("id", "src")
+    val weights = Map("s0" -> 2.0, "s1" -> 0.5, "s2" -> 0.0)
+    val out = Curation.mixture(df, "id", "src", weights, defaultWeight = 1.5, seed = 7L)
+    val bySrc = out.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(bySrc("s0") == 2000)          // exactly 2 copies each of 1000 rows
+    assert(!bySrc.contains("s2"))        // weight 0 → nothing
+    assert(math.abs(bySrc("s1") - 500) < 80)   // 0.5-Bernoulli of 1000
+    assert(math.abs(bySrc("s3") - 1500) < 80)  // 1 full + 0.5-Bernoulli
+    // copies are indexed 0..ceil(w)-1 and full copies always survive
+    assert(out.filter($"src" === "s0" && $"copy" >= 2).count() == 0)
+    assert(out.filter($"src" === "s3" && $"copy" === 0).count() == 1000)
+    val again = Curation.mixture(df, "id", "src", weights, 1.5, 7L)
+    assert(out.collect().toSet == again.collect().toSet)
+    // different seed → different fractional selection
+    val other = Curation.mixture(df, "id", "src", weights, 1.5, 8L)
+    assert(other.collect().toSet != out.collect().toSet)
+  }
 }

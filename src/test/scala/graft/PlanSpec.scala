@@ -247,6 +247,43 @@ class PlanSpec extends SparkTestBase {
       s"q50 docfreq not a hash aggregate:\n$p")
   }
 
+  test("q53 chunk dedup: equi-joins and hash aggregates only, no window, no cartesian") {
+    val df = SparkEntry.queries("q53_chunk_dedup")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q53 has a product join:\n$p")
+    // the winner per chunk hash is a partial-aggregable min, never a
+    // corpus-wide row_number window
+    assert(!p.contains("Window"), s"q53 uses a window:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"q53 winner not a hash aggregate:\n$p")
+  }
+
+  test("q57 mixture is shuffle-free: a narrow explode, no exchange") {
+    import org.apache.spark.sql.functions._
+    // the operator itself (the q57 query adds a presentation orderBy)
+    val df = graft.pipeline.Curation.mixture(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "source",
+      Map("src0" -> 2.5, "src1" -> 1.0), defaultWeight = 0.5, seed = 42L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"mixture shuffles:\n$p")
+  }
+
+  test("q54 incremental dedup: bloom-negative fast path has no join at all") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val out = graft.pipeline.Dedup.incrementalExact(batch, docs, "doc_id", "text")
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    // one union: the definitely-new branch (filter only) + verified candidates
+    assert(p.contains("Union"), s"expected union of fast path and verify path:\n$p")
+    assert(p.contains("bloom_contains"), s"bloom prefilter missing:\n$p")
+  }
+
   test("merge into broadcasts the source key set") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-planmerge").toString

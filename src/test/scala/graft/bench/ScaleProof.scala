@@ -30,7 +30,9 @@ object ScaleProof {
     "q35_ann_ivf", "q32_neardup_groups", "q32s_lsh_groups",
     "q44_neardup_star", "q44s_lsh_stargroups",
     "q41_corpus_sample", "q42_pack_sequences", "q43_ngram_jaccard",
-    "q49_decontaminate", "q50_dup_ratio")
+    "q49_decontaminate", "q50_dup_ratio",
+    "q52_repetition", "q53_chunk_dedup", "q54_incremental_dedup",
+    "q56_shard_export", "q57_mixture")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
