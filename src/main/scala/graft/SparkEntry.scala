@@ -1046,6 +1046,91 @@ object SparkEntry {
       .orderBy($"repo", $"path")
   }
 
+  private def q58MorDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.sources.{And, EqualTo, LessThan, Or}
+    // MERGE-ON-READ delete under the oracle gate: build a fresh lake table
+    // from documents, retract two repos' slices as a key-only eqdel commit
+    // (no data file rewritten), re-insert a slice of the deleted keys (the
+    // sequence rule must keep them alive), and read the table back through
+    // the DSv2 connector — the per-task equality-delete filtering reader is
+    // what answers the oracle. Afterwards applyDeletes materializes and the
+    // result is asserted BYTE-IDENTICAL via an order-independent digest.
+    val docs = t(s, dir, "documents")
+    val rows = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q58-wh").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/t")
+    table.append(rows.repartitionByRange(10, $"repo"))
+
+    val matched = graft.lake.MorDelete.deleteWhere(table,
+      Array[org.apache.spark.sql.sources.Filter](Or(EqualTo("repo", "repo_3"),
+        And(EqualTo("repo", "repo_7"), LessThan("path", "f/5")))))
+    assert(matched > 0, "the MoR delete must match rows")
+    assert(table.currentSnapshot.exists(table.hasEqDeletes))
+
+    // re-insert a deleted slice with NEW content at a higher add seq
+    table.append(rows.filter($"repo" === "repo_3" && $"path" < "f/2")
+      .withColumn("commit", lit("c1"))
+      .withColumn("content", concat(lit("reborn "), $"content")))
+
+    val result = s.read.format("graft").load(table.location)
+      .select($"repo", $"path", $"commit", $"lang",
+        sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path", $"commit")
+
+    // materialization must not change the row set: order-independent digest
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        expr("bit_xor(xxhash64(repo, path, commit, lang, content_sha))"),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = digest(result)
+    graft.lake.MorDelete.applyDeletes(table)
+    assert(!table.hasPendingDeletes)
+    val after = digest(table.scan()
+      .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha")))
+    assert(before == after, s"applyDeletes changed the row set: $before vs $after")
+    // the returned plan re-reads the table POST-materialization (same rows,
+    // now through the columnar path — both reader paths end up under the gate)
+    s.read.format("graft").load(table.location)
+      .select($"repo", $"path", $"commit", $"lang",
+        sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path", $"commit")
+  }
+
+  private def q59Changelog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.sources.{And, EqualTo, LessThan}
+    // CHANGE-DATA-FEED under the oracle gate: two appends, a merge-on-read
+    // delete, then a compaction (which auto-materializes the delete — two
+    // rowset-preserving commits the changelog must SKIP). changelogScan
+    // returns insert rows per append version and key-only delete rows from
+    // the eqdel shard; DuckDB re-derives all three slices relationally.
+    val docs = t(s, dir, "documents")
+    val rows = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q59-wh").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/t")
+    table.append(rows.filter($"repo" < "repo_5").repartitionByRange(5, $"repo")) // v1
+    table.append(rows.filter($"repo" >= "repo_5").repartitionByRange(5, $"repo")) // v2
+    graft.lake.MorDelete.deleteWhere(table,
+      Array[org.apache.spark.sql.sources.Filter](
+        And(EqualTo("repo", "repo_2"), LessThan("path", "f/5")))) // v3
+    graft.lake.Maintenance.compact(table, "q59", smallBytes = Long.MaxValue) // v4+v5 skipped
+    assert(table.currentVersion >= 5, "compact must have materialized + compacted")
+    table.changelogScan(0L)
+      .select($"_commit_version".as("v"), $"_change_type".as("change"),
+        $"repo", $"path", $"commit", $"lang",
+        sha2($"content", 256).as("content_sha"))
+      .orderBy($"v", $"change", $"repo", $"path")
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1165,6 +1250,8 @@ object SparkEntry {
     "q55_update"         -> (q55Update(_, _)),
     "q56_shard_export"   -> (q56ShardExport(_, _)),
     "q57_mixture"        -> (q57Mixture(_, _)),
+    "q58_mor_delete"     -> (q58MorDelete(_, _)),
+    "q59_changelog"      -> (q59Changelog(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1339,6 +1426,40 @@ object SparkEntry {
         |WHERE NOT ((doc_id % 10) = 3
         |  OR ((doc_id % 10) = 7 AND 'f/' || doc_id::VARCHAR || '.txt' < 'f/5'))
         |ORDER BY repo, path""".stripMargin,
+    // post-MoR-delete row set, recomputed relationally: survivors of the
+    // delete predicate at commit c0 plus the re-inserted slice at c1 (the
+    // sequence rule keeps re-inserts alive through the older delete)
+    "q58_mor_delete" ->
+      """WITH base AS (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang, text
+        |  FROM documents)
+        |SELECT repo, path, 'c0' AS "commit", lang, sha256(text) AS content_sha
+        |FROM base
+        |WHERE NOT (repo = 'repo_3' OR (repo = 'repo_7' AND path < 'f/5'))
+        |UNION ALL
+        |SELECT repo, path, 'c1' AS "commit", lang,
+        |  sha256('reborn ' || text) AS content_sha
+        |FROM base
+        |WHERE repo = 'repo_3' AND path < 'f/2'
+        |ORDER BY repo, path, "commit"""".stripMargin,
+    // the change-data-feed, re-derived relationally: insert slices per
+    // append version, key-only delete rows (null lang/content) at v3
+    "q59_changelog" ->
+      """WITH base AS (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang, text
+        |  FROM documents)
+        |SELECT 1::BIGINT AS v, 'insert' AS change, repo, path,
+        |  'c0' AS "commit", lang, sha256(text) AS content_sha
+        |FROM base WHERE repo < 'repo_5'
+        |UNION ALL
+        |SELECT 2::BIGINT, 'insert', repo, path, 'c0', lang, sha256(text)
+        |FROM base WHERE repo >= 'repo_5'
+        |UNION ALL
+        |SELECT 3::BIGINT, 'delete', repo, path, 'c0', NULL::VARCHAR, NULL::VARCHAR
+        |FROM base WHERE repo = 'repo_2' AND path < 'f/5'
+        |ORDER BY v, change, repo, path""".stripMargin,
     "q28_xslt_extract" ->
       """SELECT doc_id, doc_id::VARCHAR || '-' || source AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,

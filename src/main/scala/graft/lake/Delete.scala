@@ -124,6 +124,8 @@ object Delete {
   def deleteWhere(table: GraftTable, filters: Array[Filter]): DeleteResult = {
     val spark = table.spark
     import spark.implicits._
+    // the CoW rewrite re-sequences files — materialize pending MoR deletes
+    MorDelete.materializeIfPending(table)
     val snap = table.currentSnapshot.getOrElse(return DeleteResult(0, 0, 0L))
     val cand = table.manifest(snap)
       .filter(GraftScan.manifestPredicate(filters))

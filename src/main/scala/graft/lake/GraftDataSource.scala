@@ -166,8 +166,19 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
     * file-level may-match, so any predicate forces the row path. At 100 TB
     * this turns `SELECT count(*), max(repo) FROM t` from a full scan into
     * one tiny manifest job. */
+  /** pending merge-on-read deletes make manifest record_counts an upper
+    * bound, so the zero-scan aggregate would over-count — refuse pushdown
+    * and let the row path (which applies the deletes) answer. One tiny
+    * driver-side shard-list read, memoized per builder. */
+  private lazy val morPending: Boolean = {
+    val t = new GraftTable(SparkSession.active, location)
+    val s = snapshot.flatMap(t.snapshot).orElse(t.currentSnapshot)
+    s.exists(t.hasEqDeletes)
+  }
+
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    pushed.isEmpty && fromSnapshot.isEmpty && GraftAggScan.translate(agg).isDefined
+    pushed.isEmpty && fromSnapshot.isEmpty && !morPending &&
+      GraftAggScan.translate(agg).isDefined
 
   override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     if (!supportCompletePushDown(agg)) return false
@@ -301,13 +312,34 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
           if (fromSnapshot.isDefined) m.count().toInt
           else if (s.fileCount >= 0) s.fileCount.toInt
           else m.count().toInt
-        val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime))
-          .select("file_path", "record_count", "file_bytes")
-          .as[(String, Long, Long)].collect()
-        pruneInfo = Some((kept.length, total))
-        statsInfo = Some((kept.map(_._2).sum, kept.map(_._3).sum))
-        kept.map { case (p, _, _) =>
-          GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
+        // pending merge-on-read deletes: plan from the seq-tagged manifest
+        // and ship each partition its add seq + the eqdel shard locations so
+        // the reader can apply the deletes per task (row-reader path; stats
+        // then over-count by the not-yet-materialized deleted rows — an
+        // upper bound, same direction Iceberg's stats drift under MoR)
+        val eqdels =
+          if (fromSnapshot.isDefined) Seq.empty // appends after a delete are unaffected by it
+          else table.eqDeleteShards(s).map(sh => table.io.abs(sh.path).toString)
+        if (eqdels.nonEmpty) {
+          val kept = table.manifestWithSeq(s)
+            .filter(GraftScan.manifestPredicate(pushed ++ runtime))
+            .select("file_path", "record_count", "file_bytes", "add_seq")
+            .as[(String, Long, Long, Long)].collect()
+          pruneInfo = Some((kept.length, total))
+          statsInfo = Some((kept.map(_._2).sum, kept.map(_._3).sum))
+          kept.map { case (p, _, _, seq) =>
+            GraftInputPartition(table.io.abs(p).toString, seq, eqdels)
+              .asInstanceOf[InputPartition]
+          }
+        } else {
+          val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime))
+            .select("file_path", "record_count", "file_bytes")
+            .as[(String, Long, Long)].collect()
+          pruneInfo = Some((kept.length, total))
+          statsInfo = Some((kept.map(_._2).sum, kept.map(_._3).sum))
+          kept.map { case (p, _, _) =>
+            GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
+          }
         }
     }
   }
@@ -450,7 +482,12 @@ object GraftScan {
   }
 }
 
-case class GraftInputPartition(absPath: String) extends InputPartition
+/** addSeq/eqDeletes carry the merge-on-read delete state when the scanned
+  * snapshot has pending eqdel shards: the reader filters rows whose key is
+  * deleted at a seq GREATER than the file's add seq (the sequence rule).
+  * Defaults mean "no pending deletes" — the overwhelmingly common case. */
+case class GraftInputPartition(absPath: String, addSeq: Long = Long.MaxValue,
+                               eqDeletes: Seq[String] = Nil) extends InputPartition
 
 /** Scan produced when a COMPLETE aggregate pushdown succeeded: the answer is
   * computed by ONE small distributed job over the live manifest entries
@@ -580,7 +617,11 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true)
   extends PartitionReaderFactory {
   private val columns = required.fieldNames
 
-  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  /** per-partition, but uniform per scan: a scan either planned with
+    * pending MoR deletes (every partition carries them → row path, which
+    * can filter) or without (→ columnar). Never mixed. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.asInstanceOf[GraftInputPartition].eqDeletes.isEmpty
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -590,7 +631,8 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true)
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftPartitionReader(p.absPath, columns)
+    if (p.eqDeletes.isEmpty) new GraftPartitionReader(p.absPath, columns)
+    else new GraftMorFilteringReader(p.absPath, columns, p.addSeq, p.eqDeletes)
   }
 }
 
@@ -720,4 +762,120 @@ class GraftPartitionReader(absPath: String, columns: Array[String])
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** Row reader applying pending MERGE-ON-READ deletes per task (the Iceberg
+  * equality-delete read shape: the key set is loaded into task memory once
+  * per executor and each row probes it). The key columns are read in
+  * addition to the projection when the query didn't ask for them, used for
+  * the probe, and dropped from the emitted row. A row is deleted when its
+  * (repo, path, commit) key appears with del_seq > the file's add seq. */
+class GraftMorFilteringReader(absPath: String, outColumns: Array[String],
+                              addSeq: Long, eqDeletes: Seq[String])
+  extends PartitionReader[InternalRow] {
+  private val keyCols = Array("repo", "path", "commit")
+  private val readCols = (outColumns ++ keyCols).distinct
+  private val inner = new GraftPartitionReader(absPath, readCols)
+  private val identity = readCols.sameElements(outColumns)
+  private val outIdx = outColumns.map(c => readCols.indexOf(c))
+  private val keyIdx = keyCols.map(c => readCols.indexOf(c))
+  private lazy val dels = GraftEqDeletes.keyMap(eqDeletes)
+  private var cur: InternalRow = _
+
+  override def next(): Boolean = {
+    while (inner.next()) {
+      val row = inner.get()
+      val r = row.asInstanceOf[GenericInternalRow]
+      val key = GraftEqDeletes.key(
+        strOf(r, keyIdx(0)), strOf(r, keyIdx(1)), strOf(r, keyIdx(2)))
+      val d = if (key == null) null else dels.get(key)
+      // a null key column can never equal a delete key - keep the row
+      if (d == null || addSeq >= d.longValue()) {
+        cur =
+          if (identity) row
+          else {
+            val out = new GenericInternalRow(outColumns.length)
+            var i = 0
+            while (i < outColumns.length) {
+              out.update(i, valueAt(r, outIdx(i)))
+              i += 1
+            }
+            out
+          }
+        return true
+      }
+    }
+    false
+  }
+
+  // values are read back type-agnostically (the row holds UTF8String or
+  // java.lang.Long); isNullAt/get with the right ordinal avoids the
+  // protected genericGet accessor
+  private def valueAt(r: GenericInternalRow, i: Int): Any =
+    if (r.isNullAt(i)) null
+    else r.values(i)
+
+  private def strOf(r: GenericInternalRow, i: Int): String = {
+    val v = valueAt(r, i)
+    if (v == null) null else v.toString
+  }
+
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
+}
+
+/** Executor-side cache of equality-delete key maps: one load per (executor,
+  * eqdel shard set), shared by every task of the scan - the same "load the
+  * delete file once, probe per row" shape Iceberg's readers use. */
+object GraftEqDeletes {
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.HashMap[String, java.lang.Long]]()
+
+  /** composite probe key; null when any component is null (SQL equality
+    * with null never matches). NUL separators cannot collide: the key
+    * columns come from parquet strings, which never contain NUL here. */
+  def key(repo: String, path: String, commit: String): String =
+    if (repo == null || path == null || commit == null) null
+    else repo + "\u0000" + path + "\u0000" + commit
+
+  def keyMap(shardDirs: Seq[String]): java.util.HashMap[String, java.lang.Long] = {
+    val k = shardDirs.sorted.mkString("\u0001")
+    if (cache.size > 32) cache.clear() // stale shard sets from old snapshots
+    cache.computeIfAbsent(k, _ => load(shardDirs))
+  }
+
+  private def load(shardDirs: Seq[String]): java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    for (dir <- shardDirs) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      val parts =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(p)
+      for (part <- parts) {
+        val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+          ParquetReader.builder(new GroupReadSupport(), part).withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            val kk = key(g.getString("repo", 0), g.getString("path", 0),
+              g.getString("commit", 0))
+            if (kk != null) {
+              val seq = g.getLong("del_seq", 0)
+              m.merge(kk, java.lang.Long.valueOf(seq),
+                (a, b) => if (a.longValue() >= b.longValue()) a else b)
+            }
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    m
+  }
 }

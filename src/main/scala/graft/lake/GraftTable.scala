@@ -75,6 +75,15 @@ object GraftTable {
       StructField("commit", StringType), StructField("lang", StringType),
       StructField("content", StringType), StructField("z", LongType)))
   }
+  /** merge-on-read equality-delete shard rows: the delete key plus the
+    * shard's sequence number (a delete at seq D applies only to data rows
+    * whose add shard seq is < D — the Iceberg sequence rule). */
+  val eqDeleteSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("repo", StringType), StructField("path", StringType),
+      StructField("commit", StringType), StructField("del_seq", LongType)))
+  }
 }
 
 class GraftTable(val spark: SparkSession, val location: String) {
@@ -161,19 +170,104 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def manifestEntries(s: Snapshot): Seq[ManifestEntry] =
     manifest(s).as[ManifestEntry].collect().toSeq
 
-  /** Full-table scan pinned to the current snapshot. */
+  // ---- merge-on-read equality deletes (shard kind "eqdel") -------------
+  //
+  // A MoR delete commits ONLY its matching keys (repo, path, commit) plus
+  // the delete's shard sequence number — no data file is rewritten, so a
+  // whole-corpus retraction at 100 TB costs one small key write instead of
+  // rewriting every touched file. Reads apply the deletes as an anti-join;
+  // the Iceberg sequence rule makes re-inserts safe: a delete at seq D
+  // applies only to rows whose ADD shard seq is < D, so a key re-appended
+  // after the delete (higher add seq) survives.
+
+  /** eqdel shards of a snapshot (empty = no pending merge-on-read deletes). */
+  def eqDeleteShards(s: Snapshot): Seq[ManifestShard] =
+    manifestShards(s).filter(_.kind == "eqdel")
+
+  def hasEqDeletes(s: Snapshot): Boolean = eqDeleteShards(s).nonEmpty
+
+  /** pending deletes on the CURRENT snapshot (driver-side shard-list read). */
+  def hasPendingDeletes: Boolean = currentSnapshot.exists(hasEqDeletes)
+
+  /** live delete keys of a snapshot: (repo, path, commit, del_seq). */
+  def eqDeleteKeys(s: Snapshot): DataFrame = {
+    val shards = eqDeleteShards(s)
+    if (shards.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], GraftTable.eqDeleteSchema)
+    else spark.read.schema(GraftTable.eqDeleteSchema)
+      .parquet(shards.map(sh => io.abs(sh.path).toString): _*)
+  }
+
+  /** Live manifest entries WITH the sequence number of the add shard that
+    * introduced each entry (`add_seq`) — the data-side half of the MoR
+    * sequence comparison. One tiny read per add shard (shard count is
+    * bounded by commits since the last manifest rewrite), metadata-scale. */
+  def manifestWithSeq(s: Snapshot): DataFrame = {
+    val shards = manifestShards(s)
+    val adds = shards.filter(_.kind == "add")
+    val removes = shards.filter(_.kind == "remove").map(sh => io.abs(sh.path).toString)
+    val addDf = adds.map { sh =>
+        spark.read.schema(GraftTable.manifestSchema).parquet(io.abs(sh.path).toString)
+          .withColumn("add_seq", lit(sh.seq.toLong))
+      }.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        GraftTable.manifestSchema).withColumn("add_seq", lit(-1L)))
+    if (removes.isEmpty) addDf
+    else addDf.join(
+      spark.read.schema("file_path STRING").parquet(removes: _*),
+      Seq("file_path"), "left_anti")
+  }
+
+  /** Read data files tagged with their add shard seq: one spark.read per
+    * DISTINCT seq (= per add shard — a handful), unioned. */
+  def readFilesWithSeq(pairs: Seq[(String, Long)]): DataFrame = {
+    if (pairs.isEmpty) return emptyDf.withColumn("add_seq", lit(-1L))
+    pairs.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, ps) =>
+      readFiles(ps.map(_._1)).withColumn("add_seq", lit(seq))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Apply a snapshot's equality deletes to data rows carrying `add_seq`:
+    * anti-join on the (repo, path, commit) key with the residual sequence
+    * condition add_seq < del_seq — an equi-key hash anti-join (the key
+    * columns are equi-join keys; the seq comparison rides as the join
+    * residual), broadcast when the key set is small. Drops add_seq. */
+  def withEqDeletesApplied(s: Snapshot, dataWithSeq: DataFrame): DataFrame = {
+    val keys = eqDeleteKeys(s)
+    dataWithSeq.join(keys,
+        dataWithSeq("repo") === keys("repo") &&
+        dataWithSeq("path") === keys("path") &&
+        dataWithSeq("commit") === keys("commit") &&
+        dataWithSeq("add_seq") < keys("del_seq"),
+        "left_anti")
+      .drop("add_seq")
+  }
+
+  /** Full-table scan pinned to the current snapshot (merge-on-read deletes
+    * applied when pending — zero extra cost otherwise). */
   def scan(): DataFrame = currentSnapshot match {
     case None => emptyDf
+    case Some(s) if hasEqDeletes(s) =>
+      val pairs = manifestWithSeq(s)
+        .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+      withEqDeletesApplied(s, readFilesWithSeq(pairs))
     case Some(s) => readFiles(manifest(s).select("file_path").as[String].collect().toSeq)
   }
 
   /** Pruned scan: prune the manifest DataFrame with a predicate over min/max
     * stats BEFORE collecting the file list (SURVEY.md §4.3 item 3); the same
     * predicate should also be applied to rows by the caller (files may
-    * contain more). Returns (df, totalFiles, keptFiles). */
+    * contain more). Returns (df, totalFiles, keptFiles). Pending
+    * merge-on-read deletes are applied to the surviving files' rows. */
   def prunedScan(manifestPredicate: org.apache.spark.sql.Column): (DataFrame, Int, Int) =
     currentSnapshot match {
       case None => (emptyDf, 0, 0)
+      case Some(s) if hasEqDeletes(s) =>
+        val m = manifestWithSeq(s)
+        val total = m.count().toInt
+        val kept = m.filter(manifestPredicate)
+          .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+        (withEqDeletesApplied(s, readFilesWithSeq(kept)), total, kept.size)
       case Some(s) =>
         val m = manifest(s)
         val total = m.count().toInt
@@ -341,6 +435,58 @@ class GraftTable(val spark: SparkSession, val location: String) {
     finishCommit(newVersion, parent, shards, operation, liveCount, fileCount)
   }
 
+  /** Commit a merge-on-read delete: the caller has already written the key
+    * shard (distributed) at the seq this method reserved via
+    * [[nextEqDeleteSeq]]. Metadata-only — no data file changes; the live
+    * record count drops by the matched-row count, the file count doesn't. */
+  private[lake] def commitEqDelete(shardRel: String, deletedRows: Long): Snapshot = {
+    init()
+    val parent = currentSnapshot
+    val newVersion = currentVersion + 1
+    val (prev, seq) = parentShards(parent)
+    val shards = prev :+ ManifestShard(seq + 1, "eqdel", shardRel)
+    val liveCount = parent.map(_.recordCount).getOrElse(0L) - deletedRows
+    finishCommit(newVersion, parent, shards, "mor-delete", liveCount,
+      parent.map(_.fileCount).getOrElse(0L))
+  }
+
+  /** the seq the NEXT eqdel shard will get (single-writer assumption — the
+    * same one every commit here makes): keys must be stamped with their
+    * del_seq before the shard is written. */
+  private[lake] def nextEqDeleteSeq: Long =
+    parentShards(currentSnapshot)._2.toLong + 1L
+
+  /** Commit the MATERIALIZATION of pending merge-on-read deletes: the
+    * affected files were rewritten with deletes applied, every eqdel shard
+    * is dropped from the manifest list, and the live record count is
+    * UNCHANGED (the MoR commits already subtracted the deleted rows — this
+    * commit only converts logical deletes into physical ones). */
+  private[lake] def commitApplyDeletes(added: Seq[ManifestEntry],
+                                       removedPaths: Set[String]): Snapshot = {
+    val parent = currentSnapshot.getOrElse(
+      throw new IllegalStateException("applyDeletes on an empty table"))
+    val newVersion = currentVersion + 1
+    var shards = manifestShards(parent).filterNot(_.kind == "eqdel")
+    var seq = shards.map(_.seq).maxOption.getOrElse(0)
+    if (added.nonEmpty) {
+      val addRel = s"meta/manifest-add-v$newVersion.parquet"
+      MetaIO.writeEntries(io, addRel, added)
+      seq += 1
+      shards :+= ManifestShard(seq, "add", addRel)
+    }
+    if (removedPaths.nonEmpty) {
+      val rmRel = s"meta/manifest-remove-v$newVersion.parquet"
+      MetaIO.writeRemoves(io, rmRel, removedPaths.toSeq.sorted)
+      seq += 1
+      shards :+= ManifestShard(seq, "remove", rmRel)
+    }
+    val parentFiles = parent.fileCount
+    val fileCount =
+      if (parentFiles < 0) -1L else parentFiles + added.size - removedPaths.size
+    finishCommit(newVersion, Some(parent), shards, "apply-deletes",
+      parent.recordCount, fileCount)
+  }
+
   private def parentShards(parent: Option[Snapshot]): (Seq[ManifestShard], Int) = {
     val prev = parent.map(manifestShards).getOrElse(Seq.empty)
     (prev, prev.map(_.seq).maxOption.getOrElse(0))
@@ -406,9 +552,12 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   /** snapshot operations that leave the live ROW SET untouched (file
-    * rewrites only) — they contribute nothing to an append changelog. */
+    * rewrites only) — they contribute nothing to an append changelog.
+    * apply-deletes qualifies: it only MATERIALIZES deletes that already
+    * left the row set at their mor-delete commit. */
   private val rowsetPreservingOps =
-    Set("compact", "cluster_hilbert", "cluster_zorder", "manifest_rewrite")
+    Set("compact", "cluster_hilbert", "cluster_zorder", "manifest_rewrite",
+        "apply-deletes")
 
   /** The APPEND-ONLY CHANGELOG: manifest entries for rows appended in
     * (fromV, toV] — the Iceberg-style incremental scan that lets a
@@ -448,6 +597,64 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val to = if (toV < 0) currentVersion else toV
     import spark.implicits._
     readFiles(incrementalEntries(fromV, to).select("file_path").as[String].collect().toSeq)
+  }
+
+  /** THE CHANGE-DATA-FEED: every row change in (fromV, toV] as
+    * (_change_type, _commit_version) rows — the Delta-CDF/Iceberg-changelog
+    * read that lets a downstream pipeline apply deltas instead of diffing
+    * 100-TB snapshots. Appends (incl. WAP publishes) become `insert` rows;
+    * a merge-on-read delete becomes `delete` rows read STRAIGHT FROM ITS
+    * EQDEL KEY SHARD (key columns only — lang/content are null, the delete
+    * never knew them; the key identifies the retracted row). File rewrites
+    * (compact/cluster/manifest-rewrite/apply-deletes) change no rows and
+    * contribute nothing. Copy-on-write row changes (merge/update/CoW
+    * delete) cannot be expressed from their commits' metadata — refused
+    * loudly, never silently partial. */
+  def changelogScan(fromV: Long, toV: Long = -1L): DataFrame = {
+    val to = if (toV < 0) currentVersion else toV
+    require(fromV >= 0 && fromV <= to,
+      s"changelog range (v$fromV, v$to] is not a valid version interval")
+    var v = to
+    var inserts = List.empty[(Long, Seq[String])] // version -> data files
+    var deletes = List.empty[(Long, String)]      // version -> eqdel shard
+    while (v > fromV) {
+      val s = snapshot(v).getOrElse(throw new IllegalArgumentException(
+        s"snapshot v$v is missing (expired?) — changelog (v$fromV, v$to] cannot be reconstructed"))
+      s.operation match {
+        case "append" => inserts ::= (v, addedShardPaths(s))
+        case op if op.startsWith("publish-wap") => inserts ::= (v, addedShardPaths(s))
+        case "mor-delete" => deletes ::= (v, s"meta/manifest-eqdel-v$v.parquet")
+        case op if rowsetPreservingOps(op) => // no row change
+        case op => throw new IllegalArgumentException(
+          s"changelog crosses snapshot v$v (operation=$op): a copy-on-write " +
+          "row change is not reconstructible from commit metadata — full refresh required")
+      }
+      v = s.parent
+    }
+    import spark.implicits._
+    val insDf = inserts.map { case (ver, shardPaths) =>
+      val files =
+        if (shardPaths.isEmpty) Seq.empty[String]
+        else spark.read.schema(GraftTable.manifestSchema)
+          .parquet(shardPaths.map(p => io.abs(p).toString): _*)
+          .select("file_path").as[String].collect().toSeq
+      readFiles(files)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(ver))
+    }
+    val delDf = deletes.map { case (ver, shard) =>
+      spark.read.schema(GraftTable.eqDeleteSchema).parquet(io.abs(shard).toString)
+        .select($"repo", $"path", $"commit",
+          lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("content"),
+          lit("delete").as("_change_type"), lit(ver).as("_commit_version"))
+    }
+    val all = insDf.map(_.select($"repo", $"path", $"commit", $"lang", $"content",
+      $"_change_type", $"_commit_version")) ++ delDf
+    all.reduceOption(_ unionByName _).getOrElse {
+      emptyDf.withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L)).limit(0)
+    }
   }
 
   /** Timestamp-based snapshot expire: drop expired snapshot json + their
@@ -609,6 +816,13 @@ class GraftTable(val spark: SparkSession, val location: String) {
     currentSnapshot match {
       case None => commitDelta(Seq.empty, None, "manifest_rewrite")
       case Some(s) =>
+        // the rebase collapses every add shard to seq 1, which would destroy
+        // the per-file sequence numbers the MoR delete rule compares against
+        // (a key re-inserted AFTER a delete would suddenly match it) —
+        // materialize pending deletes first
+        require(!hasEqDeletes(s),
+          "rewriteManifests with pending merge-on-read deletes would lose " +
+          "their sequence ordering — run MorDelete.applyDeletes(table) first")
         val root = location
         // batched existence: each data dir is listed ONCE, on executors
         val dataDirs = io.list("data").map(d => s"data/$d")

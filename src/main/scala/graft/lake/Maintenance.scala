@@ -32,6 +32,9 @@ object Maintenance {
       val s = Lineage.summary(table, jobId, phase).get
       return CompactionResult(s.inputFiles.size, s.outputFiles.size, s.rowCount)
     }
+    // a rewrite re-sequences files, which would detach pending MoR deletes —
+    // materialize FIRST, then plan against the post-materialization snapshot
+    MorDelete.materializeIfPending(table)
     val snapOpt = table.currentSnapshot
     if (snapOpt.isEmpty) return CompactionResult(0, 0, 0)
     // distributed planning: predicate + byte/record sums on the manifest DF,
@@ -66,6 +69,7 @@ object Maintenance {
     val phase = if (useHilbert) "cluster_hilbert" else "cluster_zorder"
     if (Lineage.isDone(table, jobId, phase))
       return Lineage.summary(table, jobId, phase).get.rowCount
+    MorDelete.materializeIfPending(table)
     val snapOpt = table.currentSnapshot
     if (snapOpt.isEmpty) return 0L
     val snap = snapOpt.get
@@ -125,6 +129,7 @@ object Maintenance {
   def compactBatched(table: GraftTable, jobId: String,
                      smallBytes: Long = 8L << 20, targetBytes: Long = 64L << 20,
                      batchFiles: Int = 250000): (Seq[CompactionResult], BatchPlan) = {
+    MorDelete.materializeIfPending(table)
     val snapOpt = table.currentSnapshot
     if (snapOpt.isEmpty) return (Seq.empty, BatchPlan(0, 0, 0))
     val small = table.manifest(snapOpt.get)
@@ -160,6 +165,7 @@ object Maintenance {
                      filesPerBatchOutput: Int = 0, batchFiles: Int = 250000,
                      saltBuckets: Int = 8): (Long, BatchPlan) = {
     val spark = table.spark
+    MorDelete.materializeIfPending(table)
     val snapOpt = table.currentSnapshot
     if (snapOpt.isEmpty) return (0L, BatchPlan(0, 0, 0))
     val ordered = table.manifest(snapOpt.get)
@@ -226,6 +232,8 @@ object Maintenance {
       Lineage.record(table, jobId, phase, Seq.empty, added)
       return MergeResult(0, added.map(_.record_count).sum, 0)
     }
+    // the CoW rewrite re-sequences files — materialize pending MoR deletes
+    MorDelete.materializeIfPending(table)
 
     val src = source.select(dataCols.map(col): _*).cache()
     val srcKeys = src.select(keys.map(col): _*).distinct()

@@ -43,6 +43,8 @@ object Update {
     require(bad.isEmpty, s"cannot assign columns $bad (z is derived; " +
       s"assignable: ${assignable.mkString(", ")})")
 
+    // the CoW rewrite re-sequences files — materialize pending MoR deletes
+    MorDelete.materializeIfPending(table)
     val snap = table.currentSnapshot.getOrElse(return UpdateResult(0, 0, 0L))
     val man = table.manifest(snap)
     val total = if (snap.fileCount >= 0) snap.fileCount else man.count()
