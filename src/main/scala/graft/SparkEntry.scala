@@ -1131,6 +1131,51 @@ object SparkEntry {
       .orderBy($"v", $"change", $"repo", $"path")
   }
 
+  private def q60Spj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // STORAGE-PARTITIONED JOIN under the oracle gate: two lake tables are
+    // bucket-clustered on repo (Maintenance.bucketize), then joined on repo
+    // through the SQL catalog — the scan reports KeyGroupedPartitioning over
+    // bucket(8, repo) and the join runs with ZERO exchanges (pinned below:
+    // no shuffle, no broadcast). At 100 TB this is the difference between
+    // re-shuffling the fact table on every join and reading co-located
+    // buckets in place. DuckDB recomputes the join + aggregate relationally.
+    val docs = t(s, dir, "documents")
+    val rowsA = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val rowsB = docs.filter($"doc_id" % 3 === 0).select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("g/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c1").as("commit"), $"lang", concat(lit("dim "), $"text").as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q60-wh").toString
+    val ta = new graft.lake.GraftTable(s, s"$wh/ns/a")
+    val tb = new graft.lake.GraftTable(s, s"$wh/ns/b")
+    ta.append(rowsA)
+    tb.append(rowsB)
+    graft.lake.Maintenance.bucketize(ta, 8)
+    graft.lake.Maintenance.bucketize(tb, 8)
+    val cat = "g60_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // plan pin: the raw join (MERGE hint keeps the small side from
+    // broadcasting) must contain no Exchange of any kind
+    val probe = s.sql(
+      s"""SELECT /*+ MERGE(b) */ a.repo FROM $cat.ns.a a
+         |JOIN $cat.ns.b b ON a.repo = b.repo""".stripMargin)
+    assert(probe.count() > 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"storage-partitioned join must not shuffle or broadcast:\n$plan")
+    s.sql(
+      s"""SELECT /*+ MERGE(b) */ a.repo, count(*) AS pairs,
+         |  cast(sum(cast(length(a.content) AS bigint) * length(b.content)) AS bigint) AS chk
+         |FROM $cat.ns.a a JOIN $cat.ns.b b ON a.repo = b.repo
+         |GROUP BY a.repo ORDER BY a.repo""".stripMargin)
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1252,6 +1297,7 @@ object SparkEntry {
     "q57_mixture"        -> (q57Mixture(_, _)),
     "q58_mor_delete"     -> (q58MorDelete(_, _)),
     "q59_changelog"      -> (q59Changelog(_, _)),
+    "q60_spj"            -> (q60Spj(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1460,6 +1506,20 @@ object SparkEntry {
         |SELECT 3::BIGINT, 'delete', repo, path, 'c0', NULL::VARCHAR, NULL::VARCHAR
         |FROM base WHERE repo = 'repo_2' AND path < 'f/5'
         |ORDER BY v, change, repo, path""".stripMargin,
+    // the storage-partitioned join's result, recomputed as a plain
+    // relational join over the same derivation (the zero-exchange plan
+    // property is pinned inside the query; the oracle checks the ROWS)
+    "q60_spj" ->
+      """WITH a AS (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo, text AS content
+        |  FROM documents),
+        |b AS (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo, 'dim ' || text AS content
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT a.repo, count(*)::BIGINT AS pairs,
+        |  sum(length(a.content)::BIGINT * length(b.content))::BIGINT AS chk
+        |FROM a JOIN b ON a.repo = b.repo
+        |GROUP BY a.repo ORDER BY a.repo""".stripMargin,
     "q28_xslt_extract" ->
       """SELECT doc_id, doc_id::VARCHAR || '-' || source AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1,0 +1,93 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Storage bucketing for graft tables — the layout behind STORAGE-PARTITIONED
+  * JOINS (the Iceberg/SPARK-37375 feature): once two tables are
+  * bucket-clustered on the same key with the same bucket count, a join on
+  * that key needs NO shuffle on either side — at 100 TB the difference
+  * between re-shuffling the fact table per join and reading co-located
+  * buckets in place.
+  *
+  * The bucket function is `pmod(xxhash64(col), n)` — exactly Spark's
+  * `xxhash64` expression (seed 42), so the write-side routing column, the
+  * per-file purity stats, and the V2 [[BucketFunction]] the catalog exposes
+  * for Catalyst's `TransformExpression` compatibility check all compute the
+  * identical value.
+  */
+object Bucketing {
+
+  /** the bucket id of each row: pmod(xxhash64(col), n), as an int column. */
+  def bucketCol(column: String, n: Int): Column =
+    pmod(xxhash64(col(column)), lit(n.toLong)).cast("int")
+
+  /** Exact bucket→shuffle-partition routing: `df.repartition(n, expr)` places
+    * a row in partition pmod(murmur3(expr, 42), n), NOT partition `expr` —
+    * so repartitioning on the bucket id directly would mix several buckets
+    * into one task (and leave others empty), breaking the one-pure-file-per-
+    * bucket layout. Instead each bucket id b is remapped to a representative
+    * int r(b) chosen (once, driver-side, O(n) probes) so that murmur3 routes
+    * r(b) to partition b — the shuffle then lands every bucket in its own
+    * task deterministically, with no RDD round-trip and no sampling. */
+  private[lake] def routeValues(n: Int): Array[Int] = {
+    val out = Array.fill(n)(-1)
+    var found = 0
+    var i = 0
+    while (found < n) {
+      val h = Murmur3_x86_32.hashInt(i, 42)
+      val b = ((h % n) + n) % n
+      if (out(b) < 0) { out(b) = i; found += 1 }
+      i += 1
+    }
+    out
+  }
+
+  /** Repartition df into exactly n tasks, task b holding exactly bucket b's
+    * rows (each task then writes one bucket-pure data file). */
+  def route(df: DataFrame, column: String, n: Int): DataFrame = {
+    val remap = routeValues(n).toSeq
+    df.withColumn("_graft_route",
+        element_at(typedLit(remap), bucketCol(column, n) + 1))
+      .repartition(n, col("_graft_route"))
+      .drop("_graft_route")
+  }
+
+  /** V2 bucket function (FunctionCatalog name "bucket"): lets Catalyst
+    * resolve the `bucket(n, col)` transform the scan reports in its
+    * KeyGroupedPartitioning. SPJ compatibility compares the two sides'
+    * bound functions by canonicalName + the numBuckets literal; the function
+    * is only ever EVALUATED on the rare partially-clustered paths, where it
+    * must (and does) match the write-side routing exactly. */
+  object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): pmod(xxhash64(col), n) — graft storage bucketing"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket takes (numBuckets INT, col STRING), got $inputType")
+      BucketBound
+    }
+  }
+
+  object BucketBound extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    override def produceResult(input: InternalRow): Integer = {
+      val n = input.getInt(0)
+      // xxhash64 expression semantics: a null input leaves the seed untouched
+      val h =
+        if (input.isNullAt(1)) 42L
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(input.getUTF8String(1), StringType, 42L)
+      (((h % n) + n) % n).toInt
+    }
+  }
+}

@@ -24,7 +24,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlread
   * V1-bridge writes. `FOR VERSION AS OF v` resolves through the snapshot
   * machinery (loadTable(ident, version)) for SQL time travel.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -89,6 +89,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("rename not supported (path-addressed tables)")
+
+  // -- FunctionCatalog: serves the bucket transform so Catalyst can resolve
+  // the KeyGroupedPartitioning a bucket-clustered scan reports (the function
+  // identity is what storage-partitioned-join compatibility compares) --
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") Bucketing.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   // -- SupportsNamespaces (warehouse directories) --
   override def listNamespaces(): Array[Array[String]] = {

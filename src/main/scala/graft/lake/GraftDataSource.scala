@@ -216,7 +216,34 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
                 maxVersionsPerBatch: Option[Long] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED JOINS: when the table is bucket-clustered
+    * (Maintenance.bucketize) and every surviving file is bucket-pure, the
+    * scan reports KeyGroupedPartitioning over the `bucket(n, col)` transform
+    * and plans exactly one InputPartition per bucket (all n buckets, empty
+    * ones included, so two tables bucketed the same way always expose
+    * ALIGNED partition values). A join of two such tables on the bucket
+    * column then needs NO shuffle on either side — with
+    * spark.sql.sources.v2.bucketing.enabled and the table resolved through
+    * GraftCatalog (whose FunctionCatalog serves the bucket function). Any
+    * unbucketed file, pending MoR delete, or incremental read degrades to
+    * UnknownPartitioning — never to a wrong join. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    planInputPartitions() // cached; sets bucketInfo
+    bucketInfo match {
+      case Some((c, n)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          planInputPartitions().length)
+    }
+  }
+
+  @volatile private var bucketInfo: Option[(String, Int)] = None
 
   /** RUNTIME file pruning (the DSv2 analogue of dynamic partition pruning):
     * when this scan sits under a join whose other side produces a runtime
@@ -321,6 +348,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
           if (fromSnapshot.isDefined) Seq.empty // appends after a delete are unaffected by it
           else table.eqDeleteShards(s).map(sh => table.io.abs(sh.path).toString)
         if (eqdels.nonEmpty) {
+          bucketInfo = None // pending MoR deletes: row path, no key grouping
           val kept = table.manifestWithSeq(s)
             .filter(GraftScan.manifestPredicate(pushed ++ runtime))
             .select("file_path", "record_count", "file_bytes", "add_seq")
@@ -333,12 +361,30 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
           }
         } else {
           val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime))
-            .select("file_path", "record_count", "file_bytes")
-            .as[(String, Long, Long)].collect()
+            .select("file_path", "record_count", "file_bytes", "bucket")
+            .as[(String, Long, Long, Option[Int])].collect()
           pruneInfo = Some((kept.length, total))
           statsInfo = Some((kept.map(_._2).sum, kept.map(_._3).sum))
-          kept.map { case (p, _, _) =>
-            GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
+          // bucket grouping: only for a full-table (non-incremental) batch
+          // read whose EVERY surviving file carries a valid bucket id
+          val spec = if (fromSnapshot.isEmpty) table.bucketSpec else None
+          val grouped = spec.filter { case (_, n) =>
+            kept.forall(_._4.exists(b => b >= 0 && b < n))
+          }
+          grouped match {
+            case Some((c, n)) =>
+              bucketInfo = Some((c, n))
+              val byBucket = kept.groupBy(_._4.get)
+              Array.tabulate[InputPartition](n) { b =>
+                GraftBucketedPartition(b,
+                  byBucket.getOrElse(b, Array.empty[(String, Long, Long, Option[Int])])
+                    .map(k => table.io.abs(k._1).toString).toSeq)
+              }
+            case None =>
+              bucketInfo = None
+              kept.map { case (p, _, _, _) =>
+                GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
+              }
           }
         }
     }
@@ -489,6 +535,17 @@ object GraftScan {
 case class GraftInputPartition(absPath: String, addSeq: Long = Long.MaxValue,
                                eqDeletes: Seq[String] = Nil) extends InputPartition
 
+/** One partition per storage bucket (possibly several bucket-pure files,
+  * possibly none — empty buckets are still emitted so both sides of a
+  * storage-partitioned join expose identical partition-value sets). The
+  * partition key is the bucket id, which Spark's KeyGroupedPartitioning
+  * machinery aligns across the join. */
+case class GraftBucketedPartition(bucket: Int, absPaths: Seq[String])
+  extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 /** Scan produced when a COMPLETE aggregate pushdown succeeded: the answer is
   * computed by ONE small distributed job over the live manifest entries
   * (Σ record_count / min / max — a few rows per data file, never the data),
@@ -621,19 +678,60 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true)
     * pending MoR deletes (every partition carries them → row path, which
     * can filter) or without (→ columnar). Never mixed. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && partition.asInstanceOf[GraftInputPartition].eqDeletes.isEmpty
+    partition match {
+      case p: GraftInputPartition => columnar && p.eqDeletes.isEmpty
+      case _: GraftBucketedPartition => columnar
+    }
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    new GraftColumnarPartitionReader(p.absPath, required)
-  }
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case p: GraftInputPartition =>
+        new GraftColumnarPartitionReader(p.absPath, required)
+      case b: GraftBucketedPartition =>
+        GraftChainedReader.columnar(b.absPaths, required)
+    }
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftInputPartition]
-    if (p.eqDeletes.isEmpty) new GraftPartitionReader(p.absPath, columns)
-    else new GraftMorFilteringReader(p.absPath, columns, p.addSeq, p.eqDeletes)
-  }
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: GraftInputPartition =>
+        if (p.eqDeletes.isEmpty) new GraftPartitionReader(p.absPath, columns)
+        else new GraftMorFilteringReader(p.absPath, columns, p.addSeq, p.eqDeletes)
+      case b: GraftBucketedPartition =>
+        GraftChainedReader.rows(b.absPaths, columns)
+    }
+}
+
+/** Sequential concatenation of per-file readers — a bucketed partition may
+  * hold several bucket-pure files (appends after bucketize); each is opened
+  * only when its predecessor is exhausted, so memory stays one-file-bounded. */
+object GraftChainedReader {
+  def columnar(paths: Seq[String], required: StructType)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    chain(paths, p => new GraftColumnarPartitionReader(p, required))
+
+  def rows(paths: Seq[String], columns: Array[String]): PartitionReader[InternalRow] =
+    chain(paths, p => new GraftPartitionReader(p, columns))
+
+  private def chain[T](paths: Seq[String],
+                       open: String => PartitionReader[T]): PartitionReader[T] =
+    new PartitionReader[T] {
+      private val it = paths.iterator
+      private var cur: PartitionReader[T] = _
+      override def next(): Boolean = {
+        while (true) {
+          if (cur == null) {
+            if (!it.hasNext) return false
+            cur = open(it.next())
+          }
+          if (cur.next()) return true
+          cur.close(); cur = null
+        }
+        false
+      }
+      override def get(): T = cur.get()
+      override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+    }
 }
 
 /** Vectorized per-file reader: next()/get() surface one ColumnarBatch per

@@ -53,7 +53,14 @@ final case class ManifestEntry(file_path: String, partition: String,
                                min_path: String, max_path: String,
                                langs: Seq[String], min_z: Long, max_z: Long,
                                min_rh: Long, max_rh: Long, // xxhash64(repo) bounds
-                               digest: Long) // xor of per-row content hashes
+                               digest: Long, // xor of per-row content hashes
+                               // storage bucket this file is PURE to (None =
+                               // unbucketed / written before bucketing) — the
+                               // layout invariant storage-partitioned joins
+                               // ride on; any entry with None degrades the
+                               // scan to unknown partitioning, never to a
+                               // wrong join
+                               bucket: Option[Int] = None)
 
 final case class ManifestShard(seq: Int, kind: String, path: String) // add | remove
 
@@ -296,7 +303,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * returning manifest entries with per-file stats AND per-file digests
     * (xor of per-row content hashes) from one distributed stats pass.
     * Expects source_files schema + optional z col. */
-  def writeDataFiles(df: DataFrame, tag: String): Seq[ManifestEntry] = {
+  def writeDataFiles(df: DataFrame, tag: String,
+                     bucketBy: Option[(String, Int)] = None): Seq[ManifestEntry] = {
     val batch = s"b-${UUID.randomUUID().toString.take(8)}-$tag"
     val outRel = s"data/$batch"
     val cols = df.columns
@@ -308,7 +316,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
     // one stats pass over the freshly written batch (stats + per-file digest)
     val written = spark.read.schema(withZ.schema).parquet(io.abs(outRel).toString)
-    entriesFor(written, tag, io.listWithSizes(outRel))
+    entriesFor(written, tag, io.listWithSizes(outRel), bucketBy)
   }
 
   /** Manifest entries for data files that ALREADY exist under the table root
@@ -325,16 +333,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
   }
 
   private def entriesFor(written0: DataFrame, tag: String,
-                         sizes: Map[String, Long]): Seq[ManifestEntry] = {
+                         sizes: Map[String, Long],
+                         bucketBy: Option[(String, Int)] = None): Seq[ManifestEntry] = {
     val written = written0.withColumn("h", GraftTable.rowHash())
+    // when the batch claims a bucketed layout, the same stats pass verifies
+    // it: per-file min and max bucket id must agree, or the write is refused
+    // (a silently impure file would make a later storage-partitioned join
+    // silently WRONG — fail at write time, not at query time)
+    val bucketAggs = bucketBy.toSeq.flatMap { case (c, n) =>
+      val b = Bucketing.bucketCol(c, n)
+      Seq(min(b).as("bmin"), max(b).as("bmax"))
+    }
     val stats = written.groupBy(input_file_name().as("abs_path"))
       .agg(count(lit(1)).as("record_count"),
-           min($"repo").as("min_repo"), max($"repo").as("max_repo"),
+           (Seq(min($"repo").as("min_repo"), max($"repo").as("max_repo"),
            min($"path").as("min_path"), max($"path").as("max_path"),
            collect_set($"lang").as("langs"),
            min($"z").as("min_z"), max($"z").as("max_z"),
            min(xxhash64($"repo")).as("min_rh"), max(xxhash64($"repo")).as("max_rh"),
-           expr("bit_xor(h)").as("digest"))
+           expr("bit_xor(h)").as("digest")) ++ bucketAggs): _*)
       .collect()
 
     // the caller's directory listing supplies all byte sizes (no per-file
@@ -344,10 +361,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
     stats.toSeq.map { r =>
       val rel = io.relativize(r.getString(0))
       val name = rel.substring(rel.lastIndexOf('/') + 1)
+      val bucket = bucketBy.map { _ =>
+        val (bmin, bmax) = (r.getInt(12), r.getInt(13))
+        require(bmin == bmax,
+          s"bucketed write produced an impure file $rel (buckets $bmin..$bmax)")
+        bmin
+      }
       ManifestEntry(rel, tag, r.getLong(1), sizes.getOrElse(name, io.size(rel)),
         r.getString(2), r.getString(3), r.getString(4), r.getString(5),
         r.getSeq[String](6), r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
-        r.getLong(11))
+        r.getLong(11), bucket)
     }
   }
 
@@ -530,9 +553,30 @@ class GraftTable(val spark: SparkSession, val location: String) {
         if (r.isNullAt(0)) 0L else r.getLong(0)
     }
 
+  // ---- storage bucketing (the layout behind storage-partitioned joins) --
+
+  /** the table's bucket spec: (column, numBuckets), persisted by
+    * Maintenance.bucketize. Cheap driver-side read, None = unbucketed. */
+  def bucketSpec: Option[(String, Int)] =
+    if (!io.exists("meta/bucket-spec.json")) None
+    else {
+      val m = parseJsonFlat(io.readString("meta/bucket-spec.json"))
+      Some((m("bucketCol"), m("bucketN").toInt))
+    }
+
+  private[lake] def writeBucketSpec(column: String, n: Int): Unit =
+    io.writeString("meta/bucket-spec.json",
+      s"""{"bucketCol": "$column", "bucketN": $n}""")
+
   def append(df: DataFrame): Snapshot = {
     init()
-    val added = writeDataFiles(df, "append")
+    // a bucketed table keeps its layout across appends: rows are routed so
+    // every new file stays bucket-pure (one extra shuffle per append — the
+    // price every bucketed table format pays to preserve shuffle-free joins)
+    val added = bucketSpec match {
+      case Some((c, n)) => writeDataFiles(Bucketing.route(df, c, n), "append", Some((c, n)))
+      case None => writeDataFiles(df, "append")
+    }
     commit(added, Set.empty, "append")
   }
 
@@ -556,8 +600,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * apply-deletes qualifies: it only MATERIALIZES deletes that already
     * left the row set at their mor-delete commit. */
   private val rowsetPreservingOps =
-    Set("compact", "cluster_hilbert", "cluster_zorder", "manifest_rewrite",
-        "apply-deletes")
+    Set("compact", "cluster_hilbert", "cluster_zorder", "cluster_bucket",
+        "manifest_rewrite", "apply-deletes")
 
   /** The APPEND-ONLY CHANGELOG: manifest entries for rows appended in
     * (fromV, toV] — the Iceberg-style incremental scan that lets a

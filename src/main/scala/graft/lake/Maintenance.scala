@@ -59,6 +59,29 @@ object Maintenance {
     CompactionResult(smallPaths.size, added.size, added.map(_.record_count).sum)
   }
 
+  /** BUCKET-cluster the whole table on `column` into `n` storage buckets —
+    * the one-time layout rewrite that buys every later join on that column
+    * its shuffle back (storage-partitioned joins, Bucketing.scala). Each
+    * output file is bucket-pure (verified in the same stats pass that
+    * commits it); the spec is persisted so appends stay routed and the DSv2
+    * scan can report KeyGroupedPartitioning. A full rewrite (one shuffle),
+    * amortized across every subsequent join/groupBy on the bucket column. */
+  def bucketize(table: GraftTable, n: Int, column: String = "repo"): Long = {
+    require(n > 0, s"bucket count must be positive, got $n")
+    require(GraftTable.dataSchema.fieldNames.contains(column),
+      s"bucket column $column is not in the graft schema")
+    require(!table.hasPendingDeletes,
+      "bucketize with pending merge-on-read deletes would re-sequence files " +
+      "past their deletes — run MorDelete.applyDeletes(table) first")
+    val snapOpt = table.currentSnapshot
+    if (snapOpt.isEmpty) { table.writeBucketSpec(column, n); return 0L }
+    val routed = Bucketing.route(table.scan(), column, n)
+    val added = table.writeDataFiles(routed, s"bucket$n", Some((column, n)))
+    table.writeBucketSpec(column, n)
+    table.commitFull(added, "cluster_bucket")
+    added.map(_.record_count).sum
+  }
+
   /** Z-order (or Hilbert) clustering of the whole table: compute the cluster
     * key, salted range repartition (skew: a few giant repos), sort within
     * partitions, rewrite all files. */

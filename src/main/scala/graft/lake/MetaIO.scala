@@ -39,6 +39,7 @@ object MetaIO {
       |  optional int64 min_rh;
       |  optional int64 max_rh;
       |  optional int64 digest;
+      |  optional int32 bucket;
       |}""".stripMargin)
 
   private val shardSchema: MessageType = MessageTypeParser.parseMessageType(
@@ -117,6 +118,7 @@ object MetaIO {
       g.append("min_z", e.min_z).append("max_z", e.max_z)
         .append("min_rh", e.min_rh).append("max_rh", e.max_rh)
         .append("digest", e.digest)
+      e.bucket.foreach(b => g.append("bucket", b))
       w.write(g)
     } finally w.close()
   }

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.lake.{Bucketing, GraftTable, Maintenance}
+
+/** Storage-partitioned joins: bucket-clustered tables whose joins on the
+  * bucket column need no shuffle on either side. */
+class SpjSpec extends SparkTestBase {
+  import org.apache.spark.sql.DataFrame
+
+  private def rows(n: Int, commit: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until n).toDF("i").select(
+      concat(lit("repo_"), ($"i" % 13).cast("string")).as("repo"),
+      concat(lit("f/"), $"i".cast("string")).as("path"),
+      lit(commit).as("commit"),
+      element_at(typedLit(Seq("scala", "c", "rust")), ($"i" % 3) + 1).as("lang"),
+      concat(lit("content "), $"i".cast("string")).as("content"))
+  }
+
+  test("route places every bucket in its own task, files come out pure") {
+    val df = rows(500, "c0")
+    val n = 8
+    val routed = Bucketing.route(df, "repo", n)
+    val s = spark
+    import s.implicits._
+    val perPart = routed
+      .withColumn("b", Bucketing.bucketCol("repo", n))
+      .withColumn("p", spark_partition_id())
+      .groupBy($"p").agg(countDistinct($"b").as("nb"), first($"b").as("b"))
+      .collect()
+    assert(perPart.forall(_.getLong(1) == 1L), "each task must hold exactly one bucket")
+    assert(perPart.map(r => (r.getInt(0), r.getInt(2))).forall { case (p, b) => p == b },
+      "task index must equal bucket id (exact routing)")
+  }
+
+  test("bucketize commits bucket-pure files; appends stay routed") {
+    val wh = Files.createTempDirectory("graft-spj-b").toString
+    val t = new GraftTable(spark, s"$wh/t")
+    t.append(rows(300, "c0"))
+    assert(t.bucketSpec.isEmpty)
+    val total = Maintenance.bucketize(t, 8)
+    assert(total == 300)
+    assert(t.bucketSpec.contains(("repo", 8)))
+    val entries = t.manifestEntries(t.currentSnapshot.get)
+    assert(entries.forall(_.bucket.isDefined), "every rewritten file carries its bucket")
+    assert(entries.map(_.bucket.get).distinct.sorted == entries.map(_.bucket.get).distinct.sorted)
+    // append after bucketize: new files still bucket-pure
+    t.append(rows(100, "c1"))
+    val e2 = t.manifestEntries(t.currentSnapshot.get)
+    assert(e2.forall(_.bucket.isDefined), "appends to a bucketed table stay bucketed")
+    assert(t.scan().count() == 400)
+  }
+
+  test("SQL join of two bucketed tables on the bucket column runs with zero exchanges") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft-spj-wh").toString
+    val a = new GraftTable(spark, s"$wh/ns/a")
+    val b = new GraftTable(spark, s"$wh/ns/b")
+    a.append(rows(400, "c0"))
+    b.append(rows(150, "c1").withColumn("content", concat(lit("dim "), $"content")))
+    Maintenance.bucketize(a, 8)
+    Maintenance.bucketize(b, 8)
+
+    spark.conf.set("spark.sql.catalog.spjcat", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjcat.warehouse", wh)
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      // MERGE hint keeps the small side from broadcasting so the pin below
+      // proves the absence of a SHUFFLE, not the presence of a broadcast
+      val joined = spark.sql(
+        """SELECT /*+ MERGE(b) */ a.repo, a.path, a.commit, b.commit AS bcommit
+          |FROM spjcat.ns.a a JOIN spjcat.ns.b b ON a.repo = b.repo""".stripMargin)
+      val cnt = joined.count()
+      // expected: every a row joins every b row of the same repo
+      val expected = {
+        val ar = rows(400, "c0").groupBy("repo").count().withColumnRenamed("count", "an")
+        val br = rows(150, "c1").groupBy("repo").count().withColumnRenamed("count", "bn")
+        ar.join(br, "repo").agg(sum($"an" * $"bn")).head().getLong(0)
+      }
+      assert(cnt == expected, s"join must be correct: $cnt vs $expected")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"storage-partitioned join must not shuffle or broadcast either side:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+
+      // groupBy on the bucket column over ONE bucketed table: the key-grouped
+      // partitioning also satisfies the aggregation's clustering — no exchange
+      val agg = spark.sql(
+        "SELECT repo, count(*) AS n FROM spjcat.ns.a GROUP BY repo")
+      agg.collect()
+      val aplan = agg.queryExecution.executedPlan.toString
+      assert(!aplan.contains("Exchange"),
+        s"groupBy(bucket column) over a bucketed table must not shuffle:\n$aplan")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+        case None => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      }
+    }
+  }
+}
