@@ -347,10 +347,16 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
         val eqdels =
           if (fromSnapshot.isDefined) Seq.empty // appends after a delete are unaffected by it
           else table.eqDeleteShards(s).map(sh => table.io.abs(sh.path).toString)
+        // bucket pruning (distributed, before the collect): point/IN
+        // predicates on the bucket column pin the exact candidate buckets
+        val spec = if (fromSnapshot.isEmpty) table.bucketSpec else None
+        val bucketPred = GraftScan.bucketPredicate(spec.flatMap { case (c, n) =>
+          GraftScan.candidateBuckets(pushed ++ runtime, c, n)
+        })
         if (eqdels.nonEmpty) {
           bucketInfo = None // pending MoR deletes: row path, no key grouping
           val kept = table.manifestWithSeq(s)
-            .filter(GraftScan.manifestPredicate(pushed ++ runtime))
+            .filter(GraftScan.manifestPredicate(pushed ++ runtime) && bucketPred)
             .select("file_path", "record_count", "file_bytes", "add_seq")
             .as[(String, Long, Long, Long)].collect()
           pruneInfo = Some((kept.length, total))
@@ -360,14 +366,13 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
               .asInstanceOf[InputPartition]
           }
         } else {
-          val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime))
+          val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime) && bucketPred)
             .select("file_path", "record_count", "file_bytes", "bucket")
             .as[(String, Long, Long, Option[Int])].collect()
           pruneInfo = Some((kept.length, total))
           statsInfo = Some((kept.map(_._2).sum, kept.map(_._3).sum))
           // bucket grouping: only for a full-table (non-incremental) batch
           // read whose EVERY surviving file carries a valid bucket id
-          val spec = if (fromSnapshot.isEmpty) table.bucketSpec else None
           val grouped = spec.filter { case (_, n) =>
             kept.forall(_._4.exists(b => b >= 0 && b < n))
           }
@@ -526,6 +531,44 @@ object GraftScan {
     if (i < 0) None
     else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
+
+  /** BUCKET pruning: on a bucket-clustered table, an equality/IN predicate
+    * on the bucket column pins the exact bucket ids that can hold matching
+    * rows \u2014 far stronger than min/max stats, which a hash layout spreads to
+    * near-uselessness (every bucket-pure file spans most of the key range).
+    * Returns the candidate bucket set, or None when the filters cannot bound
+    * it. Unbucketed entries (bucket IS NULL) are always kept \u2014 pruning must
+    * never lose rows from files written before bucketing. */
+  private[lake] def candidateBuckets(filters: Array[Filter], column: String,
+                                     n: Int): Option[Set[Int]] = {
+    def bucketOf(v: String): Int = {
+      val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(v),
+          org.apache.spark.sql.types.StringType, 42L)
+      (((h % n) + n) % n).toInt
+    }
+    def of(f: Filter): Option[Set[Int]] = f match {
+      case EqualTo(a, v: String) if a == column => Some(Set(bucketOf(v)))
+      case In(a, vs) if a == column =>
+        val strs = vs.collect { case s: String => s }
+        if (strs.length == vs.length) Some(strs.map(bucketOf).toSet) else None
+      case And(l, r) => (of(l), of(r)) match {
+        case (Some(a), Some(b)) => Some(a intersect b)
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) => for { a <- of(l); b <- of(r) } yield a union b
+      case _ => None
+    }
+    filters.flatMap(of).reduceOption(_ intersect _)
+  }
+
+  /** the manifest-DataFrame predicate for candidateBuckets \u2014 applied
+    * DISTRIBUTED, before the planning collect. */
+  private[lake] def bucketPredicate(cands: Option[Set[Int]]): Column =
+    cands match {
+      case Some(bs) => col("bucket").isNull || col("bucket").isin(bs.toSeq: _*)
+      case None => lit(true)
+    }
 }
 
 /** addSeq/eqDeletes carry the merge-on-read delete state when the scanned

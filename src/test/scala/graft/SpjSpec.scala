@@ -54,6 +54,48 @@ class SpjSpec extends SparkTestBase {
     assert(t.scan().count() == 400)
   }
 
+  test("point lookup on a bucketed table opens only that bucket's files") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft-spj-prune").toString
+    val t = new GraftTable(spark, s"$wh/t")
+    t.append(rows(400, "c0"))
+    Maintenance.bucketize(t, 8)
+    val total = t.currentSnapshot.get.fileCount
+    assert(total >= 4 && total <= 8, s"expected about one file per non-empty bucket, got $total")
+
+    val df = s.read.format("graft").load(t.location).filter($"repo" === "repo_5")
+    val expected = rows(400, "c0").filter($"repo" === "repo_5").count()
+    assert(df.count() === expected)
+    val desc = df.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(desc.contains(s"files=1/$total"),
+      s"bucket pruning must keep exactly the one candidate bucket's file:\n$desc")
+
+    // IN over two repos that land in different buckets → two files
+    val b5 = Bucketing.BucketBound.produceResult(
+      org.apache.spark.sql.catalyst.InternalRow(8,
+        org.apache.spark.unsafe.types.UTF8String.fromString("repo_5")))
+    val other = (0 to 12).map(i => s"repo_$i").find { r =>
+      Bucketing.BucketBound.produceResult(org.apache.spark.sql.catalyst.InternalRow(8,
+        org.apache.spark.unsafe.types.UTF8String.fromString(r))) != b5
+    }.get
+    val df2 = s.read.format("graft").load(t.location)
+      .filter($"repo".isin("repo_5", other))
+    val exp2 = rows(400, "c0").filter($"repo".isin("repo_5", other)).count()
+    assert(df2.count() === exp2)
+    val desc2 = df2.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(desc2.contains(s"files=2/$total"), s"IN over two buckets must keep two files:\n$desc2")
+
+    // unbucketed entries are never pruned away: append through a NON-routed
+    // path (simulating a pre-bucketing file) must stay visible
+    val extra = rows(50, "c9")
+    val added = t.writeDataFiles(extra, "legacy") // no bucket stats
+    t.commit(added, Set.empty, "append")
+    val df3 = s.read.format("graft").load(t.location).filter($"repo" === "repo_5")
+    val exp3 = expected + extra.filter($"repo" === "repo_5").count()
+    assert(df3.count() === exp3, "rows in unbucketed files must survive bucket pruning")
+  }
+
   test("SQL join of two bucketed tables on the bucket column runs with zero exchanges") {
     val s = spark
     import s.implicits._
