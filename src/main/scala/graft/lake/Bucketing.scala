@@ -48,13 +48,19 @@ object Bucketing {
   }
 
   /** Repartition df into exactly n tasks, task b holding exactly bucket b's
-    * rows (each task then writes one bucket-pure data file). */
-  def route(df: DataFrame, column: String, n: Int): DataFrame = {
+    * rows (each task then writes one bucket-pure data file). With
+    * `sorted=true` each task additionally sorts by the bucket column, so the
+    * written file carries an order the scan can REPORT (SupportsReportOrdering)
+    * — a later sort-merge join on the column then needs neither shuffle NOR
+    * sort. */
+  def route(df: DataFrame, column: String, n: Int,
+            sorted: Boolean = false): DataFrame = {
     val remap = routeValues(n).toSeq
-    df.withColumn("_graft_route",
+    val routed = df.withColumn("_graft_route",
         element_at(typedLit(remap), bucketCol(column, n) + 1))
       .repartition(n, col("_graft_route"))
       .drop("_graft_route")
+    if (sorted) routed.sortWithinPartitions(col(column)) else routed
   }
 
   /** V2 bucket function (FunctionCatalog name "bucket"): lets Catalyst

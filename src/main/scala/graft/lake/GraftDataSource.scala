@@ -217,7 +217,8 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
-  with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** STORAGE-PARTITIONED JOINS: when the table is bucket-clustered
     * (Maintenance.bucketize) and every surviving file is bucket-pure, the
@@ -234,16 +235,37 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     planInputPartitions() // cached; sets bucketInfo
     bucketInfo match {
-      case Some((c, n)) =>
+      // the transform must reference a column this scan actually OUTPUTS —
+      // a projection that pruned it away can't resolve the expression
+      case Some((c, n)) if required.fieldNames.contains(c) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)), n)
-      case None =>
+      case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           planInputPartitions().length)
     }
   }
 
+  /** per-partition ORDERING (SupportsReportOrdering): bucketize sorts every
+    * bucket by the bucket column and records it in the spec; while each
+    * bucket still holds exactly one file (no appends since), the scan
+    * reports `col ASC` — a sort-merge join over two such tables then needs
+    * neither shuffle (KeyGroupedPartitioning) NOR sort. Degrades to no
+    * ordering (never a wrong one) once a bucket has 2+ files, since the
+    * chained reader concatenates files without merging. */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    planInputPartitions()
+    bucketInfo match {
+      case Some((c, _)) if orderInfo && required.fieldNames.contains(c) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(c),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case _ => Array.empty
+    }
+  }
+
   @volatile private var bucketInfo: Option[(String, Int)] = None
+  @volatile private var orderInfo: Boolean = false
 
   /** RUNTIME file pruning (the DSv2 analogue of dynamic partition pruning):
     * when this scan sits under a join whose other side produces a runtime
@@ -380,6 +402,9 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
             case Some((c, n)) =>
               bucketInfo = Some((c, n))
               val byBucket = kept.groupBy(_._4.get)
+              // ordering is reportable only while every bucket is a single
+              // sorted file (concatenated files would break it)
+              orderInfo = table.bucketSorted && byBucket.values.forall(_.length <= 1)
               Array.tabulate[InputPartition](n) { b =>
                 GraftBucketedPartition(b,
                   byBucket.getOrElse(b, Array.empty[(String, Long, Long, Option[Int])])
@@ -387,6 +412,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
               }
             case None =>
               bucketInfo = None
+              orderInfo = false
               kept.map { case (p, _, _, _) =>
                 GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
               }

@@ -564,9 +564,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
       Some((m("bucketCol"), m("bucketN").toInt))
     }
 
-  private[lake] def writeBucketSpec(column: String, n: Int): Unit =
+  /** whether bucketize also sorted each bucket by the bucket column — the
+    * precondition for the scan to REPORT per-partition ordering. */
+  def bucketSorted: Boolean =
+    io.exists("meta/bucket-spec.json") &&
+      parseJsonFlat(io.readString("meta/bucket-spec.json"))
+        .get("sorted").contains("true")
+
+  private[lake] def writeBucketSpec(column: String, n: Int,
+                                    sorted: Boolean = false): Unit =
     io.writeString("meta/bucket-spec.json",
-      s"""{"bucketCol": "$column", "bucketN": $n}""")
+      s"""{"bucketCol": "$column", "bucketN": $n, "sorted": "$sorted"}""")
 
   def append(df: DataFrame): Snapshot = {
     init()
@@ -574,7 +582,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
     // every new file stays bucket-pure (one extra shuffle per append — the
     // price every bucketed table format pays to preserve shuffle-free joins)
     val added = bucketSpec match {
-      case Some((c, n)) => writeDataFiles(Bucketing.route(df, c, n), "append", Some((c, n)))
+      case Some((c, n)) =>
+        writeDataFiles(Bucketing.route(df, c, n, bucketSorted), "append", Some((c, n)))
       case None => writeDataFiles(df, "append")
     }
     commit(added, Set.empty, "append")

@@ -74,10 +74,10 @@ object Maintenance {
       "bucketize with pending merge-on-read deletes would re-sequence files " +
       "past their deletes — run MorDelete.applyDeletes(table) first")
     val snapOpt = table.currentSnapshot
-    if (snapOpt.isEmpty) { table.writeBucketSpec(column, n); return 0L }
-    val routed = Bucketing.route(table.scan(), column, n)
+    if (snapOpt.isEmpty) { table.writeBucketSpec(column, n, sorted = true); return 0L }
+    val routed = Bucketing.route(table.scan(), column, n, sorted = true)
     val added = table.writeDataFiles(routed, s"bucket$n", Some((column, n)))
-    table.writeBucketSpec(column, n)
+    table.writeBucketSpec(column, n, sorted = true)
     table.commitFull(added, "cluster_bucket")
     added.map(_.record_count).sum
   }

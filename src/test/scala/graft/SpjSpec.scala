@@ -129,6 +129,10 @@ class SpjSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"),
         s"storage-partitioned join must not shuffle or broadcast either side:\n$plan")
       assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      // bucketize sorted every bucket by repo and the scan REPORTS that
+      // ordering — the sort-merge join needs no SortExec on either side
+      assert(!plan.contains("Sort ["),
+        s"reported per-bucket ordering must eliminate both join sorts:\n$plan")
 
       // groupBy on the bucket column over ONE bucketed table: the key-grouped
       // partitioning also satisfies the aggregation's clustering — no exchange
