@@ -1160,6 +1160,10 @@ object SparkEntry {
     s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // the scan plans OCCUPIED buckets only; pushPartValues lets Spark align
+    // the two sides' partition-value sets (filling gaps with empty tasks)
+    // instead of falling back to a shuffle when the sets differ
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     // plan pin: the raw join (MERGE hint keeps the small side from
     // broadcasting) must contain no Exchange of any kind
     val probe = s.sql(

@@ -3,7 +3,7 @@ package graft.lake
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, StructType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
@@ -80,7 +80,8 @@ object Bucketing {
     }
   }
 
-  object BucketBound extends ScalarFunction[Integer] {
+  object BucketBound extends ScalarFunction[Integer]
+    with ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
@@ -95,5 +96,26 @@ object Bucketing {
           .hash(input.getUTF8String(1), StringType, 42L)
       (((h % n) + n) % n).toInt
     }
+
+    /** MISMATCHED bucket counts (a fact table re-bucketized to kn while its
+      * dims stay at n): because bucket(v) = xxhash64(v) mod N, the finer
+      * side's bucket id reduces EXACTLY to the coarser space by `% n`
+      * whenever n divides kn — Spark then coalesces the finer partitions per
+      * reduced value and the join still needs no shuffle
+      * (spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled). */
+    override def reducer(thisN: Int, other: ReducibleFunction[_, _],
+                         otherN: Int): Reducer[Integer, Integer] =
+      if (other != BucketBound) null
+      else if (thisN == otherN) null // identical transforms: nothing to reduce
+      else if (otherN > 0 && thisN % otherN == 0) new ModReducer(otherN)
+      else null // coarser (or incompatible) side: the other side reduces
+  }
+
+  /** v → v mod n, shipped to tasks (Spark serializes the reducer into the
+    * partition-coalescing closure — a lambda would not be Serializable). */
+  private final class ModReducer(n: Int) extends Reducer[Integer, Integer]
+    with Serializable {
+    override def reduce(v: Integer): Integer =
+      Integer.valueOf(((v.intValue() % n) + n) % n)
   }
 }

@@ -239,7 +239,8 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
       // a projection that pruned it away can't resolve the expression
       case Some((c, n)) if required.fieldNames.contains(c) =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)), n)
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          planInputPartitions().length)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
           planInputPartitions().length)
@@ -252,11 +253,25 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
     * reports `col ASC` — a sort-merge join over two such tables then needs
     * neither shuffle (KeyGroupedPartitioning) NOR sort. Degrades to no
     * ordering (never a wrong one) once a bucket has 2+ files, since the
-    * chained reader concatenates files without merging. */
+    * chained reader concatenates files without merging.
+    *
+    * SUPPRESSED while allowCompatibleTransforms is on: under a
+    * mismatched-bucket-count join Spark's reducer path concatenates several
+    * of this side's buckets into one task (KeyGroupedPartitionedScan
+    * .getInputPartitionGrouping groups by REDUCED key), but its
+    * ordering-preservation check still looks at the ORIGINAL per-bucket
+    * groups — the stale `col ASC` claim would let SortMergeJoin skip a sort
+    * the concatenated partition no longer satisfies and silently drop rows
+    * (reproduced in SpjSpec; hash join over the same reduced grouping is
+    * correct). The scan cannot see the join partner, so the conf is the
+    * narrowest safe gate. */
   override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     planInputPartitions()
+    val reductionPossible = org.apache.spark.sql.internal.SQLConf.get.getConfString(
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "false") == "true"
     bucketInfo match {
-      case Some((c, _)) if orderInfo && required.fieldNames.contains(c) =>
+      case Some((c, _)) if orderInfo && !reductionPossible &&
+          required.fieldNames.contains(c) =>
         Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
           org.apache.spark.sql.connector.expressions.Expressions.column(c),
           org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
@@ -405,10 +420,14 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
               // ordering is reportable only while every bucket is a single
               // sorted file (concatenated files would break it)
               orderInfo = table.bucketSorted && byBucket.values.forall(_.length <= 1)
-              Array.tabulate[InputPartition](n) { b =>
+              // OCCUPIED buckets only: Spark's key-grouped machinery fills
+              // value-set gaps between the two join sides itself
+              // (pushPartValues); reporting empty phantom partitions instead
+              // breaks its duplicate-value grouping under reduced
+              // (mismatched-bucket-count) transforms
+              byBucket.toArray.sortBy(_._1).map { case (b, ks) =>
                 GraftBucketedPartition(b,
-                  byBucket.getOrElse(b, Array.empty[(String, Long, Long, Option[Int])])
-                    .map(k => table.io.abs(k._1).toString).toSeq)
+                  ks.map(k => table.io.abs(k._1).toString).toSeq): InputPartition
               }
             case None =>
               bucketInfo = None

@@ -149,4 +149,58 @@ class SpjSpec extends SparkTestBase {
       }
     }
   }
+
+  test("SPJ with MISMATCHED bucket counts: 16-bucket fact joins 8-bucket dim, no shuffle") {
+    val s = spark
+    import s.implicits._
+    val wh = Files.createTempDirectory("graft-spj-mm").toString
+    val a = new GraftTable(spark, s"$wh/ns/a")
+    val b = new GraftTable(spark, s"$wh/ns/b")
+    a.append(rows(400, "c0"))
+    b.append(rows(150, "c1"))
+    Maintenance.bucketize(a, 16)
+    Maintenance.bucketize(b, 8)
+
+    spark.conf.set("spark.sql.catalog.spjmm", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.spjmm.warehouse", wh)
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+    val prev = confs.map(k => k -> spark.conf.getOption(k))
+    confs.foreach(spark.conf.set(_, "true"))
+    try {
+      val joined = spark.sql(
+        """SELECT /*+ MERGE(b) */ a.repo, a.path, b.path AS bpath
+          |FROM spjmm.ns.a a JOIN spjmm.ns.b b ON a.repo = b.repo""".stripMargin)
+      val cnt = joined.count()
+      val expected = {
+        val ar = rows(400, "c0").groupBy("repo").count().withColumnRenamed("count", "an")
+        val br = rows(150, "c1").groupBy("repo").count().withColumnRenamed("count", "bn")
+        ar.join(br, "repo").agg(sum($"an" * $"bn")).head().getLong(0)
+      }
+      assert(cnt == expected, s"mismatched-bucket join must be correct: $cnt vs $expected")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"16-vs-8-bucket join must reduce the finer side, not shuffle:\n$plan")
+      // the reduced side concatenates buckets, so the scan must NOT have
+      // claimed per-bucket ordering here — the merge join needs its sorts
+      assert(plan.contains("Sort ["),
+        s"reduction-compatible mode must keep the join sorts (ordering suppressed):\n$plan")
+
+      // hash join needs no ordering at all: same reduced grouping, no sorts
+      val hj = spark.sql(
+        """SELECT /*+ SHUFFLE_HASH(b) */ a.repo, a.path, b.path AS bpath
+          |FROM spjmm.ns.a a JOIN spjmm.ns.b b ON a.repo = b.repo""".stripMargin)
+      assert(hj.count() == expected, "hash join over reduced grouping must be correct")
+      val hjPlan = hj.queryExecution.executedPlan.toString
+      assert(!hjPlan.contains("Exchange") && hjPlan.contains("ShuffledHashJoin"),
+        s"hash join must also run shuffle-free on reduced partitions:\n$hjPlan")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
 }
