@@ -1180,6 +1180,39 @@ object SparkEntry {
          |GROUP BY a.repo ORDER BY a.repo""".stripMargin)
   }
 
+  private def q61SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SCHEMA EVOLUTION under the oracle gate: base rows append → ADD COLUMN
+    // stars (metadata-only commit, zero data IO) → typed rows append → a
+    // full compaction rewrite (CoW must carry the evolved column through
+    // every rewritten file). Pre-evolution rows must read stars as NULL,
+    // post-evolution rows as doc_id % 7 — DuckDB recomputes the final
+    // evolved row set relationally.
+    val docs = t(s, dir, "documents")
+    val base = docs.filter($"doc_id" % 3 =!= 0).select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val evolved = docs.filter($"doc_id" % 3 === 0).select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"),
+      ($"doc_id" % 7).cast("int").as("stars"))
+    val loc = java.nio.file.Files.createTempDirectory("graft-q61").toString
+    val table = new graft.lake.GraftTable(s, loc)
+    table.append(base.repartition(4))
+    table.evolveSchema("stars INT")
+    table.append(evolved.repartition(2))
+    // the CoW pass: every surviving file is rewritten post-evolution
+    graft.lake.Maintenance.compact(table, "q61",
+      smallBytes = Long.MaxValue, targetBytes = 8L << 20)
+    // read back through the PUBLIC connector (columnar path, evolved schema)
+    s.read.format("graft").load(table.location)
+      .select($"repo", $"path", $"lang", $"stars",
+        sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path")
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1302,6 +1335,7 @@ object SparkEntry {
     "q58_mor_delete"     -> (q58MorDelete(_, _)),
     "q59_changelog"      -> (q59Changelog(_, _)),
     "q60_spj"            -> (q60Spj(_, _)),
+    "q61_schema_evolution" -> (q61SchemaEvolution(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1524,6 +1558,15 @@ object SparkEntry {
         |  sum(length(a.content)::BIGINT * length(b.content))::BIGINT AS chk
         |FROM a JOIN b ON a.repo = b.repo
         |GROUP BY a.repo ORDER BY a.repo""".stripMargin,
+    // the final evolved row set: pre-evolution rows read the added column
+    // as NULL, post-evolution rows carry their typed value through the
+    // compaction rewrite
+    "q61_schema_evolution" ->
+      """SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |  'f/' || doc_id::VARCHAR || '.txt' AS path, lang,
+        |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7)::INTEGER END AS stars,
+        |  sha256(text) AS content_sha
+        |FROM documents ORDER BY repo, path""".stripMargin,
     "q28_xslt_extract" ->
       """SELECT doc_id, doc_id::VARCHAR || '-' || source AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -30,7 +30,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftDataSource.schema
+    Option(options.get("path")) match {
+      // evolved columns are part of the table's public schema — resolve them
+      // from the (pinned or current) snapshot's metadata, one tiny driver read
+      case Some(loc) =>
+        GraftDataSource.evolvedSchema(loc,
+          Option(options.get("snapshot")).map(_.toLong))
+      case None => GraftDataSource.schema
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
@@ -62,6 +69,14 @@ object GraftDataSource {
     StructField("repo", StringType), StructField("path", StringType),
     StructField("commit", StringType), StructField("lang", StringType),
     StructField("content", StringType), StructField("z", LongType)))
+
+  /** base schema + the evolved extras of the pinned (time travel sees the
+    * schema AS OF that snapshot) or current snapshot. */
+  def evolvedSchema(location: String, snapshot: Option[Long]): StructType = {
+    val t = new GraftTable(SparkSession.active, location)
+    val s = snapshot.flatMap(t.snapshot).orElse(t.currentSnapshot)
+    StructType(schema.fields ++ s.toSeq.flatMap(t.extraFields))
+  }
 }
 
 class GraftSparkTable(location: String, snapshot: Option[Long] = None,
@@ -72,13 +87,18 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.`$location`"
-  override def schema(): StructType = GraftDataSource.schema
+  // resolved once per table handle; a time-travel-pinned handle reports the
+  // schema as of THAT snapshot (pre-evolution reads see the old shape)
+  private lazy val evolved: StructType =
+    GraftDataSource.evolvedSchema(location, snapshot)
+  override def schema(): StructType = evolved
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(location, snapshot, columnar, fromSnapshot, maxVersionsPerBatch)
+    new GraftScanBuilder(location, snapshot, columnar, fromSnapshot,
+      maxVersionsPerBatch, evolved)
 
   /** SQL `DELETE FROM` (SupportsDelete): metadata-only drop of files whose
     * stats prove every row matches, copy-on-write rewrite of the rest —
@@ -122,7 +142,9 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
               // a DataFrame column named `Repo` must match graft's `repo`,
               // not be silently dropped from the append
               val byLower = data.columns.map(c => c.toLowerCase -> c).toMap
-              val cols = GraftDataSource.schema.fieldNames.toSeq
+              val writable = GraftDataSource.schema.fieldNames.toSeq ++
+                table.currentSnapshot.toSeq.flatMap(table.extraFields).map(_.name)
+              val cols = writable
                 .flatMap(f => byLower.get(f.toLowerCase).map(src =>
                   data.col(src).as(f)))
               table.append(data.select(cols: _*))
@@ -135,12 +157,13 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
 class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
                        columnar: Boolean = true,
                        fromSnapshot: Option[Long] = None,
-                       maxVersionsPerBatch: Option[Long] = None)
+                       maxVersionsPerBatch: Option[Long] = None,
+                       tableSchema: StructType = GraftDataSource.schema)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
   with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = GraftDataSource.schema
+  private var required: StructType = tableSchema
   private var aggPushed: Option[Seq[GraftAggScan.PushedAgg]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -780,13 +803,19 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true)
         GraftChainedReader.columnar(b.absPaths, required)
     }
 
+  private val fieldTypes: Map[String, DataType] =
+    required.fields.map(f => f.name -> f.dataType).toMap
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftInputPartition =>
-        if (p.eqDeletes.isEmpty) new GraftPartitionReader(p.absPath, columns)
-        else new GraftMorFilteringReader(p.absPath, columns, p.addSeq, p.eqDeletes)
+        if (p.eqDeletes.isEmpty)
+          new GraftPartitionReader(p.absPath, columns, fieldTypes)
+        else
+          new GraftMorFilteringReader(p.absPath, columns, p.addSeq, p.eqDeletes,
+            fieldTypes)
       case b: GraftBucketedPartition =>
-        GraftChainedReader.rows(b.absPaths, columns)
+        GraftChainedReader.rows(b.absPaths, columns, fieldTypes)
     }
 }
 
@@ -798,8 +827,9 @@ object GraftChainedReader {
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
     chain(paths, p => new GraftColumnarPartitionReader(p, required))
 
-  def rows(paths: Seq[String], columns: Array[String]): PartitionReader[InternalRow] =
-    chain(paths, p => new GraftPartitionReader(p, columns))
+  def rows(paths: Seq[String], columns: Array[String],
+           types: Map[String, DataType] = Map.empty): PartitionReader[InternalRow] =
+    chain(paths, p => new GraftPartitionReader(p, columns, types))
 
   private def chain[T](paths: Seq[String],
                        open: String => PartitionReader[T]): PartitionReader[T] =
@@ -898,12 +928,19 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType)
   override def close(): Unit = if (reader != null) reader.close()
 }
 
-class GraftPartitionReader(absPath: String, columns: Array[String])
+class GraftPartitionReader(absPath: String, columns: Array[String],
+                           types: Map[String, DataType] = Map.empty)
   extends PartitionReader[InternalRow] {
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
   import org.apache.parquet.example.data.Group
   import org.apache.hadoop.conf.Configuration
+
+  // per-column Spark type for the typed Group accessors; base columns are
+  // strings apart from z, evolved columns carry their declared type
+  private val dts: Array[DataType] = columns.map { c =>
+    types.getOrElse(c, if (c == "z") LongType else StringType)
+  }
 
   private val conf = new Configuration()
   locally {
@@ -940,8 +977,14 @@ class GraftPartitionReader(absPath: String, columns: Array[String])
       val present = cur.getType.containsField(c) &&
         cur.getFieldRepetitionCount(cur.getType.getFieldIndex(c)) > 0
       if (!present) row.setNullAt(i)
-      else if (c == "z") row.setLong(i, cur.getLong(c, 0))
-      else row.update(i, UTF8String.fromString(cur.getString(c, 0)))
+      else dts(i) match {
+        case LongType    => row.setLong(i, cur.getLong(c, 0))
+        case IntegerType => row.setInt(i, cur.getInteger(c, 0))
+        case DoubleType  => row.setDouble(i, cur.getDouble(c, 0))
+        case FloatType   => row.setFloat(i, cur.getFloat(c, 0))
+        case BooleanType => row.setBoolean(i, cur.getBoolean(c, 0))
+        case _           => row.update(i, UTF8String.fromString(cur.getString(c, 0)))
+      }
       i += 1
     }
     row
@@ -957,11 +1000,12 @@ class GraftPartitionReader(absPath: String, columns: Array[String])
   * the probe, and dropped from the emitted row. A row is deleted when its
   * (repo, path, commit) key appears with del_seq > the file's add seq. */
 class GraftMorFilteringReader(absPath: String, outColumns: Array[String],
-                              addSeq: Long, eqDeletes: Seq[String])
+                              addSeq: Long, eqDeletes: Seq[String],
+                              types: Map[String, DataType] = Map.empty)
   extends PartitionReader[InternalRow] {
   private val keyCols = Array("repo", "path", "commit")
   private val readCols = (outColumns ++ keyCols).distinct
-  private val inner = new GraftPartitionReader(absPath, readCols)
+  private val inner = new GraftPartitionReader(absPath, readCols, types)
   private val identity = readCols.sameElements(outColumns)
   private val outIdx = outColumns.map(c => readCols.indexOf(c))
   private val keyIdx = keyCols.map(c => readCols.indexOf(c))

@@ -45,7 +45,15 @@ import java.util.UUID
   * of running a count job over the manifest union. */
 final case class Snapshot(version: Long, parent: Long, tsMillis: Long,
                           operation: String, manifest: String, recordCount: Long,
-                          fileCount: Long = -1L)
+                          fileCount: Long = -1L,
+                          // schema evolution (add-column, metadata-only): the
+                          // columns beyond the base code schema as a DDL
+                          // fragment ("stars INT,score DOUBLE"), plus the
+                          // tombstone list of dropped names — name-based
+                          // column mapping, so a dropped name may never be
+                          // reused (it would resurrect old files' values)
+                          extraCols: String = "",
+                          droppedCols: String = "")
 
 final case class ManifestEntry(file_path: String, partition: String,
                                record_count: Long, file_bytes: Long,
@@ -130,7 +138,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
       val m = parseJsonFlat(io.readString(rel))
       Some(Snapshot(m("version").toLong, m("parent").toLong, m("tsMillis").toLong,
         m("operation"), m("manifest"), m("recordCount").toLong,
-        m.getOrElse("fileCount", "-1").toLong))
+        m.getOrElse("fileCount", "-1").toLong,
+        m.getOrElse("extraCols", ""), m.getOrElse("droppedCols", "")))
     }
   }
 
@@ -250,6 +259,96 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .drop("add_seq")
   }
 
+  // ---- schema evolution (Iceberg-style add/drop column, metadata-only) --
+
+  /** The extra (evolved) fields of a snapshot, parsed from its DDL fragment.
+    * Name-based column mapping: a field resolves against data files by NAME;
+    * files written before the column existed read as nulls (both scan paths
+    * splice missing columns), and files written after a DROP simply stop
+    * being projected. */
+  def extraFields(s: Snapshot): Seq[org.apache.spark.sql.types.StructField] =
+    if (s.extraCols.isEmpty) Seq.empty
+    else org.apache.spark.sql.types.StructType.fromDDL(s.extraCols).fields.toSeq
+
+  /** Full read schema (base incl. z + evolved extras) at a snapshot. */
+  def dataSchemaFor(s: Option[Snapshot]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      GraftTable.dataSchema.fields ++ s.toSeq.flatMap(extraFields))
+
+  /** The columns a CoW rewrite must carry through (base minus the derived z,
+    * plus the current extras). */
+  def dataColumnNames: Seq[String] =
+    dataSchemaFor(currentSnapshot).fieldNames.toSeq.filterNot(_ == "z")
+
+  /** ADD COLUMN(s): `evolveSchema("stars INT, score DOUBLE")`. Metadata-only
+    * commit — no data file is touched; existing rows read the new columns as
+    * null. Reusing a previously dropped name is refused (name-based mapping
+    * would resurrect the dropped column's old values out of pre-drop files —
+    * Iceberg prevents this with field ids, this format with tombstones). */
+  def evolveSchema(ddl: String): Snapshot = {
+    init()
+    val adding = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    require(adding.nonEmpty, "evolveSchema with no columns")
+    val parent = currentSnapshot
+    val existing = dataSchemaFor(parent).fieldNames.map(_.toLowerCase).toSet
+    val tombstones = parent.map(_.droppedCols).getOrElse("")
+      .split(",").filter(_.nonEmpty).map(_.toLowerCase).toSet
+    adding.fields.foreach { f =>
+      require(!existing.contains(f.name.toLowerCase),
+        s"column ${f.name} already exists")
+      require(!tombstones.contains(f.name.toLowerCase),
+        s"column ${f.name} was previously dropped; a new name is required " +
+        "(name-based mapping would resurrect the old column's values)")
+      require(!f.name.contains(",") && !f.name.contains("\""),
+        s"unsupported column name ${f.name}")
+    }
+    val merged = (parent.map(_.extraCols).filter(_.nonEmpty).toSeq :+ adding.toDDL)
+      .mkString(",")
+    metadataOnlyCommit(parent, "evolve-schema",
+      Some((merged, parent.map(_.droppedCols).getOrElse(""))))
+  }
+
+  /** DROP COLUMN: metadata-only — data files keep the bytes, readers stop
+    * projecting the column, and the name is tombstoned. Base columns carry
+    * the table's keys and stats and cannot be dropped. */
+  def dropColumn(name: String): Snapshot = {
+    val parent = currentSnapshot.getOrElse(
+      throw new IllegalStateException("dropColumn on an empty table"))
+    require(!GraftTable.dataSchema.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"cannot drop base column $name (key/stats-bearing)")
+    val extras = extraFields(parent)
+    require(extras.exists(_.name.equalsIgnoreCase(name)),
+      s"no such column $name")
+    val remaining = extras.filterNot(_.name.equalsIgnoreCase(name))
+    val remainingDdl =
+      if (remaining.isEmpty) ""
+      else org.apache.spark.sql.types.StructType(remaining.toArray).toDDL
+    val tombs = (parent.droppedCols.split(",").filter(_.nonEmpty).toSeq :+
+      name.toLowerCase).mkString(",")
+    metadataOnlyCommit(Some(parent), s"drop-column-$name",
+      Some((remainingDdl, tombs)))
+  }
+
+  /** a commit that changes ONLY snapshot metadata: re-lists the parent's
+    * manifest shards (its own list file, the rollback pattern, so later
+    * expiry of either snapshot never strands the other). */
+  private def metadataOnlyCommit(parent: Option[Snapshot], operation: String,
+                                 schemaOverride: Option[(String, String)]): Snapshot =
+    finishCommit(currentVersion + 1, parent,
+      parent.map(manifestShards).getOrElse(Seq.empty), operation,
+      parent.map(_.recordCount).getOrElse(0L),
+      parent.map(_.fileCount).getOrElse(0L), schemaOverride)
+
+  /** Align a source frame to the current write schema: evolved columns the
+    * frame doesn't carry are spliced in as typed nulls (base columns must be
+    * present — those are the caller's job). */
+  def conform(df: DataFrame): DataFrame = {
+    val have = df.columns.map(_.toLowerCase).toSet
+    currentSnapshot.toSeq.flatMap(extraFields)
+      .filterNot(f => have.contains(f.name.toLowerCase))
+      .foldLeft(df)((d, f) => d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
   /** Full-table scan pinned to the current snapshot (merge-on-read deletes
     * applied when pending — zero extra cost otherwise). */
   def scan(): DataFrame = currentSnapshot match {
@@ -285,17 +384,17 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   private def emptyDf: DataFrame = {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("commit", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType))))
+      org.apache.spark.sql.types.StructType(
+        dataSchemaFor(currentSnapshot).fields.filterNot(_.name == "z")))
   }
 
+  /** Read data files with the CURRENT evolved schema — parquet columns are
+    * matched by name, so files written before an ADD COLUMN read the new
+    * column as null and files written before a DROP just stop projecting
+    * the dropped bytes. */
   def readFiles(files: Seq[String]): DataFrame = {
     if (files.isEmpty) emptyDf
-    else spark.read.schema(GraftTable.dataSchema)
+    else spark.read.schema(dataSchemaFor(currentSnapshot))
       .parquet(files.map(f => io.abs(f).toString): _*)
   }
 
@@ -523,19 +622,28 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   private def finishCommit(newVersion: Long, parent: Option[Snapshot],
                            shards: Seq[ManifestShard], operation: String,
-                           liveCount: Long, fileCount: Long): Snapshot =
+                           liveCount: Long, fileCount: Long,
+                           schemaOverride: Option[(String, String)] = None): Snapshot =
     finishCommitWithList(newVersion, parent, writeList(newVersion, shards),
-      operation, liveCount, fileCount)
+      operation, liveCount, fileCount, schemaOverride)
 
   private def finishCommitWithList(newVersion: Long, parent: Option[Snapshot],
                                    listRel: String, operation: String,
-                                   liveCount: Long, fileCount: Long): Snapshot = {
+                                   liveCount: Long, fileCount: Long,
+                                   schemaOverride: Option[(String, String)] = None)
+      : Snapshot = {
+    // schema evolution state is INHERITED by every ordinary commit; only
+    // evolveSchema/dropColumn commits override it
+    val (extra, dropped) = schemaOverride.getOrElse(
+      (parent.map(_.extraCols).getOrElse(""), parent.map(_.droppedCols).getOrElse("")))
     val snap = Snapshot(newVersion, parent.map(_.version).getOrElse(0L),
-      System.currentTimeMillis(), operation, listRel, liveCount, fileCount)
+      System.currentTimeMillis(), operation, listRel, liveCount, fileCount,
+      extra, dropped)
     val json =
       s"""{"version": ${snap.version}, "parent": ${snap.parent}, "tsMillis": ${snap.tsMillis},
          | "operation": "${snap.operation}", "manifest": "${snap.manifest}",
-         | "recordCount": ${snap.recordCount}, "fileCount": ${snap.fileCount}}""".stripMargin
+         | "recordCount": ${snap.recordCount}, "fileCount": ${snap.fileCount},
+         | "extraCols": "${snap.extraCols}", "droppedCols": "${snap.droppedCols}"}""".stripMargin
     io.writeString(s"meta/snapshot-v$newVersion.json", json)
     // atomic commit
     io.writeAtomic("meta/version-hint.text", newVersion.toString)

@@ -247,10 +247,14 @@ object Maintenance {
     val spark = table.spark
     import spark.implicits._
     val keys = Seq("repo", "path", "commit")
-    val dataCols = Seq("repo", "path", "commit", "lang", "content")
+    // base columns plus any evolved extras — a CoW rewrite that projected
+    // only the base set would silently DROP evolved columns from rewritten
+    // files; a source missing an extra gets it spliced in as typed null
+    val dataCols = table.dataColumnNames
+    val source0 = table.conform(source)
 
     if (table.currentSnapshot.isEmpty) {
-      val added = table.writeDataFiles(source.select(dataCols.map(col): _*), "merge-insert")
+      val added = table.writeDataFiles(source0.select(dataCols.map(col): _*), "merge-insert")
       table.commit(added, Set.empty, "merge")
       Lineage.record(table, jobId, phase, Seq.empty, added)
       return MergeResult(0, added.map(_.record_count).sum, 0)
@@ -258,7 +262,7 @@ object Maintenance {
     // the CoW rewrite re-sequences files — materialize pending MoR deletes
     MorDelete.materializeIfPending(table)
 
-    val src = source.select(dataCols.map(col): _*).cache()
+    val src = source0.select(dataCols.map(col): _*).cache()
     val srcKeys = src.select(keys.map(col): _*).distinct()
     // plan-stats size estimate decides broadcast vs shuffle — zero jobs
     val small = source.queryExecution.optimizedPlan.stats.sizeInBytes <= broadcastBytes

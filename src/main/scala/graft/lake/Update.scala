@@ -38,7 +38,8 @@ object Update {
     val spark = table.spark
     import spark.implicits._
     require(set.nonEmpty, "UPDATE with no assignments")
-    val assignable = GraftTable.dataSchema.fieldNames.toSet - "z"
+    // evolved columns are assignable too (dataColumnNames = base + extras)
+    val assignable = table.dataColumnNames.toSet
     val bad = set.keySet.diff(assignable)
     require(bad.isEmpty, s"cannot assign columns $bad (z is derived; " +
       s"assignable: ${assignable.mkString(", ")})")
@@ -58,7 +59,7 @@ object Update {
     // bounded by the candidate files (page-cache warm for the rewrite pass
     // that follows); rows NOT matching are copied through unchanged
     val updatedRows = src.filter(pred).count()
-    val projected = GraftTable.dataSchema.fieldNames.filterNot(_ == "z").map { c =>
+    val projected = table.dataColumnNames.map { c =>
       set.get(c) match {
         case Some(v) => when(pred, v).otherwise(col(c)).as(c)
         case None    => col(c)
