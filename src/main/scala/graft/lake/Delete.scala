@@ -127,7 +127,10 @@ object Delete {
     // the CoW rewrite re-sequences files — materialize pending MoR deletes
     MorDelete.materializeIfPending(table)
     val snap = table.currentSnapshot.getOrElse(return DeleteResult(0, 0, 0L))
-    val cand = table.manifest(snap)
+    // candidate selection: stats predicate + bloom sidecars (a point delete
+    // on commit would otherwise rewrite EVERY file — stats can't exclude a
+    // hash-distributed key, the per-file bloom can)
+    val cand = BloomIndex.prunedManifest(table, table.manifest(snap), filters)
       .filter(GraftScan.manifestPredicate(filters))
       .select(col("file_path"), col("record_count"),
         fullMatchPredicate(filters).as("full"))

@@ -218,14 +218,16 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
 }
 
 object GraftScanBuilder {
-  /** filters usable against the manifest min/max stats. */
+  /** filters usable against the manifest min/max stats — plus point
+    * predicates on `commit`, prunable through a BloomIndex sidecar when one
+    * exists (and harmlessly kept-all by manifestPredicate when not). */
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(a, _) => Set("repo", "path", "lang").contains(a)
+    case EqualTo(a, _) => Set("repo", "path", "lang", "commit").contains(a)
     case GreaterThan(a, _) => Set("repo", "path").contains(a)
     case GreaterThanOrEqual(a, _) => Set("repo", "path").contains(a)
     case LessThan(a, _) => Set("repo", "path").contains(a)
     case LessThanOrEqual(a, _) => Set("repo", "path").contains(a)
-    case In(a, _) => Set("repo", "lang").contains(a)
+    case In(a, _) => Set("repo", "lang", "commit").contains(a)
     case StringStartsWith(a, _) => Set("repo", "path").contains(a)
     case And(l, r) => supported(l) && supported(r)
     case Or(l, r) => supported(l) && supported(r)
@@ -374,6 +376,17 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
     out
   }
 
+  /** Bloom-sidecar pruning for pushed POINT predicates (EqualTo/IN on a
+    * column with a BloomIndex sidecar, e.g. commit): each file's filter is
+    * probed DISTRIBUTED during the manifest-planning join; definite
+    * negatives never open. Files newer than the sidecar have no row
+    * (left join → kept), so appends after the index build are never
+    * wrongly pruned, and the pushed filter stays residual row-level. */
+  private def bloomPruned(table: GraftTable,
+                          man: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    BloomIndex.prunedManifest(table, man, pushed ++ runtime)
+
   private def planPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val table = new GraftTable(spark, location)
@@ -415,7 +428,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
         })
         if (eqdels.nonEmpty) {
           bucketInfo = None // pending MoR deletes: row path, no key grouping
-          val kept = table.manifestWithSeq(s)
+          val kept = bloomPruned(table, table.manifestWithSeq(s))
             .filter(GraftScan.manifestPredicate(pushed ++ runtime) && bucketPred)
             .select("file_path", "record_count", "file_bytes", "add_seq")
             .as[(String, Long, Long, Long)].collect()
@@ -426,7 +439,8 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
               .asInstanceOf[InputPartition]
           }
         } else {
-          val kept = m.filter(GraftScan.manifestPredicate(pushed ++ runtime) && bucketPred)
+          val kept = bloomPruned(table, m)
+            .filter(GraftScan.manifestPredicate(pushed ++ runtime) && bucketPred)
             .select("file_path", "record_count", "file_bytes", "bucket")
             .as[(String, Long, Long, Option[Int])].collect()
           pruneInfo = Some((kept.length, total))

@@ -49,7 +49,10 @@ object Update {
     val snap = table.currentSnapshot.getOrElse(return UpdateResult(0, 0, 0L))
     val man = table.manifest(snap)
     val total = if (snap.fileCount >= 0) snap.fileCount else man.count()
-    val cand = man.filter(GraftScan.manifestPredicate(filters))
+    // stats predicate + bloom sidecars: a point update keyed on commit
+    // rewrites only bloom-may-contain files, not the whole table
+    val cand = BloomIndex.prunedManifest(table, man, filters)
+      .filter(GraftScan.manifestPredicate(filters))
       .select(col("file_path"), col("record_count"))
       .as[(String, Long)].collect()
     if (cand.isEmpty) return UpdateResult(0, total, 0L)
