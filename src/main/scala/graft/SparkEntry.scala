@@ -628,6 +628,22 @@ object SparkEntry {
       .select($"vec_id", round($"cos", 4).as("cos_sim"))
   }
 
+  private def q63PqAnn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // PRODUCT-QUANTIZATION ANN (the third scale path): vectors compress to
+    // 8 sub-space code indices, the query ranks by ADC lookup-table sums —
+    // no float vectors touched at query time, codes index 64-384× smaller
+    // than the corpus. Deterministic codebook (16 smallest ids ≡ 2 mod 5
+    // per sub-space) so DuckDB rebuilds codebook + codes + ranking from
+    // scratch; output carries the integer codes, no FP in the compare.
+    val emb = t(s, dir, "embeddings")
+    val query = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    graft.pipeline.Pq.pqTopK(emb.filter($"vec_id" =!= 0), "vec_id", "embedding",
+        query, k = 10, m = 8, kCodes = 16, every = 5, residue = 2)
+      .select($"vec_id", $"codes")
+  }
+
   private def q23LshNearDup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // the 100-TB near-dup path: LSH-banded blocking (linear work) + exact
@@ -1213,6 +1229,41 @@ object SparkEntry {
       .orderBy($"repo", $"path")
   }
 
+  private def q62BloomLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // BLOOM-SIDECAR POINT LOOKUP under the oracle gate: commits are
+    // hash-distributed, so min/max stats prune NOTHING for
+    // `WHERE commit = <sha>` — every file's range covers every key. The
+    // BloomIndex sidecar (one filter per data file, built in one
+    // distributed pass) turns the lookup into "open ~1 file of 16":
+    // definite negatives never open, appends after the build can never be
+    // wrongly pruned. The pruning is pinned in-query from the plan's
+    // files=kept/total ratio; DuckDB replays the lookup key relationally.
+    val docs = t(s, dir, "documents")
+    val rows = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      sha2($"doc_id".cast("string"), 256).as("commit"),
+      $"lang", $"text".as("content"))
+    val loc = java.nio.file.Files.createTempDirectory("graft-q62").toString
+    val table = new graft.lake.GraftTable(s, loc)
+    table.append(rows.repartition(16))
+    graft.lake.BloomIndex.build(table, "commit")
+
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val q = s.read.format("graft").load(table.location)
+      .filter($"commit" === key)
+      .select($"repo", $"path", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"path")
+    // plan pin: the sidecar must have pruned the 16-file table to ≤3 opens
+    val desc = q.queryExecution.executedPlan.toString
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+    require(m.exists(g => g.group(2).toInt == 16 && g.group(1).toInt <= 3),
+      s"bloom pruning did not plan:\n$desc")
+    q
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1336,6 +1387,8 @@ object SparkEntry {
     "q59_changelog"      -> (q59Changelog(_, _)),
     "q60_spj"            -> (q60Spj(_, _)),
     "q61_schema_evolution" -> (q61SchemaEvolution(_, _)),
+    "q62_bloom_lookup"   -> (q62BloomLookup(_, _)),
+    "q63_pq_ann"         -> (q63PqAnn(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1351,6 +1404,52 @@ object SparkEntry {
     (0 until planes).map(p =>
       s"(CASE WHEN list_dot_product($e, ${duckPlane(band, p)}) >= 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** squared euclidean distance of sub-space `s` between two DOUBLE[] list
+    * expressions, 8 explicit left-associated terms (1-based list indexing)
+    * — the identical ascending-dimension FP accumulation PqEncodeExpr runs. */
+  private def duckSqd(a: String, b: String, s: Int, sub: Int = 8): String =
+    (0 until sub).map { d =>
+      val i = s * sub + d + 1
+      s"($a[$i]-$b[$i])*($a[$i]-$b[$i])"
+    }.mkString("(", " + ", ")")
+
+  /** the full q63 oracle: DuckDB rebuilds the deterministic PQ codebook,
+    * encodes every vector (argmin per sub-space, ties to the smaller code),
+    * and ranks by ADC using the reconstruction identity with per-sub-space
+    * parenthesized groups (bit-identical accumulation to the engine). */
+  private lazy val duckPqSql: String = {
+    val m = 8
+    val encCase = "CASE ss.s " +
+      (0 until m).map(s => s"WHEN $s THEN ${duckSqd("v.e", "cb.ce", s)}").mkString(" ") +
+      " END"
+    val jCols = (0 until m).map(s => s"max(CASE WHEN s=$s THEN j END) AS j$s").mkString(",\n   ")
+    val cbJoins = (0 until m).map(s => s"JOIN cb cb$s ON cb$s.j = pc.j$s").mkString(" ")
+    // reconstruction concatenates each chosen code's OWN sub-space slice
+    // (1-based inclusive list_slice), not the full source vectors
+    val reconcat = (0 until m)
+      .map(s => s"list_slice(cb$s.ce, ${s * 8 + 1}, ${(s + 1) * 8})").mkString(" || ")
+    val adc = (0 until m).map(s => duckSqd("q.qe", "re.r", s)).mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id <> 0),
+       |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+       |cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding::DOUBLE[] AS ce
+       |       FROM (SELECT vec_id, embedding FROM embeddings
+       |             WHERE vec_id <> 0 AND vec_id % 5 = 2 ORDER BY vec_id LIMIT 16)),
+       |enc AS (SELECT vec_id, s, j FROM (
+       |  SELECT v.vec_id, ss.s, cb.j,
+       |    row_number() OVER (PARTITION BY v.vec_id, ss.s
+       |      ORDER BY $encCase ASC, cb.j ASC) AS rn
+       |  FROM v, (SELECT unnest(range($m)) AS s) ss, cb) WHERE rn = 1),
+       |pc AS (SELECT vec_id, string_agg(j::VARCHAR, ',' ORDER BY s) AS codes,
+       |   $jCols
+       |   FROM enc GROUP BY vec_id),
+       |re AS (SELECT pc.vec_id, pc.codes, $reconcat AS r
+       |   FROM pc $cbJoins)
+       |SELECT re.vec_id, re.codes
+       |FROM re, q
+       |ORDER BY $adc ASC, re.vec_id ASC
+       |LIMIT 10""".stripMargin
+  }
 
   // ---- DuckDB fragments replicating the text feature hashes (TextOps):
   // sha60 = first 15 hex chars of sha256 (always-positive 60-bit BIGINT),
@@ -1567,6 +1666,15 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN (doc_id % 7)::INTEGER END AS stars,
         |  sha256(text) AS content_sha
         |FROM documents ORDER BY repo, path""".stripMargin,
+    // the bloom point lookup's row set: DuckDB replays the key derivation
+    // (commit = sha256 of the doc id) and selects the matching document
+    "q62_bloom_lookup" ->
+      """SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |  'f/' || doc_id::VARCHAR || '.txt' AS path, lang,
+        |  sha256(text) AS content_sha
+        |FROM documents
+        |WHERE sha256(doc_id::VARCHAR) = sha256('7')
+        |ORDER BY path""".stripMargin,
     "q28_xslt_extract" ->
       """SELECT doc_id, doc_id::VARCHAR || '-' || source AS extracted
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -2154,6 +2262,12 @@ object SparkEntry {
         |SELECT a.vec_id, round(list_cosine_similarity(a.e, q.qe), 4) AS cos_sim
         |FROM asg a JOIN probe p ON a.cid = p.cid, q
         |ORDER BY list_cosine_similarity(a.e, q.qe) DESC, a.vec_id ASC LIMIT 10""".stripMargin,
+    // PQ rebuilt from scratch: codebook (16 smallest ids ≡ 2 mod 5), per
+    // sub-space argmin codes, ADC ranking via the reconstruction identity
+    // Σ_s ||q_s − c_{code_s}||² = ||q − concat(codes' vectors)||², with the
+    // per-sub-space groups parenthesized so the FP accumulation order is
+    // bit-identical to the engine's lookup-table sum
+    "q63_pq_ann" -> duckPqSql,
     "q21_ann_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e,
          | ${duckBucket("embedding::DOUBLE[]", planes = 10, band = 0)} AS bucket
