@@ -41,17 +41,20 @@ object BloomIndex {
     p
   }
 
-  private def sidecarRel(column: String, version: Long) =
-    s"meta/bloom-$column-v$version.parquet"
+  private def sidecarRel(column: String, version: Long, bits: Int) =
+    s"meta/bloom-$column-v$version-b$bits.parquet"
 
-  /** newest sidecar for `column` at or before the current version. */
-  def sidecarFor(table: GraftTable, column: String): Option[(String, Long)] = {
+  /** newest sidecar for `column` at or before the current version, with its
+    * filter size parsed from the name — planning needs zero reads to learn
+    * the probe shape. Returns (relPath, version, bits). */
+  def sidecarFor(table: GraftTable, column: String): Option[(String, Long, Int)] = {
     val cur = table.currentVersion
-    val pat = s"bloom-$column-v(\\d+)\\.parquet".r
+    val pat = s"bloom-$column-v(\\d+)-b(\\d+)\\.parquet".r
     table.io.list("meta").flatMap {
-      case pat(v) if v.toLong <= cur => Some(v.toLong)
+      case pat(v, b) if v.toLong <= cur => Some((v.toLong, b.toInt))
       case _ => None
-    }.maxOption.map(v => (sidecarRel(column, v), v))
+    }.maxByOption(_._1)
+      .map { case (v, b) => (sidecarRel(column, v, b), v, b) }
   }
 
   /** Build (or refresh) the sidecar for `column` over the CURRENT
@@ -78,13 +81,12 @@ object BloomIndex {
       .select(input_file_name().as("abs"), xxhash64(col(column)).as("h"))
       .groupBy(regexp_extract(col("abs"), "(data/[^/]+/[^/]+)$", 1).as("file_path"))
       .agg(bloomAgg(col("h")).as("bloom"), count(lit(1)).as("n_keys"))
-      .withColumn("bits", lit(bits))
-    val rel = sidecarRel(column, snap.version)
+    val rel = sidecarRel(column, snap.version, bits)
     side.write.mode("overwrite").parquet(table.io.abs(rel).toString)
     val n = spark.read.parquet(table.io.abs(rel).toString).count()
     // drop superseded sidecars (best effort — a concurrent reader of an old
     // one only loses pruning, never correctness)
-    val pat = s"bloom-$column-v(\\d+)\\.parquet".r
+    val pat = s"bloom-$column-v(\\d+)-b\\d+\\.parquet".r
     table.io.list("meta").foreach {
       case f @ pat(v) if v.toLong < snap.version => table.io.delete(s"meta/$f")
       case _ => ()
@@ -113,12 +115,11 @@ object BloomIndex {
     points.foldLeft(man) { case (df, (c, vs)) =>
       sidecarFor(table, c) match {
         case None => df
-        case Some((rel, _)) =>
+        case Some((rel, _, bits)) =>
           val abs = table.io.abs(rel).toString
-          val side0 = spark.read.parquet(abs)
-          val bits = side0.select("bits").head().getInt(0)
           val bcol = s"_bloom_$c"
-          val side = side0.select(col("file_path"), col("bloom").as(bcol))
+          val side = spark.read.schema("file_path STRING, bloom BINARY")
+            .parquet(abs).select(col("file_path"), col("bloom").as(bcol))
           val mayContain = vs.map(v =>
               Bloom.bloom_contains(xxhash64(lit(v)), col(bcol), bits, numHashes))
             .reduce(_ || _)
@@ -144,16 +145,18 @@ object BloomIndex {
       Array(org.apache.spark.sql.sources.EqualTo(column, value)))
 
     val rowFilter = col(column) === value
+    // total from the snapshot's arithmetic file count — zero planning jobs
+    // (count() only for pre-field tables)
     if (table.hasEqDeletes(snap)) {
       val m = table.manifestWithSeq(snap)
-      val total = m.count().toInt
+      val total = if (snap.fileCount >= 0) snap.fileCount.toInt else m.count().toInt
       val kept = pruned(m).select($"file_path", $"add_seq")
         .as[(String, Long)].collect().toSeq
       (table.withEqDeletesApplied(snap, table.readFilesWithSeq(kept))
         .filter(rowFilter), total, kept.size)
     } else {
       val m = table.manifest(snap)
-      val total = m.count().toInt
+      val total = if (snap.fileCount >= 0) snap.fileCount.toInt else m.count().toInt
       val kept = pruned(m).select("file_path").as[String].collect().toSeq
       (table.readFiles(kept).filter(rowFilter), total, kept.size)
     }
