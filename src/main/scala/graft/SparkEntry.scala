@@ -1264,6 +1264,40 @@ object SparkEntry {
     q
   }
 
+  private def q64SqlMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SQL MERGE INTO under the oracle gate: the same base/source rowsets as
+    // q24's library merge, but driven entirely through Spark's row-level
+    // operation framework (group-based copy-on-write ReplaceData) — the
+    // runtime group filter narrows the rewrite to files holding matched
+    // keys, the write replaces exactly the scanned group. DuckDB recomputes
+    // the merged row set relationally (the identical CTE q24 uses).
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame, v2: Boolean) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang",
+      (if (v2) concat(lit("v2 "), $"text") else $"text").as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q64").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/ns/t")
+    table.append(shaped(docs.filter($"doc_id" % 3 =!= 0), v2 = false).repartition(8))
+    val cat = "g64_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    shaped(docs.filter($"doc_id" % 5 === 0), v2 = true)
+      .createOrReplaceTempView("q64_src")
+    s.sql(
+      s"""MERGE INTO $cat.ns.t t USING q64_src s
+         |ON t.repo = s.repo AND t.path = s.path AND t.commit = s.commit
+         |WHEN MATCHED THEN UPDATE SET t.content = s.content, t.lang = s.lang
+         |WHEN NOT MATCHED THEN INSERT (repo, path, commit, lang, content)
+         |  VALUES (s.repo, s.path, s.commit, s.lang, s.content)""".stripMargin)
+    s.read.format("graft").load(table.location)
+      .select($"repo", $"path", $"commit", $"lang",
+        sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path")
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1389,6 +1423,7 @@ object SparkEntry {
     "q61_schema_evolution" -> (q61SchemaEvolution(_, _)),
     "q62_bloom_lookup"   -> (q62BloomLookup(_, _)),
     "q63_pq_ann"         -> (q63PqAnn(_, _)),
+    "q64_sql_merge"      -> (q64SqlMerge(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1657,6 +1692,12 @@ object SparkEntry {
         |  sum(length(a.content)::BIGINT * length(b.content))::BIGINT AS chk
         |FROM a JOIN b ON a.repo = b.repo
         |GROUP BY a.repo ORDER BY a.repo""".stripMargin,
+    // the SQL MERGE's row set — the identical relational recompute q24's
+    // library merge is gated on
+    "q64_sql_merge" ->
+      s"""$duckMergedCte
+         |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
+         |FROM merged ORDER BY repo, path""".stripMargin,
     // the final evolved row set: pre-evolution rows read the added column
     // as NULL, post-evolution rows carry their typed value through the
     // compaction rewrite

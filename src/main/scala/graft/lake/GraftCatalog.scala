@@ -48,14 +48,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(path)
+    // strict schema for SQL-surface tables: ACCEPT_ANY_SCHEMA would flip
+    // MERGE INTO into skipSchemaResolution mode, which vanilla Spark never
+    // resolves (it expects an engine extension to)
+    new GraftSparkTable(path, acceptAnySchema = false)
   }
 
-  /** SQL time travel: SELECT ... FROM graft.ns.t FOR VERSION AS OF 3 */
+  /** SQL time travel: `VERSION AS OF 3` (a snapshot version) or
+    * `VERSION AS OF 'tag-name'` (a named ref pinned by GraftTable.setTag). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = tablePath(ident)
     if (!isTable(path)) throw new NoSuchTableException(ident)
-    new GraftSparkTable(path, Some(version.toLong))
+    val v = version.toLongOption.getOrElse {
+      new GraftTable(SparkSession.active, path).tags.getOrElse(version,
+        throw new NoSuchTableException(ident))
+    }
+    new GraftSparkTable(path, Some(v), acceptAnySchema = false)
   }
 
   override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
@@ -74,7 +82,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     require(partitions.isEmpty, "graft tables manage their own layout (z-cluster)")
     val path = tablePath(ident)
     new GraftTable(SparkSession.active, path).init()
-    new GraftSparkTable(path)
+    new GraftSparkTable(path, acceptAnySchema = false)
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

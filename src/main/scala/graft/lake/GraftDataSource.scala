@@ -46,7 +46,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // time travel: .option("snapshot", v) pins the scan to snapshot v — the
     // same isolation the library API's pinned-snapshot reads give, now
     // reachable through the public connector
+    // .option("tag", name) resolves a named ref to its pinned version —
+    // the same read path as an explicit snapshot pin
     val snapshot = Option(properties.get("snapshot")).map(_.toLong)
+      .orElse(Option(properties.get("tag")).map { name =>
+        new GraftTable(SparkSession.active, location).tags.getOrElse(name,
+          throw new IllegalArgumentException(s"no such tag $name at $location"))
+      })
     // incremental read: .option("fromSnapshot", v) restricts the scan to
     // rows APPENDED after snapshot v (exclusive), up to the end snapshot
     // ("snapshot" option, else current) — the Iceberg-style changelog read
@@ -82,20 +88,48 @@ object GraftDataSource {
 class GraftSparkTable(location: String, snapshot: Option[Long] = None,
                       columnar: Boolean = true,
                       fromSnapshot: Option[Long] = None,
-                      maxVersionsPerBatch: Option[Long] = None)
+                      maxVersionsPerBatch: Option[Long] = None,
+                      // path-based handles accept subset schemas on write
+                      // (the V1 bridge / streaming sink splice z and missing
+                      // columns); CATALOG handles are strict — ACCEPT_ANY_
+                      // SCHEMA flips MergeIntoTable.skipSchemaResolution,
+                      // which leaves vanilla Spark's MERGE resolution to an
+                      // engine extension that doesn't exist here, so SQL
+                      // MERGE INTO only resolves on a strict-schema table
+                      acceptAnySchema: Boolean = true)
   extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` metadata column (SELECT _file FROM t works like Iceberg's) —
+    * also what SQL MERGE/UPDATE's runtime group filter collects. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(GraftFileColumn)
+
+  /** SQL MERGE INTO / UPDATE (and non-filter DELETE) as group-based
+    * copy-on-write row-level operations — see GraftRowLevel.scala. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(snapshot.isEmpty, "cannot run DML through a time-travel-pinned read")
+    require(fromSnapshot.isEmpty, "cannot run DML through an incremental read")
+    () => new GraftRowLevelOperation(location, info.command)
+  }
   override def name(): String = s"graft.`$location`"
   // resolved once per table handle; a time-travel-pinned handle reports the
   // schema as of THAT snapshot (pre-evolution reads see the old shape)
   private lazy val evolved: StructType =
     GraftDataSource.evolvedSchema(location, snapshot)
   override def schema(): StructType = evolved
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.V1_BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA,
+  override def capabilities(): util.Set[TableCapability] = {
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(location, snapshot, columnar, fromSnapshot,
       maxVersionsPerBatch, evolved)
@@ -914,7 +948,8 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType)
       // no requested column exists in this file: all-null constant vectors
       // carrying the footer's row count (O(1) memory regardless of rows)
       val n = fileRows.toInt
-      return new ColumnarBatch(columns.indices.map(i => nullVec(i, n)).toArray, n)
+      return new ColumnarBatch(
+        columns.indices.map(i => missingVec(i, n)).toArray, n)
     }
     val inner = reader.resultBatch()
     if (allPresent) inner
@@ -925,7 +960,7 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType)
       while (i < columns.length) {
         vecs(i) = presentIdx.get(columns(i)) match {
           case Some(j) => inner.column(j)
-          case None => nullVec(i, n)
+          case None => missingVec(i, n)
         }
         i += 1
       }
@@ -933,9 +968,14 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType)
     }
   }
 
-  private def nullVec(fieldIdx: Int, n: Int): ColumnVector = {
+  /** a requested column absent from the file's footer: `_file` is the
+    * reader's own path (metadata column), anything else reads as null
+    * (schema evolution). */
+  private def missingVec(fieldIdx: Int, n: Int): ColumnVector = {
     val v = new ConstantColumnVector(n, required.fields(fieldIdx).dataType)
-    v.setNull()
+    if (columns(fieldIdx) == "_file")
+      v.setUtf8String(UTF8String.fromString(absPath))
+    else v.setNull()
     v
   }
 
@@ -983,11 +1023,16 @@ class GraftPartitionReader(absPath: String, columns: Array[String],
 
   override def next(): Boolean = { cur = reader.read(); cur != null }
 
+  // `_file` metadata column: the reader knows its own file
+  private val filePathUtf8 = UTF8String.fromString(absPath)
+
   override def get(): InternalRow = {
     val row = new GenericInternalRow(columns.length)
     var i = 0
     while (i < columns.length) {
       val c = columns(i)
+      if (c == "_file") { row.update(i, filePathUtf8); i += 1 }
+      else {
       val present = cur.getType.containsField(c) &&
         cur.getFieldRepetitionCount(cur.getType.getFieldIndex(c)) > 0
       if (!present) row.setNullAt(i)
@@ -1000,6 +1045,7 @@ class GraftPartitionReader(absPath: String, columns: Array[String],
         case _           => row.update(i, UTF8String.fromString(cur.getString(c, 0)))
       }
       i += 1
+      }
     }
     row
   }

@@ -259,6 +259,40 @@ class GraftTable(val spark: SparkSession, val location: String) {
       .drop("add_seq")
   }
 
+  // ---- named refs: TAGS (Iceberg-style immutable snapshot pins) ---------
+
+  /** all tags: name → pinned snapshot version (meta/refs.json, atomic). */
+  def tags: Map[String, Long] = {
+    if (!io.exists("meta/refs.json")) Map.empty
+    else parseJsonFlat(io.readString("meta/refs.json")).map { case (k, v) => k -> v.toLong }
+  }
+
+  /** Pin `name` to snapshot `version` (overwrites an existing tag). Tagged
+    * snapshots survive expireSnapshots until the tag is dropped — the
+    * audit/compliance handle: `VERSION AS OF 'v2024-audit'` keeps working
+    * however much the table churns. Metadata-only, atomic rename commit. */
+  def setTag(name: String, version: Long): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"), s"invalid tag name $name")
+    require(snapshot(version).isDefined, s"no snapshot v$version to tag")
+    writeRefs(tags + (name -> version))
+  }
+
+  def dropTag(name: String): Unit = {
+    val t = tags
+    require(t.contains(name), s"no such tag $name")
+    writeRefs(t - name)
+  }
+
+  def snapshotByTag(name: String): Option[Snapshot] =
+    tags.get(name).flatMap(snapshot)
+
+  private def writeRefs(refs: Map[String, Long]): Unit = {
+    init()
+    val json = refs.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    io.writeAtomic("meta/refs.json", json)
+  }
+
   // ---- schema evolution (Iceberg-style add/drop column, metadata-only) --
 
   /** The extra (evolved) fields of a snapshot, parsed from its DDL fragment.
@@ -825,7 +859,11 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def expireSnapshots(olderThanMillis: Long): (Int, Int) = {
     val cur = currentVersion
     val all = listSnapshots()
-    val (expired, kept) = all.partition(s => s.tsMillis < olderThanMillis && s.version != cur)
+    // tagged snapshots are RETAINED whatever their age: a tag is the
+    // audit/compliance pin, dropTag is the only way to release it
+    val tagged = tags.values.toSet
+    val (expired, kept) = all.partition(s =>
+      s.tsMillis < olderThanMillis && s.version != cur && !tagged(s.version))
     if (expired.isEmpty) return (0, 0)
     val keptFiles = kept.map(s => manifest(s).select("file_path"))
       .reduceOption(_ unionByName _).map(_.distinct())
@@ -1046,7 +1084,8 @@ class GraftTable(val spark: SparkSession, val location: String) {
 
   // tiny flat-json parser for our own snapshot files
   private def parseJsonFlat(s: String): Map[String, String] = {
-    val re = """"(\w+)"\s*:\s*("([^"]*)"|[-\d]+)""".r
+    // keys include tag names (letters, digits, dot, dash, underscore)
+    val re = """"([\w.-]+)"\s*:\s*("([^"]*)"|[-\d]+)""".r
     re.findAllMatchIn(s).map { m =>
       val v = if (m.group(3) != null) m.group(3) else m.group(2)
       m.group(1) -> v
