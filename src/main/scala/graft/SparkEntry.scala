@@ -1298,6 +1298,41 @@ object SparkEntry {
       .orderBy($"repo", $"path")
   }
 
+  private def q65SqlProcedures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the whole maintenance lifecycle driven through SQL CALL procedures
+    // (the orchestrator surface): tag the first append, append more, then
+    // compact + cluster + rewrite_manifests + expire via CALL — the tag
+    // must keep its snapshot alive through the expiry, and the current
+    // rowset must survive every rewrite byte-exactly. DuckDB recomputes
+    // both row sets relationally.
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q65").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/ns/t")
+    table.append(shaped(docs.filter($"doc_id" % 2 === 0)).repartition(6))
+    val v1 = table.currentVersion
+    val cat = "g65_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CALL $cat.system.set_tag(`table` => 'ns.t', tag => 'raw', version => $v1)")
+    table.append(shaped(docs.filter($"doc_id" % 2 =!= 0)).repartition(6))
+    s.sql(s"CALL $cat.system.compact(`table` => 'ns.t', small_mb => 8, target_mb => 64)")
+    s.sql(s"CALL $cat.system.cluster(`table` => 'ns.t', hilbert => false)")
+    s.sql(s"CALL $cat.system.rewrite_manifests(`table` => 'ns.t')")
+    // expire everything old — the tagged v1 must survive
+    s.sql(s"CALL $cat.system.expire_snapshots(`table` => 'ns.t', older_than_ms => ${Long.MaxValue - 1})")
+    def shas(df: DataFrame, src: String) = df.select(
+      lit(src).as("src"), $"repo", $"path", $"commit", $"lang",
+      sha2($"content", 256).as("content_sha"))
+    shas(s.sql(s"SELECT * FROM $cat.ns.t"), "current")
+      .unionAll(shas(s.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 'raw'"), "tagged"))
+      .orderBy($"src", $"repo", $"path")
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1424,6 +1459,7 @@ object SparkEntry {
     "q62_bloom_lookup"   -> (q62BloomLookup(_, _)),
     "q63_pq_ann"         -> (q63PqAnn(_, _)),
     "q64_sql_merge"      -> (q64SqlMerge(_, _)),
+    "q65_sql_procedures" -> (q65SqlProcedures(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1698,6 +1734,16 @@ object SparkEntry {
       s"""$duckMergedCte
          |SELECT repo, path, "commit", lang, sha256(content) AS content_sha
          |FROM merged ORDER BY repo, path""".stripMargin,
+    // q65: CALL-driven maintenance never changes the rowset; the tag keeps
+    // the first append's snapshot readable through the expiry
+    "q65_sql_procedures" ->
+      """WITH rows AS (SELECT doc_id, 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |   'f/' || doc_id::VARCHAR || '.txt' AS path, 'c0' AS "commit", lang, text AS content
+        | FROM documents)
+        |SELECT 'current' AS src, repo, path, "commit", lang, sha256(content) AS content_sha FROM rows
+        |UNION ALL
+        |SELECT 'tagged', repo, path, "commit", lang, sha256(content) FROM rows WHERE doc_id % 2 = 0
+        |ORDER BY src, repo, path""".stripMargin,
     // the final evolved row set: pre-evolution rows read the added column
     // as NULL, post-evolution rows carry their typed value through the
     // compaction rewrite

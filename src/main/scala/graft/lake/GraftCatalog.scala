@@ -24,7 +24,8 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlread
   * V1-bridge writes. `FOR VERSION AS OF v` resolves through the snapshot
   * machinery (loadTable(ident, version)) for SQL time travel.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog
+  with ProcedureCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
 
@@ -85,8 +86,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftSparkTable(path, acceptAnySchema = false)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft tables have a fixed schema")
+  /** SQL `ALTER TABLE ... ADD COLUMNS (...)` / `DROP COLUMN ...` → the
+    * metadata-only evolution commits (evolveSchema/dropColumn). All ADDs in
+    * one statement land as ONE commit; each DROP is its own commit (it must
+    * tombstone the name). Anything else (renames, type changes, reorders)
+    * is refused — name-based column mapping cannot express those safely. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path)) throw new NoSuchTableException(ident)
+    val table = new GraftTable(SparkSession.active, path)
+    val adds = changes.collect { case a: TableChange.AddColumn => a }
+    val drops = changes.collect { case d: TableChange.DeleteColumn => d }
+    val other = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] || c.isInstanceOf[TableChange.DeleteColumn])
+    require(other.isEmpty,
+      s"unsupported ALTER TABLE change(s): ${other.map(_.getClass.getSimpleName).mkString(", ")}")
+    if (adds.nonEmpty) {
+      adds.foreach(a => require(a.fieldNames.length == 1,
+        s"nested column ${a.fieldNames.mkString(".")} not supported"))
+      table.evolveSchema(StructType(adds.map(a =>
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames.head, a.dataType, a.isNullable)).toArray).toDDL)
+    }
+    drops.foreach { d =>
+      require(d.fieldNames.length == 1,
+        s"nested column ${d.fieldNames.mkString(".")} not supported")
+      table.dropColumn(d.fieldNames.head)
+    }
+    new GraftSparkTable(path, acceptAnySchema = false)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
@@ -109,6 +137,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
       : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     if (ident.namespace().isEmpty && ident.name() == "bucket") Bucketing.BucketUnbound
     else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  // -- ProcedureCatalog: the Iceberg-style maintenance surface,
+  // CALL <cat>.system.compact(`table` => 'ns.t', ...) — see GraftProcedures --
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val p = if (ident.namespace().sameElements(Array("system")))
+      GraftProcedures.load(ident.name(), warehouse) else None
+    p.getOrElse(throw new RuntimeException(
+      s"no such procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+      s"(available: system.{${GraftProcedures.names.mkString(", ")}})"))
+  }
 
   // -- SupportsNamespaces (warehouse directories) --
   override def listNamespaces(): Array[Array[String]] = {

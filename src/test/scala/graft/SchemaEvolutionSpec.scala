@@ -200,4 +200,38 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(got.filter(col("stars") === 4).count() == 10 - matched4)
     assert(got.filter(col("path") === somePath).count() == 0)
   }
+
+  test("SQL ALTER TABLE ADD/DROP COLUMN routes through the metadata-only commits") {
+    val wh = Files.createTempDirectory("se-ddl").toString
+    spark.conf.set("spark.sql.catalog.secat", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.secat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE secat.ns")
+    val t = new GraftTable(spark, s"$wh/ns/t")
+    t.append(synthDf(20).repartition(2))
+    val filesBefore = t.currentSnapshot.get.fileCount
+
+    // two ADDs in one statement → ONE evolve commit, zero data files written
+    val v0 = t.currentVersion
+    spark.sql("ALTER TABLE secat.ns.t ADD COLUMNS (stars INT, score DOUBLE)")
+    assert(t.currentVersion == v0 + 1, "one commit for both columns")
+    val s = t.currentSnapshot.get
+    assert(s.operation == "evolve-schema" && s.fileCount == filesBefore)
+    val cols = spark.sql("SELECT * FROM secat.ns.t").schema.fieldNames.toSet
+    assert(cols.contains("stars") && cols.contains("score"))
+    assert(spark.sql("SELECT * FROM secat.ns.t WHERE stars IS NOT NULL").count() == 0)
+
+    spark.sql("ALTER TABLE secat.ns.t DROP COLUMN score")
+    val cols2 = spark.sql("SELECT * FROM secat.ns.t").schema.fieldNames.toSet
+    assert(cols2.contains("stars") && !cols2.contains("score"))
+    // tombstone enforced through SQL too
+    val err = intercept[Exception] {
+      spark.sql("ALTER TABLE secat.ns.t ADD COLUMNS (score DOUBLE)")
+    }
+    assert(err.getMessage.contains("previously dropped"))
+    // unsupported changes are refused, not silently ignored
+    val err2 = intercept[Exception] {
+      spark.sql("ALTER TABLE secat.ns.t RENAME COLUMN stars TO s2")
+    }
+    assert(err2.getMessage.toLowerCase.contains("unsupported"))
+  }
 }
