@@ -46,9 +46,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * created table must be loadable so INSERT INTO can target it). */
   private def isTable(path: String): Boolean = LakeIO.of(path).exists("meta")
 
+  /** `ns.t.snapshots|files|tags` — the Iceberg metadata-table convention:
+    * the identifier's NAME is the metadata kind and its namespace tail is
+    * the real table. Only consulted when the identifier itself is not a
+    * table, so a genuine table named `files` always wins. */
+  private def metadataTable(ident: Identifier, pinned: Option[Long]): Option[Table] =
+    if (GraftMetadataTables.kinds.contains(ident.name()) && ident.namespace().nonEmpty) {
+      val base = (warehouse +: ident.namespace()).mkString("/")
+      if (isTable(base)) Some(new GraftMetadataSparkTable(base, ident.name(), pinned))
+      else None
+    } else None
+
   override def loadTable(ident: Identifier): Table = {
     val path = tablePath(ident)
-    if (!isTable(path)) throw new NoSuchTableException(ident)
+    if (!isTable(path))
+      return metadataTable(ident, None).getOrElse(throw new NoSuchTableException(ident))
     // strict schema for SQL-surface tables: ACCEPT_ANY_SCHEMA would flip
     // MERGE INTO into skipSchemaResolution mode, which vanilla Spark never
     // resolves (it expects an engine extension to)
@@ -59,12 +71,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     * `VERSION AS OF 'tag-name'` (a named ref pinned by GraftTable.setTag). */
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = tablePath(ident)
-    if (!isTable(path)) throw new NoSuchTableException(ident)
-    val v = version.toLongOption.getOrElse {
-      new GraftTable(SparkSession.active, path).tags.getOrElse(version,
+    def resolve(p: String): Long = version.toLongOption.getOrElse {
+      new GraftTable(SparkSession.active, p).tags.getOrElse(version,
         throw new NoSuchTableException(ident))
     }
-    new GraftSparkTable(path, Some(v), acceptAnySchema = false)
+    if (!isTable(path)) {
+      // time-traveled metadata table: ns.t.files VERSION AS OF v — the live
+      // manifest AS OF that snapshot (or tag)
+      val base = (warehouse +: ident.namespace()).mkString("/")
+      return metadataTable(ident, Some(resolve(base)))
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
+    new GraftSparkTable(path, Some(resolve(path)), acceptAnySchema = false)
   }
 
   override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))

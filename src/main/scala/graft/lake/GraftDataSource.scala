@@ -30,13 +30,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Option(options.get("path")) match {
-      // evolved columns are part of the table's public schema — resolve them
-      // from the (pinned or current) snapshot's metadata, one tiny driver read
-      case Some(loc) =>
-        GraftDataSource.evolvedSchema(loc,
-          Option(options.get("snapshot")).map(_.toLong))
-      case None => GraftDataSource.schema
+    Option(options.get("metadata")) match {
+      // introspection: .option("metadata", "files"|"snapshots"|"tags")
+      case Some(kind) => GraftMetadataTables.schemaOf(kind)
+      case None => Option(options.get("path")) match {
+        // evolved columns are part of the table's public schema — resolve
+        // them from the (pinned or current) snapshot's metadata, one tiny
+        // driver read
+        case Some(loc) =>
+          GraftDataSource.evolvedSchema(loc,
+            Option(options.get("snapshot")).map(_.toLong))
+        case None => GraftDataSource.schema
+      }
     }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -53,18 +58,25 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         new GraftTable(SparkSession.active, location).tags.getOrElse(name,
           throw new IllegalArgumentException(s"no such tag $name at $location"))
       })
-    // incremental read: .option("fromSnapshot", v) restricts the scan to
-    // rows APPENDED after snapshot v (exclusive), up to the end snapshot
-    // ("snapshot" option, else current) — the Iceberg-style changelog read
-    val fromSnapshot = Option(properties.get("fromSnapshot")).map(_.toLong)
-    // streaming admission control: at most this many snapshot VERSIONS per
-    // microbatch (default: all available) — bounds per-batch work when a
-    // stream catches up on a long append backlog
-    val maxVersions = Option(properties.get("maxVersionsPerBatch")).map(_.toLong)
-    // .option("columnar", false): row-at-a-time fallback reader, kept for
-    // A/B measurement and as an escape hatch — default is columnar
-    val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
-    new GraftSparkTable(location, snapshot, columnar, fromSnapshot, maxVersions)
+    Option(properties.get("metadata")) match {
+      // metadata tables: .option("metadata", kind) serves the table's state
+      // (snapshot history / live manifest / tags) instead of its rows;
+      // composes with the snapshot/tag pin for time-traveled `files`
+      case Some(kind) => new GraftMetadataSparkTable(location, kind, snapshot)
+      case None =>
+        // incremental read: .option("fromSnapshot", v) restricts the scan to
+        // rows APPENDED after snapshot v (exclusive), up to the end snapshot
+        // ("snapshot" option, else current) — the Iceberg-style changelog read
+        val fromSnapshot = Option(properties.get("fromSnapshot")).map(_.toLong)
+        // streaming admission control: at most this many snapshot VERSIONS
+        // per microbatch (default: all available) — bounds per-batch work
+        // when a stream catches up on a long append backlog
+        val maxVersions = Option(properties.get("maxVersionsPerBatch")).map(_.toLong)
+        // .option("columnar", false): row-at-a-time fallback reader, kept for
+        // A/B measurement and as an escape hatch — default is columnar
+        val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
+        new GraftSparkTable(location, snapshot, columnar, fromSnapshot, maxVersions)
+    }
   }
 
   override def supportsExternalMetadata(): Boolean = true
