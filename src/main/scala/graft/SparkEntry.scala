@@ -1333,6 +1333,37 @@ object SparkEntry {
       .orderBy($"src", $"repo", $"path")
   }
 
+  private def q66MetadataTables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // metadata tables under the oracle gate: two deterministic appends, then
+    // the SNAPSHOTS history and the live FILES manifest read back through
+    // the SQL suffix tables (`t.snapshots` / `t.files`). Per-snapshot
+    // record/file counts must reconcile with the source row counts and the
+    // fixed write partitioning, and the manifest's min/max column stats must
+    // bound the actual data. DuckDB recomputes the history relationally from
+    // the same split.
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q66").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/ns/t")
+    table.append(shaped(docs.filter($"doc_id" % 10 < 7)).repartition(4))
+    table.append(shaped(docs.filter($"doc_id" % 10 >= 7)).repartition(2))
+    val cat = "g66_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val snaps = s.sql(
+      s"""SELECT version, operation, record_count, file_count, is_current
+         |FROM $cat.ns.t.snapshots""".stripMargin)
+    val files = s.sql(
+      s"""SELECT count(*) AS live_files, sum(record_count) AS live_rows,
+         |  min(min_repo) AS lo_repo, max(max_repo) AS hi_repo
+         |FROM $cat.ns.t.files""".stripMargin)
+    snaps.crossJoin(files).orderBy($"version")
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1460,6 +1491,7 @@ object SparkEntry {
     "q63_pq_ann"         -> (q63PqAnn(_, _)),
     "q64_sql_merge"      -> (q64SqlMerge(_, _)),
     "q65_sql_procedures" -> (q65SqlProcedures(_, _)),
+    "q66_metadata_tables" -> (q66MetadataTables(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1744,6 +1776,24 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'tagged', repo, path, "commit", lang, sha256(content) FROM rows WHERE doc_id % 2 = 0
         |ORDER BY src, repo, path""".stripMargin,
+    // q66: the snapshot history two fixed-partitioning appends produce —
+    // record_count/file_count are cumulative LIVE totals per snapshot, the
+    // files view carries one row per live data file with column stats
+    // bounding the data
+    "q66_metadata_tables" ->
+      """WITH n AS (
+        |  SELECT count(*) FILTER (WHERE doc_id % 10 < 7)::BIGINT AS n1,
+        |         count(*) FILTER (WHERE doc_id % 10 >= 7)::BIGINT AS n2
+        |  FROM documents)
+        |SELECT 1::BIGINT AS version, 'append' AS operation, n1 AS record_count,
+        |  4::BIGINT AS file_count, false AS is_current, 6::BIGINT AS live_files,
+        |  (n1 + n2)::BIGINT AS live_rows, 'repo_0' AS lo_repo, 'repo_9' AS hi_repo
+        |FROM n
+        |UNION ALL
+        |SELECT 2::BIGINT, 'append', (n1 + n2)::BIGINT, 6::BIGINT, true,
+        |  6::BIGINT, (n1 + n2)::BIGINT, 'repo_0', 'repo_9'
+        |FROM n
+        |ORDER BY version""".stripMargin,
     // the final evolved row set: pre-evolution rows read the added column
     // as NULL, post-evolution rows carry their typed value through the
     // compaction rewrite
