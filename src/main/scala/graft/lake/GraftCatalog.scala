@@ -72,8 +72,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
   override def loadTable(ident: Identifier, version: String): Table = {
     val path = tablePath(ident)
     def resolve(p: String): Long = version.toLongOption.getOrElse {
-      new GraftTable(SparkSession.active, p).tags.getOrElse(version,
-        throw new NoSuchTableException(ident))
+      // a name resolves as a tag first, then a branch head (creation
+      // refuses tag/branch name collisions, so the order never matters)
+      val t = new GraftTable(SparkSession.active, p)
+      t.tags.get(version).orElse(t.branches.get(version))
+        .getOrElse(throw new NoSuchTableException(ident))
     }
     if (!isTable(path)) {
       // time-traveled metadata table: ns.t.files VERSION AS OF v — the live

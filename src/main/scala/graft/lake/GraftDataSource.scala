@@ -53,10 +53,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // reachable through the public connector
     // .option("tag", name) resolves a named ref to its pinned version —
     // the same read path as an explicit snapshot pin
+    // .option("branch", name): reads pin to the branch head resolved NOW;
+    // writes through the same load advance the branch ref, not main
+    val branch = Option(properties.get("branch"))
     val snapshot = Option(properties.get("snapshot")).map(_.toLong)
       .orElse(Option(properties.get("tag")).map { name =>
         new GraftTable(SparkSession.active, location).tags.getOrElse(name,
           throw new IllegalArgumentException(s"no such tag $name at $location"))
+      })
+      .orElse(branch.map { name =>
+        new GraftTable(SparkSession.active, location).branches.getOrElse(name,
+          throw new IllegalArgumentException(s"no such branch $name at $location"))
       })
     Option(properties.get("metadata")) match {
       // metadata tables: .option("metadata", kind) serves the table's state
@@ -75,7 +82,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         // .option("columnar", false): row-at-a-time fallback reader, kept for
         // A/B measurement and as an escape hatch — default is columnar
         val columnar = Option(properties.get("columnar")).forall(_.toBoolean)
-        new GraftSparkTable(location, snapshot, columnar, fromSnapshot, maxVersions)
+        new GraftSparkTable(location, snapshot, columnar, fromSnapshot, maxVersions,
+          writeBranch = branch)
     }
   }
 
@@ -108,7 +116,11 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
                       // which leaves vanilla Spark's MERGE resolution to an
                       // engine extension that doesn't exist here, so SQL
                       // MERGE INTO only resolves on a strict-schema table
-                      acceptAnySchema: Boolean = true)
+                      acceptAnySchema: Boolean = true,
+                      // when set, appends advance this BRANCH's head
+                      // instead of main (reads through the same handle are
+                      // pinned to the branch head resolved at load time)
+                      writeBranch: Option[String] = None)
   extends Table
   with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -182,7 +194,7 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
           override def toInsertableRelation():
               org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-              val table = new GraftTable(data.sparkSession, location)
+              val table = new GraftTable(data.sparkSession, location, writeBranch)
               require(!overwrite, "graft sink supports append mode only")
               // resolve case-insensitively (Spark's default resolution):
               // a DataFrame column named `Repo` must match graft's `repo`,

@@ -46,7 +46,7 @@ class GraftMetadataSparkTable(baseLocation: String, kind: String,
 }
 
 object GraftMetadataTables {
-  val kinds: Set[String] = Set("snapshots", "files", "tags")
+  val kinds: Set[String] = Set("snapshots", "files", "tags", "branches")
 
   val snapshotsSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -63,9 +63,14 @@ object GraftMetadataTables {
     StructField("tag", StringType, nullable = false),
     StructField("version", LongType, nullable = false)))
 
+  val branchesSchema: StructType = StructType(Seq(
+    StructField("branch", StringType, nullable = false),
+    StructField("head_version", LongType, nullable = false)))
+
   def schemaOf(kind: String): StructType = kind match {
     case "snapshots" => snapshotsSchema
     case "tags"      => tagsSchema
+    case "branches"  => branchesSchema
     case "files"     => GraftTable.manifestSchema
   }
 
@@ -84,6 +89,10 @@ object GraftMetadataTables {
         local(tagsSchema, t.tags.toSeq.sortBy(_._1).map { case (n, v) =>
           new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))
         }, s"graft.tags @ $base")
+      case "branches" =>
+        local(branchesSchema, t.branches.toSeq.sortBy(_._1).map { case (n, v) =>
+          new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))
+        }, s"graft.branches @ $base")
       case "files" => new FilesScan(base, pinned)
     }
   }

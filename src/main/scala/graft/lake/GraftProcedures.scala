@@ -115,6 +115,30 @@ object GraftProcedures {
       (t, in) => {
         val tag = in.getUTF8String(1).toString
         t.dropTag(tag); Seq[Any](tag)
+      })),
+    // branch lifecycle: fork at a version (-1 = main's head), publish by
+    // fast-forward (refuses a diverged main), drop to release the line
+    "create_branch" -> ((
+      Seq("table" -> S, "branch" -> S, "version" -> L),
+      out("branch" -> S, "forked_at" -> L),
+      (t, in) => {
+        val b = in.getUTF8String(1).toString
+        t.createBranch(b, in.getLong(2))
+        Seq[Any](b, t.branches(b))
+      })),
+    "fast_forward" -> ((
+      Seq("table" -> S, "branch" -> S),
+      out("branch" -> S, "version" -> L),
+      (t, in) => {
+        val b = in.getUTF8String(1).toString
+        Seq[Any](b, t.fastForward(b))
+      })),
+    "drop_branch" -> ((
+      Seq("table" -> S, "branch" -> S),
+      out("branch" -> S),
+      (t, in) => {
+        val b = in.getUTF8String(1).toString
+        t.dropBranch(b); Seq[Any](b)
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

@@ -101,7 +101,12 @@ object GraftTable {
   }
 }
 
-class GraftTable(val spark: SparkSession, val location: String) {
+class GraftTable(val spark: SparkSession, val location: String,
+                 // a WRITABLE ref: when set, reads resolve and commits
+                 // advance this branch's head instead of main's hint (same
+                 // single-writer-per-table assumption as main). Obtain via
+                 // forBranch().
+                 val branch: Option[String] = None) {
   import spark.implicits._
 
   val io = new LakeIO(location)
@@ -119,7 +124,14 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * highest snapshot file rather than silently reporting an empty table —
     * a reader falling back to 0 here would make the NEXT commit rebase on
     * parent=None and orphan all live data. */
-  def currentVersion: Long = {
+  def currentVersion: Long = branch match {
+    case Some(b) => branches.getOrElse(b,
+      throw new IllegalArgumentException(s"no such branch $b at $location"))
+    case None => mainVersion
+  }
+
+  /** main's head, whatever branch this handle views. */
+  private[lake] def mainVersion: Long = {
     if (io.exists("meta/version-hint.text"))
       io.readString("meta/version-hint.text").trim.toLong
     else
@@ -129,6 +141,25 @@ class GraftTable(val spark: SparkSession, val location: String) {
             Some(n.stripPrefix("snapshot-v").stripSuffix(".json").toLong)
           else None
         }.maxOption.getOrElse(0L)
+  }
+
+  /** Allocate the next snapshot version. Linear tables (no branch refs ever
+    * created) keep today's hint+1 — zero extra IO. Once branches exist,
+    * versions are GLOBAL across all lines: max over main, every branch head,
+    * the snapshot files, and the high-water mark (which survives a dropped
+    * branch's head being expired — versions are never reused, so a pinned
+    * reader can never silently see a different snapshot under an old id). */
+  private[lake] def nextVersion: Long = {
+    if (!io.exists("meta/branches.json")) return mainVersion + 1
+    val hwm = if (io.exists("meta/max-version.text"))
+      io.readString("meta/max-version.text").trim.toLong else 0L
+    val listed = io.list("meta").flatMap { n =>
+      if (n.matches("snapshot-v\\d+\\.json"))
+        Some(n.stripPrefix("snapshot-v").stripSuffix(".json").toLong)
+      else None
+    }.maxOption.getOrElse(0L)
+    Seq(hwm, listed, mainVersion,
+      branches.values.maxOption.getOrElse(0L)).max + 1
   }
 
   def snapshot(version: Long): Option[Snapshot] = {
@@ -274,6 +305,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def setTag(name: String, version: Long): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9._-]*"), s"invalid tag name $name")
     require(snapshot(version).isDefined, s"no snapshot v$version to tag")
+    require(!branches.contains(name), s"a branch named $name already exists")
     writeRefs(tags + (name -> version))
   }
 
@@ -291,6 +323,77 @@ class GraftTable(val spark: SparkSession, val location: String) {
     val json = refs.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
     io.writeAtomic("meta/refs.json", json)
+  }
+
+  // ---- named refs: BRANCHES (writable — the audit-isolation generalization
+  // of WAP: stage ARBITRARY work — appends, merges, whole maintenance runs —
+  // on an isolated line, audit it, then fastForward publishes atomically) --
+
+  /** all branches: name → head snapshot version (meta/branches.json). */
+  def branches: Map[String, Long] = {
+    if (!io.exists("meta/branches.json")) Map.empty
+    else parseJsonFlat(io.readString("meta/branches.json"))
+      .map { case (k, v) => k -> v.toLong }
+  }
+
+  /** Fork a branch at snapshot `from` (default: main's head). Metadata-only
+    * — the branch shares every data file with its fork point. Name collides
+    * with neither tags nor branches (both resolve via `VERSION AS OF`). */
+  def createBranch(name: String, from: Long = -1L): Unit = {
+    require(name.matches("[A-Za-z][A-Za-z0-9._-]*"), s"invalid branch name $name")
+    val v = if (from < 0) mainVersion else from
+    require(v > 0 && snapshot(v).isDefined, s"no snapshot v$v to branch from")
+    require(!tags.contains(name), s"a tag named $name already exists")
+    val b = branches
+    require(!b.contains(name), s"branch $name already exists")
+    writeBranches(b + (name -> v))
+  }
+
+  /** A handle whose reads and commits target `name`'s head. */
+  def forBranch(name: String): GraftTable = {
+    require(branches.contains(name), s"no such branch $name at $location")
+    new GraftTable(spark, location, Some(name))
+  }
+
+  def dropBranch(name: String): Unit = {
+    val b = branches
+    require(b.contains(name), s"no such branch $name")
+    writeBranches(b - name)
+  }
+
+  /** PUBLISH a branch: move main's hint to the branch head — but only when
+    * main's current head is an ancestor of it (main hasn't moved since the
+    * fork, or the branch was forked from main's head). A diverged main is
+    * refused loudly: replaying the branch's work on the new main (cherry-
+    * pick) is the caller's decision, never an implicit merge. Atomic —
+    * readers see either old main or the whole branch line. */
+  def fastForward(name: String): Long = {
+    val head = branches.getOrElse(name,
+      throw new IllegalArgumentException(s"no such branch $name"))
+    val mv = mainVersion
+    require(mv == 0 || ancestorsOf(head).contains(mv),
+      s"branch $name (head v$head) does not descend from main v$mv — " +
+      "non-fast-forward publish refused")
+    io.writeAtomic("meta/version-hint.text", head.toString)
+    head
+  }
+
+  /** the version chain from `v` back to the root, following parents. */
+  def ancestorsOf(v: Long): Set[Long] = {
+    val b = Set.newBuilder[Long]
+    var cur = v
+    while (cur != 0) {
+      b += cur
+      cur = snapshot(cur).map(_.parent).getOrElse(0L)
+    }
+    b.result()
+  }
+
+  private def writeBranches(b: Map[String, Long]): Unit = {
+    init()
+    val json = b.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+    io.writeAtomic("meta/branches.json", json)
   }
 
   // ---- schema evolution (Iceberg-style add/drop column, metadata-only) --
@@ -368,7 +471,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * expiry of either snapshot never strands the other). */
   private def metadataOnlyCommit(parent: Option[Snapshot], operation: String,
                                  schemaOverride: Option[(String, String)]): Snapshot =
-    finishCommit(currentVersion + 1, parent,
+    finishCommit(nextVersion, parent,
       parent.map(manifestShards).getOrElse(Seq.empty), operation,
       parent.map(_.recordCount).getOrElse(0L),
       parent.map(_.fileCount).getOrElse(0L), schemaOverride)
@@ -513,7 +616,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
              removedRecords: Long = -1L): Snapshot = {
     init()
     val parent = currentSnapshot
-    val newVersion = currentVersion + 1
+    val newVersion = nextVersion
     var (shards, seq) = parentShards(parent)
 
     if (added.nonEmpty) {
@@ -550,7 +653,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
                   removedFiles: Long = -1L): Snapshot = {
     init()
     val parent = currentSnapshot
-    val newVersion = currentVersion + 1
+    val newVersion = nextVersion
     var (shards, seq) = parentShards(parent)
 
     if (added.nonEmpty) {
@@ -598,7 +701,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   private[lake] def commitEqDelete(shardRel: String, deletedRows: Long): Snapshot = {
     init()
     val parent = currentSnapshot
-    val newVersion = currentVersion + 1
+    val newVersion = nextVersion
     val (prev, seq) = parentShards(parent)
     val shards = prev :+ ManifestShard(seq + 1, "eqdel", shardRel)
     val liveCount = parent.map(_.recordCount).getOrElse(0L) - deletedRows
@@ -621,7 +724,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
                                        removedPaths: Set[String]): Snapshot = {
     val parent = currentSnapshot.getOrElse(
       throw new IllegalStateException("applyDeletes on an empty table"))
-    val newVersion = currentVersion + 1
+    val newVersion = nextVersion
     var shards = manifestShards(parent).filterNot(_.kind == "eqdel")
     var seq = shards.map(_.seq).maxOption.getOrElse(0)
     if (added.nonEmpty) {
@@ -679,8 +782,21 @@ class GraftTable(val spark: SparkSession, val location: String) {
          | "recordCount": ${snap.recordCount}, "fileCount": ${snap.fileCount},
          | "extraCols": "${snap.extraCols}", "droppedCols": "${snap.droppedCols}"}""".stripMargin
     io.writeString(s"meta/snapshot-v$newVersion.json", json)
-    // atomic commit
-    io.writeAtomic("meta/version-hint.text", newVersion.toString)
+    // atomic commit: advance THIS handle's ref — the branch head for a
+    // branch handle, main's hint otherwise
+    branch match {
+      case Some(b) =>
+        val bs = branches
+        require(bs.contains(b), s"branch $b was dropped mid-commit")
+        writeBranches(bs + (b -> newVersion))
+      case None =>
+        io.writeAtomic("meta/version-hint.text", newVersion.toString)
+    }
+    // once branch refs exist, maintain the never-decreasing high-water mark
+    // nextVersion allocates above (newVersion is ≥ every prior version by
+    // construction, so writing it directly is the max)
+    if (io.exists("meta/branches.json"))
+      io.writeAtomic("meta/max-version.text", newVersion.toString)
     snap
   }
 
@@ -857,13 +973,16 @@ class GraftTable(val spark: SparkSession, val location: String) {
     * files referenced only by expired snapshots. The live-set difference is
     * computed as DataFrames; only the deletion list is collected. */
   def expireSnapshots(olderThanMillis: Long): (Int, Int) = {
-    val cur = currentVersion
     val all = listSnapshots()
-    // tagged snapshots are RETAINED whatever their age: a tag is the
-    // audit/compliance pin, dropTag is the only way to release it
-    val tagged = tags.values.toSet
+    // RETAINED whatever their age: main's head, tagged snapshots (the
+    // audit/compliance pin — dropTag is the only release), and every live
+    // branch's FULL ancestry (the branch stays readable, committable and
+    // fast-forwardable — the ancestry walk is what proves fast-forward
+    // safety; dropBranch/fastForward releases the line)
+    val protectedVersions = tags.values.toSet + mainVersion + currentVersion ++
+      branches.values.flatMap(ancestorsOf)
     val (expired, kept) = all.partition(s =>
-      s.tsMillis < olderThanMillis && s.version != cur && !tagged(s.version))
+      s.tsMillis < olderThanMillis && !protectedVersions(s.version))
     if (expired.isEmpty) return (0, 0)
     val keptFiles = kept.map(s => manifest(s).select("file_path"))
       .reduceOption(_ unionByName _).map(_.distinct())
@@ -898,7 +1017,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
       throw new IllegalArgumentException(s"no snapshot v$toVersion at $location"))
     val parent = currentSnapshot
     require(parent.exists(_.version != toVersion), s"v$toVersion is already current")
-    finishCommit(currentVersion + 1, parent, manifestShards(target),
+    finishCommit(nextVersion, parent, manifestShards(target),
       s"rollback-to-v$toVersion", target.recordCount, target.fileCount)
   }
 
@@ -979,7 +1098,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
   def publishStaged(id: String): Snapshot = {
     val meta = parseJsonFlat(io.readString(s"meta/staged-$id.json"))
     val parent = currentSnapshot
-    val newVersion = currentVersion + 1
+    val newVersion = nextVersion
     val (prev, seq) = parentShards(parent)
     val shards = prev :+ ManifestShard(seq + 1, "add", s"meta/staged-add-$id.parquet")
     val rc = parent.map(_.recordCount).getOrElse(0L) + meta("recordCount").trim.toLong
@@ -1044,7 +1163,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
           else
             liveAll.repartitionByRange(shardsN, $"partition", $"min_z", $"file_path")
               .sortWithinPartitions($"partition", $"min_z", $"file_path")
-        val newVersion = currentVersion + 1
+        val newVersion = nextVersion
         val addRel = s"meta/manifest-add-v$newVersion.parquet"
         live.write.mode("overwrite").parquet(io.abs(addRel).toString)
         // re-base: the new list holds exactly this shard directory; record
@@ -1066,7 +1185,7 @@ class GraftTable(val spark: SparkSession, val location: String) {
                                        recordCount: Long, fileCount: Long): Snapshot = {
     init()
     val parent = currentSnapshot
-    val newVersion = currentVersion + 1
+    val newVersion = nextVersion
     val shards = addRels.zipWithIndex.map { case (r, i) => ManifestShard(i + 1, "add", r) }
     finishCommit(newVersion, parent, shards, operation, recordCount, fileCount)
   }

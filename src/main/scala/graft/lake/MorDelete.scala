@@ -59,7 +59,7 @@ object MorDelete {
     val delSeq = table.nextEqDeleteSeq
     val keys = matching.select(col("repo"), col("path"), col("commit"),
       lit(delSeq).as("del_seq"))
-    val newVersion = table.currentVersion + 1
+    val newVersion = table.nextVersion
     val shardRel = s"meta/manifest-eqdel-v$newVersion.parquet"
     val abs = table.io.abs(shardRel).toString
     keys.write.mode("overwrite").parquet(abs)
