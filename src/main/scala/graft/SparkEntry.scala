@@ -1364,6 +1364,49 @@ object SparkEntry {
     snaps.crossJoin(files).orderBy($"version")
   }
 
+  private def q67Branches(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // branch lifecycle under the oracle gate: main holds split A; a branch
+    // forks (CALL create_branch), stages split B through the CONNECTOR
+    // (.option("branch")) plus a whole compaction on its isolated line, and
+    // main must not see any of it until CALL fast_forward publishes
+    // atomically. Output = (phase, lang, n_rows, sum_len) for the branch
+    // view pre-publish, the main view pre-publish (read AFTER the branch
+    // work — the isolation evidence), and the main view post-publish.
+    // DuckDB recomputes all three phases from the same doc_id split.
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q67").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/ns/t")
+    table.append(shaped(docs.filter($"doc_id" % 10 < 7)).repartition(4))
+    val cat = "g67_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"CALL $cat.system.create_branch(`table` => 'ns.t', branch => 'audit', version => -1)")
+    shaped(docs.filter($"doc_id" % 10 >= 7)).repartition(2)
+      .write.format("graft").option("branch", "audit")
+      .mode("append").save(table.location)
+    graft.lake.Maintenance.compact(table.forBranch("audit"), "q67",
+      smallBytes = Long.MaxValue, targetBytes = 64L << 20)
+    def counts(df: DataFrame, phase: String) =
+      df.groupBy($"lang").agg(count(lit(1)).as("n_rows"),
+        sum(length($"content")).as("sum_len"))
+        .select(lit(phase).as("phase"), $"lang", $"n_rows", $"sum_len")
+    // the pre-publish views must MATERIALIZE before the publish (a lazy
+    // plan would re-resolve main's head after the fast-forward and see the
+    // published rows — that's the isolation being tested, not a detail)
+    val branchPre = counts(s.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 'audit'"), "branch_pre")
+      .localCheckpoint(true)
+    val mainPre = counts(s.sql(s"SELECT * FROM $cat.ns.t"), "main_pre")
+      .localCheckpoint(true)
+    s.sql(s"CALL $cat.system.fast_forward(`table` => 'ns.t', branch => 'audit')")
+    val mainPost = counts(s.sql(s"SELECT * FROM $cat.ns.t"), "main_post")
+    branchPre.unionAll(mainPre).unionAll(mainPost).orderBy($"phase", $"lang")
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1492,6 +1535,7 @@ object SparkEntry {
     "q64_sql_merge"      -> (q64SqlMerge(_, _)),
     "q65_sql_procedures" -> (q65SqlProcedures(_, _)),
     "q66_metadata_tables" -> (q66MetadataTables(_, _)),
+    "q67_branches"       -> (q67Branches(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1794,6 +1838,17 @@ object SparkEntry {
         |  6::BIGINT, (n1 + n2)::BIGINT, 'repo_0', 'repo_9'
         |FROM n
         |ORDER BY version""".stripMargin,
+    // q67: three phase views of the branch lifecycle — the branch line
+    // (fork + staged split B + compaction) sees everything, main sees only
+    // split A until the fast-forward publish flips it to everything
+    "q67_branches" ->
+      """SELECT phase, lang, count(*)::BIGINT AS n_rows,
+        |  sum(length(text))::BIGINT AS sum_len
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['branch_pre', 'main_pre', 'main_post']) AS phase)
+        |WHERE phase <> 'main_pre' OR doc_id % 10 < 7
+        |GROUP BY phase, lang
+        |ORDER BY phase, lang""".stripMargin,
     // the final evolved row set: pre-evolution rows read the added column
     // as NULL, post-evolution rows carry their typed value through the
     // compaction rewrite
