@@ -1407,6 +1407,52 @@ object SparkEntry {
     branchPre.unionAll(mainPre).unionAll(mainPost).orderBy($"phase", $"lang")
   }
 
+  private def q68OccCommits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // optimistic concurrency under the oracle gate: four UNCOORDINATED
+    // writers (each its own table handle, as separate processes would be)
+    // race disjoint doc_id slices into one table through the edge-claim
+    // protocol. Every append must land exactly once on ONE linear chain —
+    // the output carries the final per-lang row counts plus the chain-shape
+    // evidence (append count, distinct parents — pairwise distinct because
+    // at most one commit ever extends a given parent — and forks off the
+    // main ancestry, provably zero). DuckDB recomputes it all relationally;
+    // the row counts catch lost updates, the constants catch forks.
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q68").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/t")
+    val slices = (0 until 4).map(i =>
+      shaped(docs.filter($"doc_id" % 4 === i)).repartition(2))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val fs = slices.map { sl =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          start.await()
+          new graft.lake.GraftTable(s, table.location).append(sl); ()
+        }
+      })
+    }
+    start.countDown()
+    fs.foreach(_.get(600, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val appends = table.listSnapshots().filter(_.operation == "append")
+    val chain = table.ancestorsOf(table.currentVersion)
+    val meta = Seq((appends.size.toLong,
+      appends.map(_.parent).distinct.size.toLong,
+      appends.count(a => !chain(a.version)).toLong,
+      table.currentSnapshot.map(_.recordCount).getOrElse(0L)))
+      .toDF("n_appends", "distinct_parents", "forks", "committed_rows")
+    table.scan().groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"), sum(length($"content")).as("sum_len"))
+      .crossJoin(meta)
+      .orderBy($"lang")
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1536,6 +1582,7 @@ object SparkEntry {
     "q65_sql_procedures" -> (q65SqlProcedures(_, _)),
     "q66_metadata_tables" -> (q66MetadataTables(_, _)),
     "q67_branches"       -> (q67Branches(_, _)),
+    "q68_occ_commits"    -> (q68OccCommits(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1849,6 +1896,16 @@ object SparkEntry {
         |WHERE phase <> 'main_pre' OR doc_id % 10 < 7
         |GROUP BY phase, lang
         |ORDER BY phase, lang""".stripMargin,
+    // q68: four racing appends of disjoint doc_id slices must reassemble
+    // exactly `documents` — n_appends/distinct_parents = 4 and forks = 0
+    // are the chain-shape constants the optimistic protocol guarantees
+    "q68_occ_commits" ->
+      """SELECT lang, count(*)::BIGINT AS n_rows,
+        |  sum(length(text))::BIGINT AS sum_len,
+        |  4::BIGINT AS n_appends, 4::BIGINT AS distinct_parents,
+        |  0::BIGINT AS forks,
+        |  (SELECT count(*) FROM documents)::BIGINT AS committed_rows
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the final evolved row set: pre-evolution rows read the added column
     // as NULL, post-evolution rows carry their typed value through the
     // compaction rewrite

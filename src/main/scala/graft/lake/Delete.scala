@@ -148,7 +148,8 @@ object Delete {
       }
     val removedRecords = cand.map(_._2).sum
     val deleted = removedRecords - added.map(_.record_count).sum
-    table.commit(added, cand.map(_._1).toSet, "delete", removedRecords)
+    table.commit(added, cand.map(_._1).toSet, "delete", removedRecords,
+      basis = Some(snap))
     DeleteResult(fullFiles.length, partial.length, deleted)
   }
 }

@@ -57,7 +57,8 @@ object GraftMetadataTables {
     StructField("file_count", LongType, nullable = false),
     StructField("extra_cols", StringType, nullable = false),
     StructField("dropped_cols", StringType, nullable = false),
-    StructField("is_current", BooleanType, nullable = false)))
+    StructField("is_current", BooleanType, nullable = false),
+    StructField("ref", StringType, nullable = false)))
 
   val tagsSchema: StructType = StructType(Seq(
     StructField("tag", StringType, nullable = false),
@@ -84,7 +85,8 @@ object GraftMetadataTables {
             UTF8String.fromString(s.operation), s.recordCount, s.fileCount,
             UTF8String.fromString(s.extraCols),
             UTF8String.fromString(s.droppedCols),
-            s.version == cur))), s"graft.snapshots @ $base")
+            s.version == cur,
+            UTF8String.fromString(s.ref)))), s"graft.snapshots @ $base")
       case "tags" =>
         local(tagsSchema, t.tags.toSeq.sortBy(_._1).map { case (n, v) =>
           new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))

@@ -52,6 +52,11 @@ class GraftRowLevelOperation(location: String,
     * filtering: the (relative path, record count) pairs the write replaces. */
   @volatile private[lake] var scannedFiles: Seq[(String, Long)] = Seq.empty
 
+  /** the snapshot the group scan planned against — the commit's optimistic-
+    * concurrency basis: a foreign commit landing between plan and commit
+    * surfaces as CommitConflictException, never a silent double-rewrite. */
+  @volatile private[lake] var basis: Option[Snapshot] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -125,8 +130,10 @@ class GraftCowScan(location: String, op: GraftRowLevelOperation,
     val table = new GraftTable(spark, location)
     import spark.implicits._
     val out = table.currentSnapshot match {
-      case None => op.scannedFiles = Seq.empty; Array.empty[InputPartition]
+      case None =>
+        op.scannedFiles = Seq.empty; op.basis = None; Array.empty[InputPartition]
       case Some(s) =>
+        op.basis = Some(s)
         require(!table.hasEqDeletes(s),
           "pending merge-on-read deletes: a copy-on-write SQL MERGE/UPDATE " +
           "would resurrect logically deleted rows — run MorDelete.applyDeletes first")
@@ -180,7 +187,7 @@ class GraftReplaceDataWrite(location: String, op: GraftRowLevelOperation,
     val added = table.statsForFiles(files, opName)
     val removed = op.scannedFiles
     table.commit(added, removed.map(_._1).toSet, opName,
-      removedRecords = removed.map(_._2).sum)
+      removedRecords = removed.map(_._2).sum, basis = op.basis)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

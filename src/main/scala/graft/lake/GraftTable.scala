@@ -38,6 +38,15 @@ import java.util.UUID
   * Readers resolve the version hint once, then only read files referenced by
   * that snapshot's manifest list → snapshot isolation for concurrent
   * maintenance.
+  *
+  * WRITERS use optimistic concurrency (Iceberg-style), not a lock service:
+  * each commit must win an atomic exclusive-create EDGE CLAIM
+  * (`meta/edge-<ref>-v<parent>`) to extend its ref from its parent, so
+  * concurrent commits are serialized per ref with lost races DETECTED —
+  * adds-only commits (append, streaming epochs, WAP publish) rebase onto the
+  * winner and retry, rewrite commits throw [[CommitConflictException]] for
+  * the caller to re-plan. Version ids stay globally unique across refs via
+  * per-version claims. See the "optimistic concurrency" section below.
   */
 /** fileCount = live data files at this snapshot, maintained arithmetically
   * like recordCount (-1 when unknown, e.g. tables written before the field
@@ -53,7 +62,22 @@ final case class Snapshot(version: Long, parent: Long, tsMillis: Long,
                           // column mapping, so a dropped name may never be
                           // reused (it would resurrect old files' values)
                           extraCols: String = "",
-                          droppedCols: String = "")
+                          droppedCols: String = "",
+                          // the ref (main or a branch name) this commit
+                          // advanced — the audit trail of WHICH line a
+                          // snapshot extended, and the recovery anchor for a
+                          // lost head hint on a linear table
+                          ref: String = "main")
+
+/** An optimistic-concurrency commit lost its race: another writer extended
+  * the same ref from the same parent first. Append-like commits rebase and
+  * retry internally and only throw this when the winning commit never
+  * surfaces (a crashed writer's stale edge claim — see
+  * [[GraftTable.repairRefs]]); rewrite commits (compact/cluster/merge/
+  * update/delete/rollback/schema changes) throw it immediately, because
+  * their file-level work was planned against a snapshot that is no longer
+  * the head — the caller re-plans against the new head and retries. */
+class CommitConflictException(msg: String) extends RuntimeException(msg)
 
 final case class ManifestEntry(file_path: String, partition: String,
                                record_count: Long, file_bytes: Long,
@@ -150,7 +174,7 @@ class GraftTable(val spark: SparkSession, val location: String,
     * branch's head being expired — versions are never reused, so a pinned
     * reader can never silently see a different snapshot under an old id). */
   private[lake] def nextVersion: Long = {
-    if (!io.exists("meta/branches.json")) return mainVersion + 1
+    if (!refsExist) return mainVersion + 1
     val hwm = if (io.exists("meta/max-version.text"))
       io.readString("meta/max-version.text").trim.toLong else 0L
     val listed = io.list("meta").flatMap { n =>
@@ -170,7 +194,8 @@ class GraftTable(val spark: SparkSession, val location: String,
       Some(Snapshot(m("version").toLong, m("parent").toLong, m("tsMillis").toLong,
         m("operation"), m("manifest"), m("recordCount").toLong,
         m.getOrElse("fileCount", "-1").toLong,
-        m.getOrElse("extraCols", ""), m.getOrElse("droppedCols", "")))
+        m.getOrElse("extraCols", ""), m.getOrElse("droppedCols", ""),
+        m.getOrElse("ref", "main")))
     }
   }
 
@@ -196,8 +221,9 @@ class GraftTable(val spark: SparkSession, val location: String,
   /** Live manifest entries of a snapshot as a DataFrame: union of add shards
     * minus union of remove shards — stays distributed until a caller prunes
     * and collects the surviving file list. */
-  def manifest(s: Snapshot): DataFrame = {
-    val shards = manifestShards(s)
+  def manifest(s: Snapshot): DataFrame = manifestOf(manifestShards(s))
+
+  private def manifestOf(shards: Seq[ManifestShard]): DataFrame = {
     val adds = shards.filter(_.kind == "add").map(sh => io.abs(sh.path).toString)
     val removes = shards.filter(_.kind == "remove").map(sh => io.abs(sh.path).toString)
     // a snapshot may legitimately have zero add shards (e.g. merge of an
@@ -329,24 +355,41 @@ class GraftTable(val spark: SparkSession, val location: String,
   // of WAP: stage ARBITRARY work — appends, merges, whole maintenance runs —
   // on an isolated line, audit it, then fastForward publishes atomically) --
 
-  /** all branches: name → head snapshot version (meta/branches.json). */
+  /** all branches: name → head snapshot version. Each branch head is its own
+    * file (`meta/head-<name>.text`) so commits to DIFFERENT branches never
+    * read-modify-write shared state — the one-json-map design had a lost-
+    * update race between concurrent branch committers. A head file that is
+    * momentarily empty (branch creation in flight) reads as absent. */
   def branches: Map[String, Long] = {
-    if (!io.exists("meta/branches.json")) Map.empty
-    else parseJsonFlat(io.readString("meta/branches.json"))
-      .map { case (k, v) => k -> v.toLong }
+    if (!refsExist) return Map.empty
+    io.list("meta")
+      .filter(n => n.startsWith("head-") && n.endsWith(".text"))
+      .flatMap { n =>
+        val name = n.stripPrefix("head-").stripSuffix(".text")
+        io.readString(s"meta/$n").trim.toLongOption.map(name -> _)
+      }.toMap
   }
+
+  /** whether branch refs were EVER created here — one cheap existence probe
+    * guarding the branch-aware paths, so linear tables pay zero listings. */
+  private def refsExist: Boolean = io.exists("meta/refs-exist")
 
   /** Fork a branch at snapshot `from` (default: main's head). Metadata-only
     * — the branch shares every data file with its fork point. Name collides
-    * with neither tags nor branches (both resolve via `VERSION AS OF`). */
+    * with neither tags nor branches (both resolve via `VERSION AS OF`).
+    * Creation is race-safe: the head file is claimed by atomic exclusive
+    * create, so concurrent createBranch calls with the same name get exactly
+    * one winner. */
   def createBranch(name: String, from: Long = -1L): Unit = {
     require(name.matches("[A-Za-z][A-Za-z0-9._-]*"), s"invalid branch name $name")
+    require(name != "main", "main is the default ref, not a branch name")
     val v = if (from < 0) mainVersion else from
     require(v > 0 && snapshot(v).isDefined, s"no snapshot v$v to branch from")
     require(!tags.contains(name), s"a tag named $name already exists")
-    val b = branches
-    require(!b.contains(name), s"branch $name already exists")
-    writeBranches(b + (name -> v))
+    if (!refsExist) { io.createExclusive("meta/refs-exist"); () }
+    require(io.createExclusive(s"meta/head-$name.text"),
+      s"branch $name already exists")
+    io.writeAtomic(s"meta/head-$name.text", v.toString)
   }
 
   /** A handle whose reads and commits target `name`'s head. */
@@ -355,10 +398,15 @@ class GraftTable(val spark: SparkSession, val location: String,
     new GraftTable(spark, location, Some(name))
   }
 
+  /** Drop a branch: its head file and its edge claims go away (a later
+    * branch of the SAME name is a fresh incarnation and must be able to
+    * extend the same parent versions again). */
   def dropBranch(name: String): Unit = {
-    val b = branches
-    require(b.contains(name), s"no such branch $name")
-    writeBranches(b - name)
+    require(branches.contains(name), s"no such branch $name")
+    io.delete(s"meta/head-$name.text")
+    val q = java.util.regex.Pattern.quote(name)
+    io.list("meta").filter(_.matches(s"edge-$q-v\\d+"))
+      .foreach(n => io.delete(s"meta/$n"))
   }
 
   /** PUBLISH a branch: move main's hint to the branch head — but only when
@@ -374,6 +422,11 @@ class GraftTable(val spark: SparkSession, val location: String,
     require(mv == 0 || ancestorsOf(head).contains(mv),
       s"branch $name (head v$head) does not descend from main v$mv — " +
       "non-fast-forward publish refused")
+    // the publish competes with ordinary main commits under the same edge
+    // claim: exactly one writer extends main past mv
+    if (!claimEdge("main", mv))
+      throw new CommitConflictException(
+        s"fast-forward of $name lost to a concurrent main commit past v$mv")
     io.writeAtomic("meta/version-hint.text", head.toString)
     head
   }
@@ -389,11 +442,66 @@ class GraftTable(val spark: SparkSession, val location: String,
     b.result()
   }
 
-  private def writeBranches(b: Map[String, Long]): Unit = {
+  // ---- optimistic concurrency: the CAS primitives ------------------------
+  //
+  // Commits are serialized per ref by EDGE CLAIMS: to extend ref R from
+  // parent version P, a writer must win the atomic exclusive create of
+  // `meta/edge-R-vP` — exactly one commit may ever extend a given (ref,
+  // parent) pair, so a lost race is DETECTED (claim fails), never a silent
+  // fork or lost update. Claim success also proves the head is still P
+  // (heads only move by claiming edges), closing the read-check-advance
+  // window. Snapshot ids stay globally unique across refs via per-version
+  // claims (`meta/claim-vN`), so a pinned reader can never see a different
+  // snapshot under a reused id. Both primitives ride LakeIO.createExclusive
+  // (O_CREAT|O_EXCL / HDFS atomic namenode create / conditional PUT).
+  //
+  // A writer that dies between winning an edge claim and publishing its
+  // snapshot leaves the ref wedged for other APPEND committers (their
+  // retries keep losing to a ghost); repairRefs() reaps such stale claims
+  // after a staleness window — the same operational stance as Iceberg's
+  // Hadoop catalog, which likewise trades a lock-service dependency for a
+  // documented manual-repair window on plain filesystems.
+
+  /** the ref this handle commits to. */
+  private def refName: String = branch.getOrElse("main")
+
+  /** try to win the right to extend `ref` from `parentV`. */
+  private[lake] def claimEdge(ref: String, parentV: Long): Boolean = {
     init()
-    val json = b.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
-    io.writeAtomic("meta/branches.json", json)
+    io.createExclusive(s"meta/edge-$ref-v$parentV")
+  }
+
+  /** allocate a globally unique snapshot version: claim ids upward from the
+    * optimistic next until one wins. Uncontended tables claim on the first
+    * try; a lost race costs one extra create RPC per contender. */
+  private[lake] def allocateVersion(): Long = {
+    var v = nextVersion
+    while (!io.createExclusive(s"meta/claim-v$v")) v += 1
+    v
+  }
+
+  /** Reap stale edge claims left by writers that died between claiming and
+    * publishing (the ref looks permanently contended to retrying appenders).
+    * An edge claim is stale when it sits on the CURRENT head of its ref (no
+    * snapshot ever extended that parent on that ref) and is older than
+    * `olderThanMillis`. Returns the reaped claim names. */
+  def repairRefs(olderThanMillis: Long): Seq[String] = {
+    val heads = branches + ("main" -> mainVersion)
+    val extended: Set[(String, Long)] =
+      listSnapshots().map(s => (s.ref, s.parent)).toSet
+    val stale = io.listFileStatus("meta").collect {
+      case (n, mtime, _) if n.matches("edge-.+-v\\d+") && mtime < olderThanMillis =>
+        val i = n.lastIndexOf("-v")
+        val (ref, pv) = (n.substring(5, i), n.substring(i + 2).toLong)
+        (n, ref, pv)
+    }.collect {
+      // on the current head (the ref can't have moved past it — including by
+      // a fast-forward, which moves the hint) yet never extended by any
+      // snapshot: the claimant died pre-publish
+      case (n, ref, pv) if heads.get(ref).contains(pv) && !extended((ref, pv)) => n
+    }
+    stale.foreach(n => io.delete(s"meta/$n"))
+    stale
   }
 
   // ---- schema evolution (Iceberg-style add/drop column, metadata-only) --
@@ -468,11 +576,12 @@ class GraftTable(val spark: SparkSession, val location: String,
 
   /** a commit that changes ONLY snapshot metadata: re-lists the parent's
     * manifest shards (its own list file, the rollback pattern, so later
-    * expiry of either snapshot never strands the other). */
+    * expiry of either snapshot never strands the other). Conflicts (rather
+    * than rebasing) when the head moves — the override was derived from the
+    * parent's schema state. */
   private def metadataOnlyCommit(parent: Option[Snapshot], operation: String,
                                  schemaOverride: Option[(String, String)]): Snapshot =
-    finishCommit(nextVersion, parent,
-      parent.map(manifestShards).getOrElse(Seq.empty), operation,
+    publish(parent, parent.map(manifestShards).getOrElse(Seq.empty), operation,
       parent.map(_.recordCount).getOrElse(0L),
       parent.map(_.fileCount).getOrElse(0L), schemaOverride)
 
@@ -611,37 +720,51 @@ class GraftTable(val spark: SparkSession, val location: String,
   }
 
   /** Commit a metadata delta with a driver-known removed set: ALL metadata
-    * is written driver-side (MetaIO), zero Spark jobs. */
+    * is written driver-side (MetaIO), zero Spark jobs. Delta shard files are
+    * uid-named so they can be written BEFORE the commit's version is known —
+    * the optimistic-concurrency claim binds the version only at publish.
+    *
+    * Concurrency policy: an adds-only delta (append, streaming epoch) is
+    * rebased onto whatever head wins a race and retried — appends commute.
+    * A delta with removals was planned against a specific snapshot's file
+    * set (pass it as `basis`, rewrite ops do); a lost race surfaces as
+    * [[CommitConflictException]] instead of silently re-applying a rewrite
+    * onto files another committer may have already replaced. */
   def commit(added: Seq[ManifestEntry], removedPaths: Set[String], operation: String,
-             removedRecords: Long = -1L): Snapshot = {
+             removedRecords: Long = -1L, basis: Option[Snapshot] = None): Snapshot = {
     init()
-    val parent = currentSnapshot
-    val newVersion = nextVersion
-    var (shards, seq) = parentShards(parent)
-
-    if (added.nonEmpty) {
-      val addRel = s"meta/manifest-add-v$newVersion.parquet"
-      MetaIO.writeEntries(io, addRel, added)
-      seq += 1
-      shards :+= ManifestShard(seq, "add", addRel)
+    val uid = UUID.randomUUID().toString.take(12)
+    val addRel = if (added.isEmpty) None else {
+      val r = s"meta/manifest-add-$uid.parquet"
+      MetaIO.writeEntries(io, r, added); Some(r)
     }
-    if (removedPaths.nonEmpty) {
-      val rmRel = s"meta/manifest-remove-v$newVersion.parquet"
-      MetaIO.writeRemoves(io, rmRel, removedPaths.toSeq.sorted)
-      seq += 1
-      shards :+= ManifestShard(seq, "remove", rmRel)
+    val rmRel = if (removedPaths.isEmpty) None else {
+      val r = s"meta/manifest-remove-$uid.parquet"
+      MetaIO.writeRemoves(io, r, removedPaths.toSeq.sorted); Some(r)
     }
 
-    val removed =
-      if (removedPaths.isEmpty) 0L
-      else if (removedRecords >= 0L) removedRecords
-      else removedRecordSum(parent, removedPaths) // fallback: one metadata agg
-    val liveCount = parent.map(_.recordCount).getOrElse(0L) +
-      added.map(_.record_count).sum - removed
-    val parentFiles = parent.map(_.fileCount).getOrElse(0L)
-    val fileCount =
-      if (parentFiles < 0) -1L else parentFiles + added.size - removedPaths.size
-    finishCommit(newVersion, parent, shards, operation, liveCount, fileCount)
+    def assemble(parent: Option[Snapshot]): (Seq[ManifestShard], Long, Long) = {
+      var (shards, seq) = parentShards(parent)
+      addRel.foreach { r => seq += 1; shards :+= ManifestShard(seq, "add", r) }
+      rmRel.foreach { r => seq += 1; shards :+= ManifestShard(seq, "remove", r) }
+      val removed =
+        if (removedPaths.isEmpty) 0L
+        else if (removedRecords >= 0L) removedRecords
+        else removedRecordSum(parent, removedPaths) // fallback: one metadata agg
+      val liveCount = parent.map(_.recordCount).getOrElse(0L) +
+        added.map(_.record_count).sum - removed
+      val parentFiles = parent.map(_.fileCount).getOrElse(0L)
+      val fileCount =
+        if (parentFiles < 0) -1L else parentFiles + added.size - removedPaths.size
+      (shards, liveCount, fileCount)
+    }
+
+    if (removedPaths.isEmpty && basis.isEmpty) commitRetrying(operation)(assemble)
+    else {
+      val parent = basis.orElse(currentSnapshot)
+      val (shards, live, files) = assemble(parent)
+      publish(parent, shards, operation, live, files)
+    }
   }
 
   /** Commit with the removed-file set supplied as a DataFrame (full rewrites
@@ -650,100 +773,111 @@ class GraftTable(val spark: SparkSession, val location: String,
     * caller knows it (a full rewrite removes parent.recordCount rows). */
   def commitDelta(added: Seq[ManifestEntry], removedDf: Option[DataFrame],
                   operation: String, removedRecords: Long = -1L,
-                  removedFiles: Long = -1L): Snapshot = {
+                  removedFiles: Long = -1L, basis: Option[Snapshot] = None): Snapshot = {
     init()
-    val parent = currentSnapshot
-    val newVersion = nextVersion
-    var (shards, seq) = parentShards(parent)
-
-    if (added.nonEmpty) {
-      val addRel = s"meta/manifest-add-v$newVersion.parquet"
-      MetaIO.writeEntries(io, addRel, added)
-      seq += 1
-      shards :+= ManifestShard(seq, "add", addRel)
+    val uid = UUID.randomUUID().toString.take(12)
+    val addRel = if (added.isEmpty) None else {
+      val r = s"meta/manifest-add-$uid.parquet"
+      MetaIO.writeEntries(io, r, added); Some(r)
     }
-    removedDf.foreach { rm =>
-      val rmRel = s"meta/manifest-remove-v$newVersion.parquet"
+    // the removed set may be table-sized (full rewrites): written distributed
+    // under a uid name BEFORE the claim, never collected
+    val rmRel = removedDf.map { rm =>
+      val r = s"meta/manifest-remove-$uid.parquet"
       rm.select(col("file_path").cast("string")).coalesce(1).write.mode("overwrite")
-        .parquet(io.abs(rmRel).toString)
-      seq += 1
-      shards :+= ManifestShard(seq, "remove", rmRel)
+        .parquet(io.abs(r).toString)
+      r
     }
 
-    val parentFiles = parent.map(_.fileCount).getOrElse(0L)
-    val fileCount =
-      if (parentFiles < 0) -1L
-      else if (removedDf.isEmpty) parentFiles + added.size
-      else if (removedFiles >= 0L) parentFiles + added.size - removedFiles
-      else -1L
-    val liveCount =
-      if (removedDf.isEmpty)
-        parent.map(_.recordCount).getOrElse(0L) + added.map(_.record_count).sum
-      else if (removedRecords >= 0L)
-        parent.map(_.recordCount).getOrElse(0L) + added.map(_.record_count).sum - removedRecords
-      else {
-        // fallback: aggregate the new live manifest (one metadata job)
-        val snap0 = Snapshot(newVersion, parent.map(_.version).getOrElse(0L),
-          System.currentTimeMillis(), operation,
-          writeList(newVersion, shards), 0L)
-        val r = manifest(snap0).agg(sum($"record_count"), count(lit(1))).head()
-        val c = if (r.isNullAt(0)) 0L else r.getLong(0)
-        return finishCommitWithList(newVersion, parent, snap0.manifest, operation,
-          c, r.getLong(1))
+    def assemble(parent: Option[Snapshot]): Seq[ManifestShard] = {
+      var (shards, seq) = parentShards(parent)
+      addRel.foreach { r => seq += 1; shards :+= ManifestShard(seq, "add", r) }
+      rmRel.foreach { r => seq += 1; shards :+= ManifestShard(seq, "remove", r) }
+      shards
+    }
+
+    if (removedDf.isEmpty && basis.isEmpty)
+      commitRetrying(operation) { parent =>
+        (assemble(parent),
+          parent.map(_.recordCount).getOrElse(0L) + added.map(_.record_count).sum,
+          parent.map(_.fileCount).getOrElse(0L) match {
+            case pf if pf < 0 => -1L
+            case pf => pf + added.size
+          })
       }
-    finishCommit(newVersion, parent, shards, operation, liveCount, fileCount)
+    else {
+      val parent = basis.orElse(currentSnapshot)
+      val shards = assemble(parent)
+      val parentFiles = parent.map(_.fileCount).getOrElse(0L)
+      val fileCount =
+        if (parentFiles < 0) -1L
+        else if (removedDf.isEmpty) parentFiles + added.size
+        else if (removedFiles >= 0L) parentFiles + added.size - removedFiles
+        else -1L
+      val liveCount =
+        if (removedDf.isEmpty)
+          parent.map(_.recordCount).getOrElse(0L) + added.map(_.record_count).sum
+        else if (removedRecords >= 0L)
+          parent.map(_.recordCount).getOrElse(0L) + added.map(_.record_count).sum - removedRecords
+        else {
+          // fallback: aggregate the assembled live manifest (one metadata job)
+          val r = manifestOf(shards).agg(sum($"record_count"), count(lit(1))).head()
+          val c = if (r.isNullAt(0)) 0L else r.getLong(0)
+          return publish(parent, shards, operation, c, r.getLong(1))
+        }
+      publish(parent, shards, operation, liveCount, fileCount)
+    }
   }
 
   /** Commit a merge-on-read delete: the caller has already written the key
     * shard (distributed) at the seq this method reserved via
-    * [[nextEqDeleteSeq]]. Metadata-only — no data file changes; the live
-    * record count drops by the matched-row count, the file count doesn't. */
-  private[lake] def commitEqDelete(shardRel: String, deletedRows: Long): Snapshot = {
+    * [[nextEqDeleteSeq]] against `basis`. Metadata-only — no data file
+    * changes; the live record count drops by the matched-row count, the file
+    * count doesn't. Conflicts when the head moved past `basis`: the stamped
+    * del_seq is only meaningful against that snapshot's shard sequence. */
+  private[lake] def commitEqDelete(shardRel: String, deletedRows: Long,
+                                   basis: Option[Snapshot]): Snapshot = {
     init()
-    val parent = currentSnapshot
-    val newVersion = nextVersion
-    val (prev, seq) = parentShards(parent)
+    val (prev, seq) = parentShards(basis)
     val shards = prev :+ ManifestShard(seq + 1, "eqdel", shardRel)
-    val liveCount = parent.map(_.recordCount).getOrElse(0L) - deletedRows
-    finishCommit(newVersion, parent, shards, "mor-delete", liveCount,
-      parent.map(_.fileCount).getOrElse(0L))
+    val liveCount = basis.map(_.recordCount).getOrElse(0L) - deletedRows
+    publish(basis, shards, "mor-delete", liveCount,
+      basis.map(_.fileCount).getOrElse(0L))
   }
 
-  /** the seq the NEXT eqdel shard will get (single-writer assumption — the
-    * same one every commit here makes): keys must be stamped with their
-    * del_seq before the shard is written. */
-  private[lake] def nextEqDeleteSeq: Long =
-    parentShards(currentSnapshot)._2.toLong + 1L
+  /** the seq the NEXT eqdel shard will get when committed against `basis`:
+    * keys must be stamped with their del_seq before the shard is written.
+    * [[commitEqDelete]] conflicts if the head moved past `basis`, so a
+    * stamped seq can never be committed against the wrong shard sequence. */
+  private[lake] def nextEqDeleteSeq(basis: Option[Snapshot]): Long =
+    parentShards(basis)._2.toLong + 1L
 
   /** Commit the MATERIALIZATION of pending merge-on-read deletes: the
     * affected files were rewritten with deletes applied, every eqdel shard
     * is dropped from the manifest list, and the live record count is
     * UNCHANGED (the MoR commits already subtracted the deleted rows — this
     * commit only converts logical deletes into physical ones). */
-  private[lake] def commitApplyDeletes(added: Seq[ManifestEntry],
+  private[lake] def commitApplyDeletes(basis: Snapshot, added: Seq[ManifestEntry],
                                        removedPaths: Set[String]): Snapshot = {
-    val parent = currentSnapshot.getOrElse(
-      throw new IllegalStateException("applyDeletes on an empty table"))
-    val newVersion = nextVersion
-    var shards = manifestShards(parent).filterNot(_.kind == "eqdel")
+    val uid = UUID.randomUUID().toString.take(12)
+    var shards = manifestShards(basis).filterNot(_.kind == "eqdel")
     var seq = shards.map(_.seq).maxOption.getOrElse(0)
     if (added.nonEmpty) {
-      val addRel = s"meta/manifest-add-v$newVersion.parquet"
+      val addRel = s"meta/manifest-add-$uid.parquet"
       MetaIO.writeEntries(io, addRel, added)
       seq += 1
       shards :+= ManifestShard(seq, "add", addRel)
     }
     if (removedPaths.nonEmpty) {
-      val rmRel = s"meta/manifest-remove-v$newVersion.parquet"
+      val rmRel = s"meta/manifest-remove-$uid.parquet"
       MetaIO.writeRemoves(io, rmRel, removedPaths.toSeq.sorted)
       seq += 1
       shards :+= ManifestShard(seq, "remove", rmRel)
     }
-    val parentFiles = parent.fileCount
+    val parentFiles = basis.fileCount
     val fileCount =
       if (parentFiles < 0) -1L else parentFiles + added.size - removedPaths.size
-    finishCommit(newVersion, Some(parent), shards, "apply-deletes",
-      parent.recordCount, fileCount)
+    publish(Some(basis), shards, "apply-deletes", basis.recordCount, fileCount)
   }
 
   private def parentShards(parent: Option[Snapshot]): (Seq[ManifestShard], Int) = {
@@ -757,45 +891,80 @@ class GraftTable(val spark: SparkSession, val location: String,
     listRel
   }
 
-  private def finishCommit(newVersion: Long, parent: Option[Snapshot],
-                           shards: Seq[ManifestShard], operation: String,
-                           liveCount: Long, fileCount: Long,
-                           schemaOverride: Option[(String, String)] = None): Snapshot =
-    finishCommitWithList(newVersion, parent, writeList(newVersion, shards),
-      operation, liveCount, fileCount, schemaOverride)
+  /** Publish a fully assembled commit against a known parent: win the edge
+    * claim (throwing [[CommitConflictException]] on a lost race), then
+    * allocate the version, write the list + snapshot, advance this handle's
+    * ref. Rewrite-style ops call this directly — a lost race means their
+    * planned file set is stale and must be re-planned, never rebased. */
+  private def publish(parent: Option[Snapshot], shards: Seq[ManifestShard],
+                      operation: String, liveCount: Long, fileCount: Long,
+                      schemaOverride: Option[(String, String)] = None): Snapshot = {
+    val pv = parent.map(_.version).getOrElse(0L)
+    if (!claimEdge(refName, pv))
+      throw new CommitConflictException(
+        s"ref $refName at $location was extended past v$pv by a concurrent " +
+        s"commit — $operation was planned against a stale snapshot; " +
+        "re-plan against the new head and retry")
+    publishClaimed(parent, shards, operation, liveCount, fileCount, schemaOverride)
+  }
 
-  private def finishCommitWithList(newVersion: Long, parent: Option[Snapshot],
-                                   listRel: String, operation: String,
-                                   liveCount: Long, fileCount: Long,
-                                   schemaOverride: Option[(String, String)] = None)
-      : Snapshot = {
+  /** Adds-only commits (append, streaming epochs, WAP publish) REBASE AND
+    * RETRY: `build` re-derives the full shard list and counts from whatever
+    * the current head is, so losing an edge race just means re-assembling on
+    * the winner — appends commute. Bounded wait: if the head never moves
+    * (the winning claimant died pre-publish), this surfaces as a conflict
+    * naming repairRefs() instead of spinning forever. */
+  private def commitRetrying(operation: String)
+      (build: Option[Snapshot] => (Seq[ManifestShard], Long, Long)): Snapshot = {
+    val maxAttempts = 240 // × 25 ms ≈ 6 s of contention before giving up
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val parent = currentSnapshot
+      val (shards, live, files) = build(parent)
+      if (claimEdge(refName, parent.map(_.version).getOrElse(0L)))
+        return publishClaimed(parent, shards, operation, live, files, None)
+      attempt += 1
+      Thread.sleep(25)
+    }
+    throw new CommitConflictException(
+      s"$operation on ref $refName at $location kept losing the edge claim " +
+      "and the head never advanced — a concurrent writer likely died before " +
+      "publishing; run repairRefs() and retry")
+  }
+
+  private def publishClaimed(parent: Option[Snapshot], shards: Seq[ManifestShard],
+                             operation: String, liveCount: Long, fileCount: Long,
+                             schemaOverride: Option[(String, String)]): Snapshot = {
+    val newVersion = allocateVersion()
+    val listRel = writeList(newVersion, shards)
     // schema evolution state is INHERITED by every ordinary commit; only
     // evolveSchema/dropColumn commits override it
     val (extra, dropped) = schemaOverride.getOrElse(
       (parent.map(_.extraCols).getOrElse(""), parent.map(_.droppedCols).getOrElse("")))
     val snap = Snapshot(newVersion, parent.map(_.version).getOrElse(0L),
       System.currentTimeMillis(), operation, listRel, liveCount, fileCount,
-      extra, dropped)
+      extra, dropped, refName)
     val json =
       s"""{"version": ${snap.version}, "parent": ${snap.parent}, "tsMillis": ${snap.tsMillis},
          | "operation": "${snap.operation}", "manifest": "${snap.manifest}",
          | "recordCount": ${snap.recordCount}, "fileCount": ${snap.fileCount},
-         | "extraCols": "${snap.extraCols}", "droppedCols": "${snap.droppedCols}"}""".stripMargin
+         | "extraCols": "${snap.extraCols}", "droppedCols": "${snap.droppedCols}",
+         | "ref": "${snap.ref}"}""".stripMargin
     io.writeString(s"meta/snapshot-v$newVersion.json", json)
-    // atomic commit: advance THIS handle's ref — the branch head for a
-    // branch handle, main's hint otherwise
+    // advance THIS handle's ref — the branch head for a branch handle,
+    // main's hint otherwise; per-ref files, so refs never contend here
     branch match {
       case Some(b) =>
-        val bs = branches
-        require(bs.contains(b), s"branch $b was dropped mid-commit")
-        writeBranches(bs + (b -> newVersion))
+        require(io.exists(s"meta/head-$b.text"), s"branch $b was dropped mid-commit")
+        io.writeAtomic(s"meta/head-$b.text", newVersion.toString)
       case None =>
         io.writeAtomic("meta/version-hint.text", newVersion.toString)
     }
-    // once branch refs exist, maintain the never-decreasing high-water mark
-    // nextVersion allocates above (newVersion is ≥ every prior version by
-    // construction, so writing it directly is the max)
-    if (io.exists("meta/branches.json"))
+    // once branch refs exist, maintain the high-water mark nextVersion
+    // allocates above; racing writers may briefly write it out of order —
+    // harmless, because version claims (not the hwm) are what guarantee
+    // non-reuse, and nextVersion also maxes over listed snapshots
+    if (refsExist)
       io.writeAtomic("meta/max-version.text", newVersion.toString)
     snap
   }
@@ -934,7 +1103,13 @@ class GraftTable(val spark: SparkSession, val location: String,
       s.operation match {
         case "append" => inserts ::= (v, addedShardPaths(s))
         case op if op.startsWith("publish-wap") => inserts ::= (v, addedShardPaths(s))
-        case "mor-delete" => deletes ::= (v, s"meta/manifest-eqdel-v$v.parquet")
+        case "mor-delete" =>
+          // the eqdel shard THIS commit added: its shard set minus the
+          // parent's (shards are uid-named; the diff is name-agnostic)
+          val parentEq = snapshot(s.parent)
+            .map(p => eqDeleteShards(p).map(_.path).toSet).getOrElse(Set.empty)
+          deletes :::= eqDeleteShards(s).map(_.path).filterNot(parentEq)
+            .map(p => (v, p)).toList
         case op if rowsetPreservingOps(op) => // no row change
         case op => throw new IllegalArgumentException(
           s"changelog crosses snapshot v$v (operation=$op): a copy-on-write " +
@@ -1001,7 +1176,16 @@ class GraftTable(val spark: SparkSession, val location: String,
       manifestShards(s).map(_.path).filterNot(keptShards.contains).foreach(io.delete)
       io.delete(s.manifest)
       io.delete(s"meta/snapshot-v${s.version}.json")
+      // the version claim is safe to reap: ids are never reallocated below
+      // the hint/high-water mark, both of which are ≥ this expired version
+      io.delete(s"meta/claim-v${s.version}")
     }
+    // edge claims whose PARENT version expired can never be contested again
+    // (every ref's head is ahead of an expired version by construction)
+    val expiredV = expired.map(_.version).toSet
+    io.list("meta").filter(_.matches("edge-.+-v\\d+"))
+      .filter(n => expiredV(n.substring(n.lastIndexOf("-v") + 2).toLong))
+      .foreach(n => io.delete(s"meta/$n"))
     (expired.size, deleted.size)
   }
 
@@ -1017,7 +1201,7 @@ class GraftTable(val spark: SparkSession, val location: String,
       throw new IllegalArgumentException(s"no snapshot v$toVersion at $location"))
     val parent = currentSnapshot
     require(parent.exists(_.version != toVersion), s"v$toVersion is already current")
-    finishCommit(nextVersion, parent, manifestShards(target),
+    publish(parent, manifestShards(target),
       s"rollback-to-v$toVersion", target.recordCount, target.fileCount)
   }
 
@@ -1097,14 +1281,15 @@ class GraftTable(val spark: SparkSession, val location: String,
     * nothing is rewritten or re-statted). */
   def publishStaged(id: String): Snapshot = {
     val meta = parseJsonFlat(io.readString(s"meta/staged-$id.json"))
-    val parent = currentSnapshot
-    val newVersion = nextVersion
-    val (prev, seq) = parentShards(parent)
-    val shards = prev :+ ManifestShard(seq + 1, "add", s"meta/staged-add-$id.parquet")
-    val rc = parent.map(_.recordCount).getOrElse(0L) + meta("recordCount").trim.toLong
-    val parentFiles = parent.map(_.fileCount).getOrElse(0L)
-    val fc = if (parentFiles < 0) -1L else parentFiles + meta("fileCount").trim.toLong
-    val snap = finishCommit(newVersion, parent, shards, s"publish-wap-$id", rc, fc)
+    // adds-only: rebases onto whatever head wins a concurrent race
+    val snap = commitRetrying(s"publish-wap-$id") { parent =>
+      val (prev, seq) = parentShards(parent)
+      val shards = prev :+ ManifestShard(seq + 1, "add", s"meta/staged-add-$id.parquet")
+      val rc = parent.map(_.recordCount).getOrElse(0L) + meta("recordCount").trim.toLong
+      val parentFiles = parent.map(_.fileCount).getOrElse(0L)
+      val fc = if (parentFiles < 0) -1L else parentFiles + meta("fileCount").trim.toLong
+      (shards, rc, fc)
+    }
     io.delete(s"meta/staged-$id.json")
     snap
   }
@@ -1163,8 +1348,7 @@ class GraftTable(val spark: SparkSession, val location: String,
           else
             liveAll.repartitionByRange(shardsN, $"partition", $"min_z", $"file_path")
               .sortWithinPartitions($"partition", $"min_z", $"file_path")
-        val newVersion = nextVersion
-        val addRel = s"meta/manifest-add-v$newVersion.parquet"
+        val addRel = s"meta/manifest-add-${UUID.randomUUID().toString.take(12)}.parquet"
         live.write.mode("overwrite").parquet(io.abs(addRel).toString)
         // re-base: the new list holds exactly this shard directory; record
         // count comes from one agg over the freshly written shards (metadata)
@@ -1172,8 +1356,7 @@ class GraftTable(val spark: SparkSession, val location: String,
           .parquet(io.abs(addRel).toString)
           .agg(sum($"record_count"), count(lit(1))).head()
         val liveCount = if (r.isNullAt(0)) 0L else r.getLong(0)
-        val listRel = writeList(newVersion, Seq(ManifestShard(1, "add", addRel)))
-        finishCommitWithList(newVersion, Some(s), listRel, "manifest_rewrite",
+        publish(Some(s), Seq(ManifestShard(1, "add", addRel)), "manifest_rewrite",
           liveCount, r.getLong(1))
     }
 
@@ -1185,9 +1368,8 @@ class GraftTable(val spark: SparkSession, val location: String,
                                        recordCount: Long, fileCount: Long): Snapshot = {
     init()
     val parent = currentSnapshot
-    val newVersion = nextVersion
     val shards = addRels.zipWithIndex.map { case (r, i) => ManifestShard(i + 1, "add", r) }
-    finishCommit(newVersion, parent, shards, operation, recordCount, fileCount)
+    publish(parent, shards, operation, recordCount, fileCount)
   }
 
   /** Full rewrite commit (compaction/cluster jobs): adds replace the entire
@@ -1198,7 +1380,8 @@ class GraftTable(val spark: SparkSession, val location: String,
     currentSnapshot match {
       case None => commitDelta(entries, None, operation)
       case Some(s) => commitDelta(entries, Some(manifest(s).select("file_path")),
-        operation, removedRecords = s.recordCount, removedFiles = s.fileCount)
+        operation, removedRecords = s.recordCount, removedFiles = s.fileCount,
+        basis = Some(s))
     }
 
   // tiny flat-json parser for our own snapshot files

@@ -70,6 +70,29 @@ final class LakeIO(val root: String) extends Serializable {
     try out.write(s.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Atomic create-if-absent — the compare-and-swap primitive behind
+    * optimistic concurrency (version claims): exactly one of any number of
+    * concurrent callers returns true. file:// goes through
+    * java.nio.Files.createFile (a real O_CREAT|O_EXCL, atomic on POSIX —
+    * Hadoop's RawLocalFileSystem create() has a check-then-open race);
+    * HDFS create(overwrite=false) is an atomic namenode operation; object
+    * stores map it to a conditional PUT (S3 If-None-Match, GCS
+    * generation-0 preconditions) behind their FileSystem connectors. */
+  def createExclusive(rel: String): Boolean = {
+    val p = abs(rel)
+    if (Option(p.toUri.getScheme).forall(_ == "file")) {
+      try { java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException
+          if Option(e.getMessage).exists(_.toLowerCase.contains("exist")) => false
+      }
+    }
+  }
+
   /** temp-write + rename-overwrite: readers see either the old or the new
     * content — the target is never absent mid-commit. POSIX/local rename
     * atomically replaces an existing destination. HDFS's FileSystem.rename

@@ -54,7 +54,8 @@ object Maintenance {
     val df = table.readFiles(smallPaths)
     val packed = df.repartitionByRange(bins, col("z")).sortWithinPartitions("z")
     val added = table.writeDataFiles(packed, "compact")
-    table.commit(added, smallPaths.toSet, "compact", removedRecords)
+    table.commit(added, smallPaths.toSet, "compact", removedRecords,
+      basis = snapOpt)
     Lineage.record(table, jobId, phase, smallPaths, added)
     CompactionResult(smallPaths.size, added.size, added.map(_.record_count).sum)
   }
@@ -117,7 +118,8 @@ object Maintenance {
       .sortWithinPartitions("z").drop("_salt")
     val added = table.writeDataFiles(clustered, "cluster")
     // the rewrite replaces the whole live set: removed records = parent total
-    table.commit(added, paths.toSet, phase, removedRecords = snap.recordCount)
+    table.commit(added, paths.toSet, phase, removedRecords = snap.recordCount,
+      basis = Some(snap))
     Lineage.record(table, jobId, phase, paths, added)
     added.map(_.record_count).sum
   }
@@ -261,6 +263,9 @@ object Maintenance {
     }
     // the CoW rewrite re-sequences files — materialize pending MoR deletes
     MorDelete.materializeIfPending(table)
+    // the basis the rewrite is planned against: a concurrent commit past it
+    // surfaces as CommitConflictException instead of a silent double-apply
+    val basisSnap = table.currentSnapshot
 
     val src = source0.select(dataCols.map(col): _*).cache()
     val srcKeys = src.select(keys.map(col): _*).distinct()
@@ -303,7 +308,8 @@ object Maintenance {
     val addedInsert = table.writeDataFiles(inserts, "merge-insert")
     val insertedCount = addedInsert.map(_.record_count).sum
 
-    table.commit(addedRewrite ++ addedInsert, affectedRel, "merge")
+    table.commit(addedRewrite ++ addedInsert, affectedRel, "merge",
+      basis = basisSnap)
     matched.unpersist()
     src.unpersist()
     Lineage.record(table, jobId, phase, affectedRel.toSeq, addedRewrite ++ addedInsert)

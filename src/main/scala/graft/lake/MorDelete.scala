@@ -56,11 +56,15 @@ object MorDelete {
     deleteMatching(table, table.scan().filter(coalesce(condition, lit(false))))
 
   private def deleteMatching(table: GraftTable, matching: DataFrame): Long = {
-    val delSeq = table.nextEqDeleteSeq
+    // the basis snapshot fixes the del_seq; commitEqDelete conflicts if the
+    // head moves before the commit lands (the stamped seq would be wrong
+    // against a different shard sequence)
+    val basis = table.currentSnapshot
+    val delSeq = table.nextEqDeleteSeq(basis)
     val keys = matching.select(col("repo"), col("path"), col("commit"),
       lit(delSeq).as("del_seq"))
-    val newVersion = table.nextVersion
-    val shardRel = s"meta/manifest-eqdel-v$newVersion.parquet"
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    val shardRel = s"meta/manifest-eqdel-$uid.parquet"
     val abs = table.io.abs(shardRel).toString
     keys.write.mode("overwrite").parquet(abs)
     // matched count from the freshly written shard's parquet footers — a
@@ -68,7 +72,7 @@ object MorDelete {
     val matched = table.spark.read.schema(GraftTable.eqDeleteSchema)
       .parquet(abs).count()
     if (matched == 0L) { table.io.delete(shardRel); return 0L }
-    table.commitEqDelete(shardRel, matched)
+    table.commitEqDelete(shardRel, matched, basis)
     matched
   }
 
@@ -102,7 +106,7 @@ object MorDelete {
         val kept = table.withEqDeletesApplied(snap, table.readFilesWithSeq(affected))
         table.writeDataFiles(kept, "apply-deletes")
       }
-    table.commitApplyDeletes(added, affected.map(_._1).toSet)
+    table.commitApplyDeletes(snap, added, affected.map(_._1).toSet)
     ApplyResult(affected.size, untouched, shards.size)
   }
 

@@ -69,7 +69,8 @@ object Update {
       }
     }
     val added = table.writeDataFiles(src.select(projected.toIndexedSeq: _*), "update-cow")
-    table.commit(added, cand.map(_._1).toSet, "update", cand.map(_._2).sum)
+    table.commit(added, cand.map(_._1).toSet, "update", cand.map(_._2).sum,
+      basis = Some(snap))
     UpdateResult(cand.length, total - cand.length, updatedRows)
   }
 }
