@@ -139,7 +139,13 @@ object GraftProcedures {
       (t, in) => {
         val b = in.getUTF8String(1).toString
         t.dropBranch(b); Seq[Any](b)
-      })))
+      })),
+    // reap stale edge claims left by writers that died between claiming and
+    // publishing (appenders on that ref otherwise keep losing their retries)
+    "repair_refs" -> ((
+      Seq("table" -> S, "older_than_ms" -> L),
+      out("reaped_claims" -> I),
+      (t, in) => Seq[Any](t.repairRefs(in.getLong(1)).size))))
 
   def names: Seq[String] = defs.keys.toSeq.sorted
 

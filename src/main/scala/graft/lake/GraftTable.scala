@@ -466,7 +466,7 @@ class GraftTable(val spark: SparkSession, val location: String,
   private def refName: String = branch.getOrElse("main")
 
   /** try to win the right to extend `ref` from `parentV`. */
-  private[lake] def claimEdge(ref: String, parentV: Long): Boolean = {
+  private[graft] def claimEdge(ref: String, parentV: Long): Boolean = {
     init()
     io.createExclusive(s"meta/edge-$ref-v$parentV")
   }

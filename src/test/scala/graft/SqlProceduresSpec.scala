@@ -86,6 +86,23 @@ class SqlProceduresSpec extends SparkTestBase {
     assert(t.scan().count() == 40)
   }
 
+  test("CALL repair_refs: reaps a dead writer's stale edge claim via SQL") {
+    val (cat, t) = freshSqlTable(30)
+    // simulate a writer that claimed the main edge and died pre-publish
+    assert(t.claimEdge("main", t.currentVersion))
+    val r = spark.sql(
+      s"CALL $cat.system.repair_refs(`table` => 'ns.t', older_than_ms => ${System.currentTimeMillis() + 1})").head()
+    assert(r.getInt(0) == 1, "exactly the stale claim reaped")
+    // the ref is unwedged: the next append commits normally
+    import spark.implicits._
+    t.append(SourceFiles.generate(5, 9).toDF())
+    assert(t.scan().count() == 35)
+    // consumed edges are never reaped
+    val r2 = spark.sql(
+      s"CALL $cat.system.repair_refs(`table` => 'ns.t', older_than_ms => ${System.currentTimeMillis() + 1})").head()
+    assert(r2.getInt(0) == 0)
+  }
+
   test("unknown procedure fails with the available list") {
     val (cat, _) = freshSqlTable(5)
     val err = intercept[Exception] {
