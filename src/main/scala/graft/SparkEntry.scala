@@ -1062,6 +1062,67 @@ object SparkEntry {
       .orderBy($"repo", $"path")
   }
 
+  private def q69PosDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.sources.{And, EqualTo, LessThan, Or}
+    // POSITIONAL merge-on-read delete under the oracle gate: the same
+    // lifecycle as q58 but through (file, row-ordinal) address shards — no
+    // data file rewritten, no sequence rule (a re-inserted slice survives
+    // because addresses bind to physical files), the DSv2 per-task
+    // position-filtering reader answers the read, the change-data-feed
+    // recovers the FULL deleted rows from their addresses, and applyDeletes
+    // must leave the row set byte-identical (order-independent digest).
+    val docs = t(s, dir, "documents")
+    val rows = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q69-wh").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/t")
+    table.append(rows.repartitionByRange(10, $"repo"))
+    val v1 = table.currentVersion
+
+    val matched = graft.lake.MorDelete.deleteWherePositional(table,
+      Array[org.apache.spark.sql.sources.Filter](Or(EqualTo("repo", "repo_2"),
+        And(EqualTo("repo", "repo_6"), LessThan("path", "f/5")))))
+    assert(matched > 0, "the positional delete must match rows")
+    assert(table.currentSnapshot.exists(table.hasPosDeletes))
+
+    // the CDF recovers full rows (values, not just keys) from the addresses
+    val cdfDels = table.changelogScan(v1)
+      .filter($"_change_type" === "delete")
+    assert(cdfDels.filter($"content".isNull).count() == 0,
+      "positional CDF rows must carry the retracted values")
+    assert(cdfDels.count() == matched)
+
+    // re-insert a deleted slice: NEW physical files, immune by construction
+    table.append(rows.filter($"repo" === "repo_2" && $"path" < "f/2")
+      .withColumn("commit", lit("c1"))
+      .withColumn("content", concat(lit("reborn "), $"content")))
+
+    val result = s.read.format("graft").load(table.location)
+      .select($"repo", $"path", $"commit", $"lang",
+        sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path", $"commit")
+
+    def digest(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        expr("bit_xor(xxhash64(repo, path, commit, lang, content_sha))"),
+        count(lit(1))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val before = digest(result)
+    graft.lake.MorDelete.applyDeletes(table)
+    assert(!table.hasPendingDeletes)
+    val after = digest(table.scan()
+      .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha")))
+    assert(before == after, s"applyDeletes changed the row set: $before vs $after")
+    s.read.format("graft").load(table.location)
+      .select($"repo", $"path", $"commit", $"lang",
+        sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path", $"commit")
+  }
+
   private def q58MorDelete(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.sources.{And, EqualTo, LessThan, Or}
@@ -1583,6 +1644,7 @@ object SparkEntry {
     "q66_metadata_tables" -> (q66MetadataTables(_, _)),
     "q67_branches"       -> (q67Branches(_, _)),
     "q68_occ_commits"    -> (q68OccCommits(_, _)),
+    "q69_pos_delete"     -> (q69PosDelete(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1806,6 +1868,23 @@ object SparkEntry {
     // post-MoR-delete row set, recomputed relationally: survivors of the
     // delete predicate at commit c0 plus the re-inserted slice at c1 (the
     // sequence rule keeps re-inserts alive through the older delete)
+    // q69: the positional-delete lifecycle's final row set — the deleted
+    // slices gone, the re-inserted c1 slice alive (addresses bind to
+    // physical files, so the re-insert needs no sequence rule)
+    "q69_pos_delete" ->
+      """WITH base AS (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang, text
+        |  FROM documents)
+        |SELECT repo, path, 'c0' AS "commit", lang, sha256(text) AS content_sha
+        |FROM base
+        |WHERE NOT (repo = 'repo_2' OR (repo = 'repo_6' AND path < 'f/5'))
+        |UNION ALL
+        |SELECT repo, path, 'c1' AS "commit", lang,
+        |  sha256('reborn ' || text) AS content_sha
+        |FROM base
+        |WHERE repo = 'repo_2' AND path < 'f/2'
+        |ORDER BY repo, path, "commit"""".stripMargin,
     "q58_mor_delete" ->
       """WITH base AS (
         |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,

@@ -254,7 +254,7 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
   private lazy val morPending: Boolean = {
     val t = new GraftTable(SparkSession.active, location)
     val s = snapshot.flatMap(t.snapshot).orElse(t.currentSnapshot)
-    s.exists(t.hasEqDeletes)
+    s.exists(t.hasMorDeletes)
   }
 
   override def supportCompletePushDown(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -478,13 +478,16 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
         val eqdels =
           if (fromSnapshot.isDefined) Seq.empty // appends after a delete are unaffected by it
           else table.eqDeleteShards(s).map(sh => table.io.abs(sh.path).toString)
+        val posdels =
+          if (fromSnapshot.isDefined) Seq.empty
+          else table.posDeleteShards(s).map(sh => table.io.abs(sh.path).toString)
         // bucket pruning (distributed, before the collect): point/IN
         // predicates on the bucket column pin the exact candidate buckets
         val spec = if (fromSnapshot.isEmpty) table.bucketSpec else None
         val bucketPred = GraftScan.bucketPredicate(spec.flatMap { case (c, n) =>
           GraftScan.candidateBuckets(pushed ++ runtime, c, n)
         })
-        if (eqdels.nonEmpty) {
+        if (eqdels.nonEmpty || posdels.nonEmpty) {
           bucketInfo = None // pending MoR deletes: row path, no key grouping
           val kept = bloomPruned(table, table.manifestWithSeq(s))
             .filter(GraftScan.manifestPredicate(pushed ++ runtime) && bucketPred)
@@ -493,7 +496,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
           pruneInfo = Some((kept.length, total))
           statsInfo = Some((kept.map(_._2).sum, kept.map(_._3).sum))
           kept.map { case (p, _, _, seq) =>
-            GraftInputPartition(table.io.abs(p).toString, seq, eqdels)
+            GraftInputPartition(table.io.abs(p).toString, seq, eqdels, posdels)
               .asInstanceOf[InputPartition]
           }
         } else {
@@ -711,12 +714,14 @@ object GraftScan {
     }
 }
 
-/** addSeq/eqDeletes carry the merge-on-read delete state when the scanned
-  * snapshot has pending eqdel shards: the reader filters rows whose key is
-  * deleted at a seq GREATER than the file's add seq (the sequence rule).
-  * Defaults mean "no pending deletes" — the overwhelmingly common case. */
+/** addSeq/eqDeletes/posDeletes carry the merge-on-read delete state when
+  * the scanned snapshot has pending delete shards: the reader filters rows
+  * whose key is equality-deleted at a seq GREATER than the file's add seq
+  * (the sequence rule), and rows whose (file, ordinal) address is position-
+  * deleted. Defaults mean "no pending deletes" — the common case. */
 case class GraftInputPartition(absPath: String, addSeq: Long = Long.MaxValue,
-                               eqDeletes: Seq[String] = Nil) extends InputPartition
+                               eqDeletes: Seq[String] = Nil,
+                               posDeletes: Seq[String] = Nil) extends InputPartition
 
 /** One partition per storage bucket (possibly several bucket-pure files,
   * possibly none — empty buckets are still emitted so both sides of a
@@ -862,7 +867,8 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true)
     * can filter) or without (→ columnar). Never mixed. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition match {
-      case p: GraftInputPartition => columnar && p.eqDeletes.isEmpty
+      case p: GraftInputPartition =>
+        columnar && p.eqDeletes.isEmpty && p.posDeletes.isEmpty
       case _: GraftBucketedPartition => columnar
     }
 
@@ -881,11 +887,11 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true)
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case p: GraftInputPartition =>
-        if (p.eqDeletes.isEmpty)
+        if (p.eqDeletes.isEmpty && p.posDeletes.isEmpty)
           new GraftPartitionReader(p.absPath, columns, fieldTypes)
         else
           new GraftMorFilteringReader(p.absPath, columns, p.addSeq, p.eqDeletes,
-            fieldTypes)
+            fieldTypes, p.posDeletes)
       case b: GraftBucketedPartition =>
         GraftChainedReader.rows(b.absPaths, columns, fieldTypes)
     }
@@ -1085,22 +1091,33 @@ class GraftPartitionReader(absPath: String, columns: Array[String],
   * (repo, path, commit) key appears with del_seq > the file's add seq. */
 class GraftMorFilteringReader(absPath: String, outColumns: Array[String],
                               addSeq: Long, eqDeletes: Seq[String],
-                              types: Map[String, DataType] = Map.empty)
+                              types: Map[String, DataType] = Map.empty,
+                              posDeletes: Seq[String] = Nil)
   extends PartitionReader[InternalRow] {
-  private val keyCols = Array("repo", "path", "commit")
+  // equality probing needs the key columns; a posdel-only scan must NOT
+  // widen its read set for keys it will never compare
+  private val keyCols =
+    if (eqDeletes.isEmpty) Array.empty[String] else Array("repo", "path", "commit")
   private val readCols = (outColumns ++ keyCols).distinct
   private val inner = new GraftPartitionReader(absPath, readCols, types)
   private val identity = readCols.sameElements(outColumns)
   private val outIdx = outColumns.map(c => readCols.indexOf(c))
   private val keyIdx = keyCols.map(c => readCols.indexOf(c))
   private lazy val dels = GraftEqDeletes.keyMap(eqDeletes)
+  // position deletes for THIS file: the inner reader walks the parquet file
+  // sequentially with nothing skipped, so its row count IS the file ordinal
+  private lazy val posDels: java.util.HashSet[java.lang.Long] =
+    GraftPosDeletes.forFile(posDeletes, GraftPosDeletes.relOf(absPath))
+  private var ordinal = -1L
   private var cur: InternalRow = _
 
   override def next(): Boolean = {
     while (inner.next()) {
+      ordinal += 1
+      if (posDeletes.isEmpty || !posDels.contains(ordinal)) {
       val row = inner.get()
       val r = row.asInstanceOf[GenericInternalRow]
-      val key = GraftEqDeletes.key(
+      val key = if (eqDeletes.isEmpty) null else GraftEqDeletes.key(
         strOf(r, keyIdx(0)), strOf(r, keyIdx(1)), strOf(r, keyIdx(2)))
       val d = if (key == null) null else dels.get(key)
       // a null key column can never equal a delete key - keep the row
@@ -1117,6 +1134,7 @@ class GraftMorFilteringReader(absPath: String, outColumns: Array[String],
             out
           }
         return true
+      }
       }
     }
     false
@@ -1141,6 +1159,64 @@ class GraftMorFilteringReader(absPath: String, outColumns: Array[String],
 /** Executor-side cache of equality-delete key maps: one load per (executor,
   * eqdel shard set), shared by every task of the scan - the same "load the
   * delete file once, probe per row" shape Iceberg's readers use. */
+/** Executor-side cache of position-delete address sets: one load per
+  * (executor, posdel shard set), file→ordinal-set, probed per row by the
+  * filtering reader — Iceberg's "load the delete file once" shape, with a
+  * long probe instead of a string-key compare. */
+object GraftPosDeletes {
+  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.example.GroupReadSupport
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.HashMap[String, java.util.HashSet[java.lang.Long]]]()
+
+  private val empty = new java.util.HashSet[java.lang.Long]()
+
+  /** manifest-relative path of a data file from its absolute scan path —
+    * data files always live under the table's data/ directory, so this
+    * matches the representation posdel shards store. */
+  def relOf(absPath: String): String = {
+    val i = absPath.lastIndexOf("/data/")
+    if (i < 0) absPath else "data/" + absPath.substring(i + "/data/".length)
+  }
+
+  def forFile(shardDirs: Seq[String], relPath: String): java.util.HashSet[java.lang.Long] = {
+    if (shardDirs.isEmpty) return empty
+    val k = shardDirs.sorted.mkString("\u0001")
+    if (cache.size > 32) cache.clear() // stale shard sets from old snapshots
+    cache.computeIfAbsent(k, _ => load(shardDirs)).getOrDefault(relPath, empty)
+  }
+
+  private def load(shardDirs: Seq[String])
+      : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {
+    val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    for (dir <- shardDirs) {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      val parts =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+        else Seq(p)
+      for (part <- parts) {
+        val reader: ParquetReader[org.apache.parquet.example.data.Group] =
+          ParquetReader.builder(new GroupReadSupport(), part).withConf(conf).build()
+        try {
+          var g = reader.read()
+          while (g != null) {
+            m.computeIfAbsent(g.getString("file_path", 0),
+                _ => new java.util.HashSet[java.lang.Long]())
+              .add(java.lang.Long.valueOf(g.getLong("pos", 0)))
+            g = reader.read()
+          }
+        } finally reader.close()
+      }
+    }
+    m
+  }
+}
+
 object GraftEqDeletes {
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport

@@ -123,6 +123,15 @@ object GraftTable {
       StructField("repo", StringType), StructField("path", StringType),
       StructField("commit", StringType), StructField("del_seq", LongType)))
   }
+  /** merge-on-read POSITION-delete shard rows: (data file, row ordinal in
+    * file order) — Iceberg's second delete flavor. No sequence rule needed:
+    * a position binds to one immutable physical file, so re-inserted keys
+    * (new files) can never collide; rewrites must materialize first. */
+  val posDeleteSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file_path", StringType), StructField("pos", LongType)))
+  }
 }
 
 class GraftTable(val spark: SparkSession, val location: String,
@@ -191,6 +200,10 @@ class GraftTable(val spark: SparkSession, val location: String,
     if (!io.exists(rel)) None
     else {
       val m = parseJsonFlat(io.readString(rel))
+      // defensive: snapshot writes are atomic (tmp + rename), so a json
+      // missing its core keys is foreign debris, not a torn commit — treat
+      // as absent rather than crashing every reader of the table
+      if (!m.contains("version")) return None
       Some(Snapshot(m("version").toLong, m("parent").toLong, m("tsMillis").toLong,
         m("operation"), m("manifest"), m("recordCount").toLong,
         m.getOrElse("fileCount", "-1").toLong,
@@ -259,8 +272,17 @@ class GraftTable(val spark: SparkSession, val location: String,
 
   def hasEqDeletes(s: Snapshot): Boolean = eqDeleteShards(s).nonEmpty
 
+  /** posdel shards of a snapshot (pending POSITIONAL deletes). */
+  def posDeleteShards(s: Snapshot): Seq[ManifestShard] =
+    manifestShards(s).filter(_.kind == "posdel")
+
+  def hasPosDeletes(s: Snapshot): Boolean = posDeleteShards(s).nonEmpty
+
+  /** any pending merge-on-read delete, either flavor. */
+  def hasMorDeletes(s: Snapshot): Boolean = hasEqDeletes(s) || hasPosDeletes(s)
+
   /** pending deletes on the CURRENT snapshot (driver-side shard-list read). */
-  def hasPendingDeletes: Boolean = currentSnapshot.exists(hasEqDeletes)
+  def hasPendingDeletes: Boolean = currentSnapshot.exists(hasMorDeletes)
 
   /** live delete keys of a snapshot: (repo, path, commit, del_seq). */
   def eqDeleteKeys(s: Snapshot): DataFrame = {
@@ -314,6 +336,72 @@ class GraftTable(val spark: SparkSession, val location: String,
         dataWithSeq("add_seq") < keys("del_seq"),
         "left_anti")
       .drop("add_seq")
+  }
+
+  // ---- merge-on-read POSITION deletes (shard kind "posdel") --------------
+  //
+  // The second Iceberg delete flavor: a shard of (data file, row ordinal)
+  // addresses. Cheaper to APPLY than equality deletes (a long-ordinal probe
+  // instead of a three-string key compare, no sequence rule) and exact by
+  // construction — but it must be planned against the physical layout,
+  // so rewrites (compact/cluster/CoW) still materialize pending deletes
+  // first, exactly like the equality flavor.
+
+  /** live position-delete addresses of a snapshot: (file_path, pos). */
+  def posDeleteKeys(s: Snapshot): DataFrame = {
+    val shards = posDeleteShards(s)
+    if (shards.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], GraftTable.posDeleteSchema)
+    else spark.read.schema(GraftTable.posDeleteSchema)
+      .parquet(shards.map(sh => io.abs(sh.path).toString): _*)
+  }
+
+  /** `data/<batch>/<name>` of the file each row came from — the same
+    * representation ManifestEntry.file_path uses; derived from the scan's
+    * `_metadata.file_path` by splitting on the table's own data/ directory,
+    * so it is robust to any location prefix (URI scheme, mounts). */
+  private[lake] def relFileCol: org.apache.spark.sql.Column =
+    concat(lit("data/"),
+      element_at(split(col("_metadata.file_path"), "/data/"), -1))
+
+  /** readFilesWithSeq plus each row's physical address: `_file` (manifest-
+    * relative path) and `_pos` (row ordinal in file order, Spark's
+    * `_metadata.row_index`). */
+  def readFilesWithSeqPos(pairs: Seq[(String, Long)]): DataFrame = {
+    if (pairs.isEmpty)
+      return emptyDf.withColumn("add_seq", lit(-1L))
+        .withColumn("_file", lit(null).cast("string"))
+        .withColumn("_pos", lit(-1L))
+    pairs.groupBy(_._2).toSeq.sortBy(_._1).map { case (seq, ps) =>
+      readFiles(ps.map(_._1))
+        .withColumn("add_seq", lit(seq))
+        .withColumn("_file", relFileCol)
+        .withColumn("_pos", col("_metadata.row_index"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Apply a snapshot's position deletes to rows carrying (_file, _pos):
+    * an equi-key hash anti-join on the address, broadcast when the delete
+    * set is small. Keeps the address columns (the positional-delete write
+    * path needs the SURVIVORS' addresses). */
+  def withPosDeletesApplied(s: Snapshot, dataWithPos: DataFrame): DataFrame = {
+    val keys = posDeleteKeys(s)
+    dataWithPos.join(keys,
+      dataWithPos("_file") === keys("file_path") && dataWithPos("_pos") === keys("pos"),
+      "left_anti")
+  }
+
+  /** Live rows of the given (file, add_seq) pairs with EVERY pending
+    * merge-on-read delete (both flavors) applied; address/seq helper
+    * columns dropped. */
+  private[lake] def morScan(s: Snapshot, pairs: Seq[(String, Long)]): DataFrame =
+    morScanKeepPos(s, pairs).drop("_file", "_pos")
+
+  /** as [[morScan]] but keeps (_file, _pos). */
+  private[lake] def morScanKeepPos(s: Snapshot, pairs: Seq[(String, Long)]): DataFrame = {
+    var df = readFilesWithSeqPos(pairs)
+    if (hasPosDeletes(s)) df = withPosDeletesApplied(s, df)
+    if (hasEqDeletes(s)) withEqDeletesApplied(s, df) else df.drop("add_seq")
   }
 
   // ---- named refs: TAGS (Iceberg-style immutable snapshot pins) ---------
@@ -599,10 +687,10 @@ class GraftTable(val spark: SparkSession, val location: String,
     * applied when pending — zero extra cost otherwise). */
   def scan(): DataFrame = currentSnapshot match {
     case None => emptyDf
-    case Some(s) if hasEqDeletes(s) =>
+    case Some(s) if hasMorDeletes(s) =>
       val pairs = manifestWithSeq(s)
         .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
-      withEqDeletesApplied(s, readFilesWithSeq(pairs))
+      morScan(s, pairs)
     case Some(s) => readFiles(manifest(s).select("file_path").as[String].collect().toSeq)
   }
 
@@ -614,12 +702,12 @@ class GraftTable(val spark: SparkSession, val location: String,
   def prunedScan(manifestPredicate: org.apache.spark.sql.Column): (DataFrame, Int, Int) =
     currentSnapshot match {
       case None => (emptyDf, 0, 0)
-      case Some(s) if hasEqDeletes(s) =>
+      case Some(s) if hasMorDeletes(s) =>
         val m = manifestWithSeq(s)
         val total = m.count().toInt
         val kept = m.filter(manifestPredicate)
           .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
-        (withEqDeletesApplied(s, readFilesWithSeq(kept)), total, kept.size)
+        (morScan(s, kept), total, kept.size)
       case Some(s) =>
         val m = manifest(s)
         val total = m.count().toInt
@@ -845,6 +933,21 @@ class GraftTable(val spark: SparkSession, val location: String,
       basis.map(_.fileCount).getOrElse(0L))
   }
 
+  /** Commit a merge-on-read POSITIONAL delete: the caller has written the
+    * (file, pos) shard against `basis`. No sequence stamping — positions
+    * bind to immutable physical files — but the matched count and the
+    * "row not already deleted" guarantee were computed against `basis`, so
+    * a moved head still conflicts. */
+  private[lake] def commitPosDelete(shardRel: String, deletedRows: Long,
+                                    basis: Option[Snapshot]): Snapshot = {
+    init()
+    val (prev, seq) = parentShards(basis)
+    val shards = prev :+ ManifestShard(seq + 1, "posdel", shardRel)
+    publish(basis, shards, "mor-posdelete",
+      basis.map(_.recordCount).getOrElse(0L) - deletedRows,
+      basis.map(_.fileCount).getOrElse(0L))
+  }
+
   /** the seq the NEXT eqdel shard will get when committed against `basis`:
     * keys must be stamped with their del_seq before the shard is written.
     * [[commitEqDelete]] conflicts if the head moved past `basis`, so a
@@ -860,7 +963,8 @@ class GraftTable(val spark: SparkSession, val location: String,
   private[lake] def commitApplyDeletes(basis: Snapshot, added: Seq[ManifestEntry],
                                        removedPaths: Set[String]): Snapshot = {
     val uid = UUID.randomUUID().toString.take(12)
-    var shards = manifestShards(basis).filterNot(_.kind == "eqdel")
+    var shards = manifestShards(basis)
+      .filterNot(sh => sh.kind == "eqdel" || sh.kind == "posdel")
     var seq = shards.map(_.seq).maxOption.getOrElse(0)
     if (added.nonEmpty) {
       val addRel = s"meta/manifest-add-$uid.parquet"
@@ -950,7 +1054,10 @@ class GraftTable(val spark: SparkSession, val location: String,
          | "recordCount": ${snap.recordCount}, "fileCount": ${snap.fileCount},
          | "extraCols": "${snap.extraCols}", "droppedCols": "${snap.droppedCols}",
          | "ref": "${snap.ref}"}""".stripMargin
-    io.writeString(s"meta/snapshot-v$newVersion.json", json)
+    // ATOMIC (tmp + rename): concurrent committers resolve heads through the
+    // max-snapshot fallback while a fresh table has no hint yet — a plain
+    // create-then-write would let them observe this file empty mid-write
+    io.writeAtomic(s"meta/snapshot-v$newVersion.json", json)
     // advance THIS handle's ref — the branch head for a branch handle,
     // main's hint otherwise; per-ref files, so refs never contend here
     branch match {
@@ -1095,14 +1202,21 @@ class GraftTable(val spark: SparkSession, val location: String,
     require(fromV >= 0 && fromV <= to,
       s"changelog range (v$fromV, v$to] is not a valid version interval")
     var v = to
-    var inserts = List.empty[(Long, Seq[String])] // version -> data files
-    var deletes = List.empty[(Long, String)]      // version -> eqdel shard
+    var inserts = List.empty[(Long, Seq[String])]  // version -> data files
+    var deletes = List.empty[(Long, String)]       // version -> eqdel shard
+    var posDeletes = List.empty[(Long, String)]    // version -> posdel shard
     while (v > fromV) {
       val s = snapshot(v).getOrElse(throw new IllegalArgumentException(
         s"snapshot v$v is missing (expired?) — changelog (v$fromV, v$to] cannot be reconstructed"))
       s.operation match {
         case "append" => inserts ::= (v, addedShardPaths(s))
         case op if op.startsWith("publish-wap") => inserts ::= (v, addedShardPaths(s))
+        case "mor-posdelete" =>
+          // the posdel shard THIS commit added (shard-set diff, name-agnostic)
+          val parentPos = snapshot(s.parent)
+            .map(p => posDeleteShards(p).map(_.path).toSet).getOrElse(Set.empty)
+          posDeletes :::= posDeleteShards(s).map(_.path).filterNot(parentPos)
+            .map(p => (v, p)).toList
         case "mor-delete" =>
           // the eqdel shard THIS commit added: its shard set minus the
           // parent's (shards are uid-named; the diff is name-agnostic)
@@ -1135,8 +1249,26 @@ class GraftTable(val spark: SparkSession, val location: String,
           lit(null).cast("string").as("content"),
           lit("delete").as("_change_type"), lit(ver).as("_commit_version"))
     }
+    // positional deletes recover the FULL deleted rows: the addresses point
+    // into files that are physically retained until snapshot expiry (the
+    // materializing apply-deletes commit only stops referencing them), so a
+    // semi-join on (file, pos) reads the retracted values back — richer CDF
+    // rows than the equality flavor, whose shard only knows the key
+    val posDf = posDeletes.map { case (ver, shard) =>
+      val keys = spark.read.schema(GraftTable.posDeleteSchema)
+        .parquet(io.abs(shard).toString)
+      val files = keys.select($"file_path").distinct().as[String].collect().toSeq
+      val rows = readFiles(files)
+        .withColumn("_file", relFileCol)
+        .withColumn("_pos", col("_metadata.row_index"))
+      rows.join(keys,
+          rows("_file") === keys("file_path") && rows("_pos") === keys("pos"),
+          "left_semi")
+        .select($"repo", $"path", $"commit", $"lang", $"content",
+          lit("delete").as("_change_type"), lit(ver).as("_commit_version"))
+    }
     val all = insDf.map(_.select($"repo", $"path", $"commit", $"lang", $"content",
-      $"_change_type", $"_commit_version")) ++ delDf
+      $"_change_type", $"_commit_version")) ++ delDf ++ posDf
     all.reduceOption(_ unionByName _).getOrElse {
       emptyDf.withColumn("_change_type", lit(""))
         .withColumn("_commit_version", lit(0L)).limit(0)
@@ -1323,7 +1455,7 @@ class GraftTable(val spark: SparkSession, val location: String,
         // the per-file sequence numbers the MoR delete rule compares against
         // (a key re-inserted AFTER a delete would suddenly match it) —
         // materialize pending deletes first
-        require(!hasEqDeletes(s),
+        require(!hasMorDeletes(s),
           "rewriteManifests with pending merge-on-read deletes would lose " +
           "their sequence ordering — run MorDelete.applyDeletes(table) first")
         val root = location

@@ -76,38 +76,94 @@ object MorDelete {
     matched
   }
 
-  /** Materialize pending merge-on-read deletes into data files. Affected
-    * files are selected by joining the manifest's per-file (min/max repo,
-    * min/max path, add_seq) stats against the delete keys — a broadcast
-    * range-containment semi-join over METADATA (one row per file vs the key
-    * set; delete key sets are the small side by design — Iceberg holds them
-    * whole in task memory). Untouched files keep their shards; the rewrite
-    * reads only the affected files, applies the anti-join, and the commit
-    * drops every eqdel shard. No-op when nothing is pending. */
+  /** Merge-on-read POSITIONAL delete of rows matching the pushed-filter
+    * conjunction: matching rows' (file, ordinal) addresses are committed as
+    * a "posdel" shard — like deleteWhere, no data file is rewritten; unlike
+    * it, a later re-insert of the same key is untouched BY CONSTRUCTION
+    * (the address binds to a physical file, so no sequence rule at all) and
+    * reads apply a long-ordinal probe instead of a three-string key compare.
+    * Planning prunes by stats; matching runs on the pending-delete-applied
+    * live scan, so an address never enters two shards. */
+  def deleteWherePositional(table: GraftTable, filters: Array[Filter]): Long = {
+    val snap = table.currentSnapshot.getOrElse(return 0L)
+    val spark = table.spark
+    import spark.implicits._
+    val kept = table.manifestWithSeq(snap)
+      .filter(GraftScan.manifestPredicate(filters))
+      .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+    if (kept.isEmpty) return 0L
+    deletePositionalMatching(table, snap,
+      table.morScanKeepPos(snap, kept)
+        .filter(coalesce(Delete.rowPredicate(filters), lit(false))))
+  }
+
+  /** Column-predicate variant (library callers): no stats pruning. */
+  def deleteWherePositional(table: GraftTable, condition: Column): Long = {
+    val snap = table.currentSnapshot.getOrElse(return 0L)
+    val spark = table.spark
+    import spark.implicits._
+    val pairs = table.manifestWithSeq(snap)
+      .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+    deletePositionalMatching(table, snap,
+      table.morScanKeepPos(snap, pairs).filter(coalesce(condition, lit(false))))
+  }
+
+  private def deletePositionalMatching(table: GraftTable, basis: Snapshot,
+                                       matching: DataFrame): Long = {
+    val keys = matching.select(col("_file").as("file_path"), col("_pos").as("pos"))
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    val shardRel = s"meta/manifest-posdel-$uid.parquet"
+    val abs = table.io.abs(shardRel).toString
+    keys.write.mode("overwrite").parquet(abs)
+    val matched = table.spark.read.schema(GraftTable.posDeleteSchema)
+      .parquet(abs).count()
+    if (matched == 0L) { table.io.delete(shardRel); return 0L }
+    table.commitPosDelete(shardRel, matched, Some(basis))
+    matched
+  }
+
+  /** Materialize pending merge-on-read deletes (BOTH flavors) into data
+    * files. Equality-affected files are selected by joining the manifest's
+    * per-file (min/max repo, min/max path, add_seq) stats against the delete
+    * keys — a broadcast range-containment semi-join over METADATA (one row
+    * per file vs the key set; delete key sets are the small side by design —
+    * Iceberg holds them whole in task memory); position-affected files fall
+    * straight out of the address shards (they NAME their files). Untouched
+    * files keep their shards; the rewrite reads only the affected files,
+    * applies both anti-joins, and the commit drops every delete shard.
+    * No-op when nothing is pending. */
   def applyDeletes(table: GraftTable): ApplyResult = {
     val snap = table.currentSnapshot.getOrElse(return ApplyResult(0, 0, 0))
-    val shards = table.eqDeleteShards(snap)
-    if (shards.isEmpty) return ApplyResult(0, 0, 0)
+    val eqShards = table.eqDeleteShards(snap)
+    val posShards = table.posDeleteShards(snap)
+    if (eqShards.isEmpty && posShards.isEmpty) return ApplyResult(0, 0, 0)
     val spark = table.spark
     import spark.implicits._
     val m = table.manifestWithSeq(snap)
-    val keys = table.eqDeleteKeys(snap)
-    val affected = m.join(broadcast(keys),
-        keys("repo") >= m("min_repo") && keys("repo") <= m("max_repo") &&
-        keys("path") >= m("min_path") && keys("path") <= m("max_path") &&
-        m("add_seq") < keys("del_seq"),
-        "left_semi")
-      .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+    val affectedEq =
+      if (eqShards.isEmpty) Seq.empty[(String, Long)]
+      else {
+        val keys = table.eqDeleteKeys(snap)
+        m.join(broadcast(keys),
+            keys("repo") >= m("min_repo") && keys("repo") <= m("max_repo") &&
+            keys("path") >= m("min_path") && keys("path") <= m("max_path") &&
+            m("add_seq") < keys("del_seq"),
+            "left_semi")
+          .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+      }
+    val affectedPos =
+      if (posShards.isEmpty) Seq.empty[(String, Long)]
+      else m.join(table.posDeleteKeys(snap).select($"file_path").distinct(),
+          Seq("file_path"), "left_semi")
+        .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+    val affected = (affectedEq ++ affectedPos).distinct
     val untouched =
       if (snap.fileCount >= 0) (snap.fileCount - affected.size).toInt else -1
     val added =
       if (affected.isEmpty) Seq.empty[ManifestEntry]
-      else {
-        val kept = table.withEqDeletesApplied(snap, table.readFilesWithSeq(affected))
-        table.writeDataFiles(kept, "apply-deletes")
-      }
+      else table.writeDataFiles(table.morScan(snap, affected), "apply-deletes")
     table.commitApplyDeletes(snap, added, affected.map(_._1).toSet)
-    ApplyResult(affected.size, untouched, shards.size)
+    ApplyResult(affected.size, untouched, eqShards.size + posShards.size)
   }
 
   /** materialize-if-pending guard for the copy-on-write rewrite paths. */
