@@ -32,7 +32,11 @@ object ScaleProof {
     "q41_corpus_sample", "q42_pack_sequences", "q43_ngram_jaccard",
     "q49_decontaminate", "q50_dup_ratio",
     "q52_repetition", "q53_chunk_dedup", "q54_incremental_dedup",
-    "q56_shard_export", "q57_mixture")
+    "q56_shard_export", "q57_mixture",
+    // lake delete lifecycles: table build + MoR retraction + connector read
+    // must all scale linearly in the corpus (the delete shard volume is the
+    // matched-row count; application is one hash anti-join / probe pass)
+    "q58_mor_delete", "q69_pos_delete")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
@@ -75,6 +79,9 @@ object ScaleProof {
     val factor = if (args.length > 0) args(0).toInt else 10
     val base = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val work = if (args.length > 2) args(2) else s"/tmp/graft-scale-${factor}x"
+    // optional 4th arg: comma-separated query filter (one-off measurements
+    // without re-running the whole suite)
+    val only = if (args.length > 3) args(3).split(",").toSet else Set.empty[String]
 
     val spark = SparkSession.builder().master("local[32]").appName("scaleproof")
       .config("spark.sql.shuffle.partitions", 32)
@@ -97,8 +104,9 @@ object ScaleProof {
 
     synthesize(spark, base, work, factor)
 
+    val queries = if (only.isEmpty) QUERIES else QUERIES.filter(only)
     def runSuite(dir: String, tag: String): Map[String, (Double, Long, Long, Long)] =
-      QUERIES.map { q =>
+      queries.map { q =>
         shufRead.set(0); shufWrite.set(0)
         val t0 = System.nanoTime()
         queryFn(q)(spark, dir).write.format("noop").mode("overwrite").save()
@@ -116,7 +124,7 @@ object ScaleProof {
     val s = runSuite(work, s"x$factor  ")
 
     println(s"""{"metric":"scaleproof","factor":$factor,"queries":{""" +
-      QUERIES.map { q =>
+      queries.map { q =>
         val (bt, br, bw, _) = b(q); val (st, sr, sw, sn) = s(q)
         f""""$q":{"base_sec":$bt%.2f,"x_sec":$st%.2f,"time_ratio":${st / bt}%.1f,""" +
         f""""base_shuffle_mb":${(br + bw) / 1e6}%.1f,"x_shuffle_mb":${(sr + sw) / 1e6}%.1f,""" +
