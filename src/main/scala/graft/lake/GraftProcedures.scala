@@ -145,7 +145,16 @@ object GraftProcedures {
     "repair_refs" -> ((
       Seq("table" -> S, "older_than_ms" -> L),
       out("reaped_claims" -> I),
-      (t, in) => Seq[Any](t.repairRefs(in.getLong(1)).size))))
+      (t, in) => Seq[Any](t.repairRefs(in.getLong(1)).size))),
+    // merge pending MoR delete shards (k eqdel → 1, k posdel → 1) so reads
+    // stop opening one shard per historical delete commit
+    "compact_delete_shards" -> ((
+      Seq("table" -> S),
+      out("eqdel_merged" -> I, "posdel_merged" -> I),
+      (t, _) => {
+        val (e, p) = MorDelete.compactDeleteShards(t)
+        Seq[Any](e, p)
+      })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted
 

@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.{LongType, StringType, StructType}
   *   - a REPLAYED epoch (sink-side recovery re-runs the last batch) finds
   *     its (queryId, epochId) marker in the snapshot log, deletes the
   *     freshly re-written files and commits nothing — the table never holds
-  *     an epoch twice. Offsets live in the source checkpoint, the epoch
-  *     markers live in the table's own snapshot log: no sidecar state.
+  *     an epoch twice. Offsets live in the source checkpoint; the epoch
+  *     markers live in the table's own snapshot log, fronted by a per-query
+  *     high-water file so detection costs one read per epoch instead of a
+  *     full snapshot-log scan (see commit()).
   *
   * The data path scales like batch append: writes are per-task with no
   * shuffle, the stats pass is one distributed aggregation over the epoch's
@@ -42,14 +44,49 @@ class GraftStreamingWrite(location: String, queryId: String, inputSchema: Struct
     val table = new GraftTable(spark, location)
     val files = messages.collect { case m: GraftStreamCommit => m.relPaths }.flatten.toSeq
     val op = epochOp(epochId)
-    if (table.exists && table.listSnapshots().exists(_.operation == op)) {
+    // Replay detection must not cost O(all snapshots) per epoch (the naive
+    // full snapshot-log scan reads every snapshot json on EVERY microbatch
+    // — quadratic over a stream's life). A per-query high-water marker
+    // `meta/stream-epoch-<queryId>.text` = "<epoch> <version>" answers the
+    // common case in one read; the marker is written AFTER the commit, so
+    // the crash window (published, marker not yet advanced) is covered by
+    // walking the snapshot chain only back to the marker's version — a few
+    // interleaved commits, not the whole log. No marker yet = first epochs
+    // or a pre-marker table: one full scan, then the marker takes over.
+    val markerRel = s"meta/stream-epoch-$queryId.text"
+    val marker: Option[(Long, Long)] =
+      if (table.exists && table.io.exists(markerRel))
+        table.io.readString(markerRel).trim.split(' ') match {
+          case Array(e, v) => Some((e.toLong, v.toLong))
+          case _ => None
+        }
+      else None
+    def chainHasOp(floor: Long): Boolean = {
+      var v = table.currentVersion
+      while (v > floor) {
+        table.snapshot(v) match {
+          case Some(s) if s.operation == op => return true
+          case Some(s) => v = s.parent
+          case None => return false // expired below here: older than any crash window
+        }
+      }
+      false
+    }
+    val replayed =
+      marker.exists(_._1 >= epochId) ||
+      (table.exists && (marker match {
+        case Some((_, mv)) => chainHasOp(mv)
+        case None => table.listSnapshots().exists(_.operation == op)
+      }))
+    if (replayed) {
       // replayed epoch: the original commit survives in the snapshot log;
       // drop this attempt's files instead of appending the batch twice
       files.foreach(table.io.delete)
     } else {
       table.init()
       val entries = table.statsForFiles(files, tag = "stream")
-      table.commit(entries, Set.empty, op)
+      val snap = table.commit(entries, Set.empty, op)
+      table.io.writeAtomic(markerRel, s"$epochId ${snap.version}")
     }
   }
 

@@ -186,12 +186,21 @@ class GraftTable(val spark: SparkSession, val location: String,
     if (!refsExist) return mainVersion + 1
     val hwm = if (io.exists("meta/max-version.text"))
       io.readString("meta/max-version.text").trim.toLong else 0L
+    // with a high-water mark present this is pure arithmetic — no listing
+    // per commit. The hwm may briefly lag under racing writers (it is
+    // written post-publish, possibly out of order); that is safe because
+    // version CLAIMS, not this estimate, guarantee non-reuse —
+    // allocateVersion just bumps past any already-claimed id.
+    if (hwm > 0L)
+      return Seq(hwm, mainVersion, branches.values.maxOption.getOrElse(0L)).max + 1
+    // no hwm yet (table branched before one was ever written): one
+    // recovery listing seeds it
     val listed = io.list("meta").flatMap { n =>
       if (n.matches("snapshot-v\\d+\\.json"))
         Some(n.stripPrefix("snapshot-v").stripSuffix(".json").toLong)
       else None
     }.maxOption.getOrElse(0L)
-    Seq(hwm, listed, mainVersion,
+    Seq(listed, mainVersion,
       branches.values.maxOption.getOrElse(0L)).max + 1
   }
 
@@ -948,6 +957,14 @@ class GraftTable(val spark: SparkSession, val location: String,
       basis.map(_.fileCount).getOrElse(0L))
   }
 
+  /** commit a delete-shard compaction (MorDelete.compactDeleteShards): the
+    * same live rows behind a bounded shard list — metadata-only, counts
+    * unchanged, conflicts if the head moved past the basis. */
+  private[lake] def commitDeleteCompaction(basis: Snapshot,
+                                           shards: Seq[ManifestShard]): Snapshot =
+    publish(Some(basis), shards, "compact-deletes",
+      basis.recordCount, basis.fileCount)
+
   /** the seq the NEXT eqdel shard will get when committed against `basis`:
     * keys must be stamped with their del_seq before the shard is written.
     * [[commitEqDelete]] conflicts if the head moved past `basis`, so a
@@ -1144,7 +1161,7 @@ class GraftTable(val spark: SparkSession, val location: String,
     * left the row set at their mor-delete commit. */
   private val rowsetPreservingOps =
     Set("compact", "cluster_hilbert", "cluster_zorder", "cluster_bucket",
-        "manifest_rewrite", "apply-deletes")
+        "manifest_rewrite", "apply-deletes", "compact-deletes")
 
   /** The APPEND-ONLY CHANGELOG: manifest entries for rows appended in
     * (fromV, toV] — the Iceberg-style incremental scan that lets a
@@ -1304,13 +1321,19 @@ class GraftTable(val spark: SparkSession, val location: String,
 
     // manifest shards still referenced by kept snapshots must survive
     val keptShards = kept.flatMap(manifestShards).map(_.path).toSet
+    // version claims are reaped only STRICTLY BELOW the allocation floor
+    // (hwm may briefly dip under racing writers — a claim at/above it must
+    // survive, or the id could be reallocated under a pinned reader)
+    val claimFloor = {
+      val hwm = if (io.exists("meta/max-version.text"))
+        io.readString("meta/max-version.text").trim.toLong else 0L
+      Seq(hwm, mainVersion, branches.values.maxOption.getOrElse(0L)).max
+    }
     expired.foreach { s =>
       manifestShards(s).map(_.path).filterNot(keptShards.contains).foreach(io.delete)
       io.delete(s.manifest)
       io.delete(s"meta/snapshot-v${s.version}.json")
-      // the version claim is safe to reap: ids are never reallocated below
-      // the hint/high-water mark, both of which are ≥ this expired version
-      io.delete(s"meta/claim-v${s.version}")
+      if (s.version < claimFloor) io.delete(s"meta/claim-v${s.version}")
     }
     // edge claims whose PARENT version expired can never be contested again
     // (every ref's head is ahead of an expired version by construction)

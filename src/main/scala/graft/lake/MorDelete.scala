@@ -169,4 +169,42 @@ object MorDelete {
   /** materialize-if-pending guard for the copy-on-write rewrite paths. */
   def materializeIfPending(table: GraftTable): Unit =
     if (table.hasPendingDeletes) { applyDeletes(table); () }
+
+  /** Compact the PENDING delete shards: k eqdel shards merge into one and k
+    * posdel shards into one — a metadata-only commit (no data file touched)
+    * that bounds what every read must open after a long run of MoR commits
+    * (each commit adds a shard; reads union them all). Sequence safety: the
+    * equality rule compares the ROW-LEVEL del_seq stamped at delete time,
+    * which the merge carries through verbatim — the merged shard's own list
+    * position is irrelevant; positions have no sequence at all. Returns
+    * (eqdel shards merged, posdel shards merged). */
+  def compactDeleteShards(table: GraftTable): (Int, Int) = {
+    val snap = table.currentSnapshot.getOrElse(return (0, 0))
+    val eq = table.eqDeleteShards(snap)
+    val pos = table.posDeleteShards(snap)
+    if (eq.size <= 1 && pos.size <= 1) return (0, 0)
+    val uid = java.util.UUID.randomUUID().toString.take(12)
+    val spark = table.spark
+    var shards = table.manifestShards(snap)
+      .filterNot(sh => (eq.size > 1 && sh.kind == "eqdel") ||
+                       (pos.size > 1 && sh.kind == "posdel"))
+    var seq = shards.map(_.seq).maxOption.getOrElse(0)
+    if (eq.size > 1) {
+      val rel = s"meta/manifest-eqdel-$uid.parquet"
+      spark.read.schema(GraftTable.eqDeleteSchema)
+        .parquet(eq.map(sh => table.io.abs(sh.path).toString): _*)
+        .coalesce(1).write.mode("overwrite").parquet(table.io.abs(rel).toString)
+      seq += 1; shards :+= ManifestShard(seq, "eqdel", rel)
+    }
+    if (pos.size > 1) {
+      val rel = s"meta/manifest-posdel-$uid.parquet"
+      spark.read.schema(GraftTable.posDeleteSchema)
+        .parquet(pos.map(sh => table.io.abs(sh.path).toString): _*)
+        .distinct() // stacked deletes never duplicate addresses, but cheap insurance
+        .coalesce(1).write.mode("overwrite").parquet(table.io.abs(rel).toString)
+      seq += 1; shards :+= ManifestShard(seq, "posdel", rel)
+    }
+    table.commitDeleteCompaction(snap, shards)
+    (if (eq.size > 1) eq.size else 0, if (pos.size > 1) pos.size else 0)
+  }
 }

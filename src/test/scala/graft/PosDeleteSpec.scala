@@ -163,6 +163,63 @@ class PosDeleteSpec extends SparkTestBase {
       keyset(df.filter(col("repo") === repo)))
   }
 
+  test("compactDeleteShards: k shards become one per flavor, semantics intact") {
+    val t = freshTable("graft-del-compact")
+    val df = synthDf(300)
+    t.append(df.repartition(4))
+    val repos = df.select("repo").distinct().collect().map(_.getString(0)).sorted
+    // three stacked equality deletes + two positional ones
+    MorDelete.deleteWhere(t, col("repo") === repos(0))
+    MorDelete.deleteWhere(t, col("repo") === repos(1))
+    // re-insert a deleted slice BEFORE compaction: the row-level del_seq
+    // must keep protecting it through the shard merge (fixed content whose
+    // length % 7 == 3 provably dodges the later predicate deletes)
+    val reborn = df.filter(col("repo") === repos(0)).limit(5)
+      .withColumn("content", lit("reborn!!!!"))
+    t.append(reborn)
+    MorDelete.deleteWhere(t, length(col("content")) % 7 === 0)
+    MorDelete.deleteWherePositional(t, length(col("content")) % 7 === 1)
+    MorDelete.deleteWherePositional(t, length(col("content")) % 7 === 2)
+    val snap0 = t.currentSnapshot.get
+    assert(t.eqDeleteShards(snap0).size == 3 && t.posDeleteShards(snap0).size == 2)
+    val expected = keyset(t.scan())
+    val rows = t.scan().count()
+
+    val (eqMerged, posMerged) = MorDelete.compactDeleteShards(t)
+    assert((eqMerged, posMerged) == (3, 2))
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "compact-deletes")
+    assert(t.eqDeleteShards(snap).size == 1 && t.posDeleteShards(snap).size == 1)
+    assert(snap.recordCount == snap0.recordCount)
+    assert(t.scan().count() == rows)
+    assert(keyset(t.scan()) == expected, "merge changed the visible row set")
+    // the re-inserted slice still survives the merged equality shard
+    assert(t.scan().join(reborn.select("repo", "path", "commit"),
+      Seq("repo", "path", "commit"), "left_semi").count() >= 5)
+    // connector read agrees, and a later materialization still works
+    assert(spark.read.format("graft").load(t.location).count() == rows)
+    MorDelete.applyDeletes(t)
+    assert(!t.hasPendingDeletes)
+    assert(keyset(t.scan()) == expected)
+    // no-op when already compact
+    assert(MorDelete.compactDeleteShards(t) == (0, 0))
+  }
+
+  test("CALL compact_delete_shards through SQL") {
+    val wh = Files.createTempDirectory("graft-del-compact-sql").toString
+    val cat = "gdc" + (System.nanoTime() % 100000)
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val t = new GraftTable(spark, s"$wh/ns/t")
+    t.append(synthDf(100))
+    MorDelete.deleteWherePositional(t, length(col("content")) % 3 === 0)
+    MorDelete.deleteWherePositional(t, length(col("content")) % 3 === 1)
+    val before = t.scan().count()
+    val r = spark.sql(s"CALL $cat.system.compact_delete_shards(`table` => 'ns.t')").head()
+    assert(r.getInt(0) == 0 && r.getInt(1) == 2)
+    assert(t.scan().count() == before)
+  }
+
   test("prunedScan applies positional deletes on the surviving files") {
     val t = freshTable("graft-pos-pruned")
     val df = synthDf(250)

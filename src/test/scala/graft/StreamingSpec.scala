@@ -290,6 +290,47 @@ class StreamingSpec extends SparkTestBase {
     assert(onDisk == live, s"orphans left by replay: ${onDisk -- live}")
   }
 
+  test("sink replay detection survives the marker crash window and interleaved commits") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val loc = java.nio.file.Files.createTempDirectory("graft-replay-win").toString
+    val schema = graft.lake.GraftTable.dataSchema
+    val qid = "crashwin-query"
+    val sw = new graft.lake.GraftStreamingWrite(loc, qid, schema)
+    val factory = sw.createStreamingWriterFactory(null)
+    def row(i: Int) = new GenericInternalRow(Array[Any](
+      UTF8String.fromString("r"), UTF8String.fromString(s"p/$i"),
+      UTF8String.fromString("c0"), UTF8String.fromString("xml"),
+      UTF8String.fromString(s"content $i"), i.toLong))
+    def writeEpoch(taskId: Long, epoch: Long) = {
+      val w = factory.createWriter(0, taskId, epoch)
+      (0 until 5).foreach(i => w.write(row(i)))
+      w.commit()
+    }
+    val t = new graft.lake.GraftTable(spark, loc)
+    sw.commit(1L, Array(writeEpoch(0L, 1L)))
+    val markerAfter1 = t.io.readString(s"meta/stream-epoch-$qid.text")
+    sw.commit(2L, Array(writeEpoch(1L, 2L)))
+    assert(t.scan().count() == 10)
+    // an interleaved FOREIGN commit (batch append by another writer) sits
+    // between the stream's epoch and its replay — the chain walk must step
+    // over it
+    import spark.implicits._
+    t.append(graft.synth.SourceFiles.generate(7, 5).toDF())
+    // crash window: epoch 2 published but the marker never advanced —
+    // rewind it to epoch 1's state and replay epoch 2
+    t.io.writeAtomic(s"meta/stream-epoch-$qid.text", markerAfter1)
+    val v = t.currentVersion
+    sw.commit(2L, Array(writeEpoch(2L, 2L)))
+    assert(t.currentVersion == v, "crash-window replay must not re-commit")
+    assert(t.scan().count() == 17)
+    // forward progress resumes: epoch 3 commits and the marker re-advances
+    sw.commit(3L, Array(writeEpoch(3L, 3L)))
+    assert(t.scan().count() == 22)
+    val Array(e, mv) = t.io.readString(s"meta/stream-epoch-$qid.text").trim.split(' ')
+    assert(e.toLong == 3L && mv.toLong == t.currentVersion)
+  }
+
   test("lake streaming sink: input without z gets the batch path's z values") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
