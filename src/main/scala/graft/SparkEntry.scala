@@ -1062,6 +1062,47 @@ object SparkEntry {
       .orderBy($"repo", $"path")
   }
 
+  private def q70MorUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.sources.EqualTo
+    // MERGE-ON-READ row changes under the oracle gate: an UPDATE rewrites
+    // NO target file (old addresses position-deleted + new rows appended in
+    // ONE snapshot), then a MoR MERGE takes matched keys' source values and
+    // inserts the new keys — each also one snapshot. The connector read
+    // (per-task address probe) answers; DuckDB recomputes the final state
+    // relationally with CASE/UNION over the same doc_id derivations.
+    val docs = t(s, dir, "documents")
+    val rows = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q70-wh").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/t")
+    table.append(rows.repartitionByRange(10, $"repo"))
+    val v1 = table.currentVersion
+
+    val upd = graft.lake.MorUpdate.updateWhereMor(table,
+      Array[org.apache.spark.sql.sources.Filter](EqualTo("repo", "repo_4")),
+      Map("lang" -> lit("upd")))
+    assert(upd.updatedRows > 0, "the MoR update must match rows")
+    assert(table.currentVersion == v1 + 1, "one snapshot per MoR update")
+
+    val source = rows.filter($"repo" === "repo_1" && $"path" < "f/5")
+      .withColumn("content", concat(lit("merged "), $"content"))
+      .unionByName(rows.filter($"repo" === "repo_9" && $"path" < "f/3")
+        .withColumn("path", concat(lit("new/"), $"path")))
+    val mrg = graft.lake.MorUpdate.mergeIntoMor(table, source)
+    assert(mrg.updated > 0 && mrg.inserted > 0, "merge must update and insert")
+    assert(table.currentVersion == v1 + 2, "one snapshot per MoR merge")
+    // no pre-existing data file was rewritten by either row change
+    assert(table.currentSnapshot.exists(table.hasPosDeletes))
+
+    s.read.format("graft").load(table.location)
+      .select($"repo", $"path", $"commit", $"lang",
+        sha2($"content", 256).as("content_sha"))
+      .orderBy($"repo", $"path")
+  }
+
   private def q69PosDelete(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.sources.{And, EqualTo, LessThan, Or}
@@ -1645,6 +1686,7 @@ object SparkEntry {
     "q67_branches"       -> (q67Branches(_, _)),
     "q68_occ_commits"    -> (q68OccCommits(_, _)),
     "q69_pos_delete"     -> (q69PosDelete(_, _)),
+    "q70_mor_update"     -> (q70MorUpdate(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1868,6 +1910,23 @@ object SparkEntry {
     // post-MoR-delete row set, recomputed relationally: survivors of the
     // delete predicate at commit c0 plus the re-inserted slice at c1 (the
     // sequence rule keeps re-inserts alive through the older delete)
+    // q70: the final state after the MoR UPDATE (repo_4's lang flipped) and
+    // the MoR MERGE (repo_1's early slice takes the merged content, repo_9's
+    // early slice re-inserted under new/ paths)
+    "q70_mor_update" ->
+      """WITH base AS (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang, text
+        |  FROM documents)
+        |SELECT repo, path, 'c0' AS "commit",
+        |  CASE WHEN repo = 'repo_4' THEN 'upd' ELSE lang END AS lang,
+        |  CASE WHEN repo = 'repo_1' AND path < 'f/5'
+        |       THEN sha256('merged ' || text) ELSE sha256(text) END AS content_sha
+        |FROM base
+        |UNION ALL
+        |SELECT repo, 'new/' || path, 'c0', lang, sha256(text)
+        |FROM base WHERE repo = 'repo_9' AND path < 'f/3'
+        |ORDER BY repo, path""".stripMargin,
     // q69: the positional-delete lifecycle's final row set — the deleted
     // slices gone, the re-inserted c1 slice alive (addresses bind to
     // physical files, so the re-insert needs no sequence rule)

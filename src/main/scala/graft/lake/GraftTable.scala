@@ -957,6 +957,27 @@ class GraftTable(val spark: SparkSession, val location: String,
       basis.map(_.fileCount).getOrElse(0L))
   }
 
+  /** Commit a merge-on-read ROW CHANGE (MorUpdate): the new rows' add shard
+    * and the old addresses' posdel shard land in ONE snapshot — readers see
+    * the old rows or the new rows, never both, never neither. Counts stay
+    * arithmetic: +appended −changed. Conflicts when the head moved past the
+    * basis (the addresses were planned against its physical layout). */
+  private[lake] def commitMorRowChange(basis: Snapshot, added: Seq[ManifestEntry],
+                                       posShardRel: Option[String], changedRows: Long,
+                                       operation: String): Snapshot = {
+    val uid = UUID.randomUUID().toString.take(12)
+    var (shards, seq) = parentShards(Some(basis))
+    if (added.nonEmpty) {
+      val addRel = s"meta/manifest-add-$uid.parquet"
+      MetaIO.writeEntries(io, addRel, added)
+      seq += 1; shards :+= ManifestShard(seq, "add", addRel)
+    }
+    posShardRel.foreach { r => seq += 1; shards :+= ManifestShard(seq, "posdel", r) }
+    val live = basis.recordCount + added.map(_.record_count).sum - changedRows
+    val files = if (basis.fileCount < 0) -1L else basis.fileCount + added.size
+    publish(Some(basis), shards, operation, live, files)
+  }
+
   /** commit a delete-shard compaction (MorDelete.compactDeleteShards): the
     * same live rows behind a bounded shard list — metadata-only, counts
     * unchanged, conflicts if the head moved past the basis. */

@@ -1,0 +1,153 @@
+package graft
+
+import graft.lake.{GraftTable, Maintenance, MorDelete, MorUpdate}
+import graft.synth.SourceFiles
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
+import java.nio.file.Files
+
+/** MERGE-ON-READ UPDATE and MERGE (the Iceberg-v2 write path): a row change
+  * = position-delete the old addresses + append the new rows, in ONE
+  * snapshot — no target file rewritten, write bytes ∝ matches, reads apply
+  * the pending-delete probe until a later materialization. */
+class MorUpdateSpec extends SparkTestBase {
+
+  private def freshTable(prefix: String): GraftTable =
+    new GraftTable(spark, Files.createTempDirectory(prefix).toString)
+
+  private def synthDf(n: Int, seed: Long = 42) = {
+    import spark.implicits._
+    SourceFiles.generate(n, seed).toDF()
+  }
+
+  private def keyset(df: DataFrame): Set[(String, String, String, String)] = {
+    import spark.implicits._
+    df.select(col("repo"), col("path"), col("commit"), sha2(col("content"), 256))
+      .as[(String, String, String, String)].collect().toSet
+  }
+
+  test("MoR update: one snapshot, no target file rewritten, values flipped") {
+    val t = freshTable("graft-moru")
+    val df = synthDf(300)
+    t.append(df.repartition(6))
+    val filesBefore = t.manifest(t.currentSnapshot.get)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    val repo = df.select("repo").head().getString(0)
+    val expect = df.filter(col("repo") === repo).count()
+    val v1 = t.currentVersion
+
+    val r = MorUpdate.updateWhereMor(t,
+      Array[org.apache.spark.sql.sources.Filter](EqualTo("repo", repo)),
+      Map("lang" -> lit("flipped")))
+    assert(r.updatedRows == expect)
+
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "mor-update")
+    assert(t.currentVersion == v1 + 1, "exactly ONE snapshot for the whole update")
+    assert(snap.recordCount == 300, "an update changes no live count")
+    assert(t.hasPosDeletes(snap))
+    // every pre-update file is still listed (only NEW files were added)
+    val filesAfter = t.manifest(snap)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(filesBefore.subsetOf(filesAfter))
+    assert((filesAfter -- filesBefore).size == r.newFiles)
+    // values flipped exactly on the matched slice
+    assert(t.scan().filter(col("lang") === "flipped").count() == expect)
+    assert(t.scan().filter(col("repo") === repo && col("lang") =!= "flipped").count() == 0)
+    assert(t.scan().count() == 300)
+    // time travel still reads the OLD values
+    val old = spark.read.format("graft").option("snapshot", v1).load(t.location)
+    assert(old.filter(col("lang") === "flipped").count() == 0)
+    assert(old.count() == 300)
+    // the connector agrees
+    assert(spark.read.format("graft").load(t.location)
+      .filter(col("lang") === "flipped").count() == expect)
+  }
+
+  test("MoR update matching nothing commits nothing") {
+    val t = freshTable("graft-moru-none")
+    t.append(synthDf(50))
+    val v = t.currentVersion
+    val r = MorUpdate.updateWhereMor(t, col("repo") === "no-such-repo",
+      Map("lang" -> lit("x")))
+    assert(r.updatedRows == 0)
+    assert(t.currentVersion == v)
+  }
+
+  test("MoR update materializes cleanly and survives rewrite guards") {
+    val t = freshTable("graft-moru-apply")
+    val df = synthDf(200)
+    t.append(df.repartition(4))
+    MorUpdate.updateWhereMor(t, length(col("content")) % 3 === 0,
+      Map("commit" -> lit("c-upd")))
+    val expected = keyset(t.scan())
+    val rows = t.scan().count()
+    // compaction auto-materializes the pending addresses first
+    Maintenance.compact(t, "moru", smallBytes = Long.MaxValue)
+    assert(!t.hasPendingDeletes)
+    assert(keyset(t.scan()) == expected)
+    assert(t.scan().count() == rows)
+  }
+
+  test("MoR update conflicts when the head moves between plan and commit") {
+    val t = freshTable("graft-moru-occ")
+    t.append(synthDf(100))
+    // plan against the current head, then interleave a foreign append:
+    // updateWhereMor re-reads the head internally, so simulate by racing —
+    // claim the edge as a ghost writer and expect the conflict
+    assert(t.claimEdge("main", t.currentVersion))
+    intercept[graft.lake.CommitConflictException] {
+      MorUpdate.updateWhereMor(t, lit(true), Map("lang" -> lit("x")))
+    }
+    assert(t.scan().filter(col("lang") === "x").count() == 0)
+  }
+
+  test("MoR merge: matched keys take source values, new keys insert, one snapshot") {
+    val t = freshTable("graft-morm")
+    val df = synthDf(200)
+    t.append(df.repartition(4))
+    val v1 = t.currentVersion
+    import spark.implicits._
+    // source: 30 updated copies of existing keys + 20 brand-new keys
+    val updates = df.limit(30)
+      .withColumn("content", concat(lit("merged "), col("content")))
+    val fresh = synthDf(20, seed = 99)
+      .withColumn("path", concat(lit("new/"), col("path")))
+    val source = updates.unionByName(fresh)
+
+    val r = MorUpdate.mergeIntoMor(t, source)
+    assert(r.updated == 30 && r.inserted == 20)
+    val snap = t.currentSnapshot.get
+    assert(snap.operation == "mor-merge")
+    assert(t.currentVersion == v1 + 1)
+    assert(snap.recordCount == 220)
+    assert(t.scan().count() == 220)
+    // matched keys carry the source's content
+    assert(t.scan().filter(col("content").startsWith("merged ")).count() == 30)
+    val expected = keyset(df.except(df.limit(30)).unionByName(updates).unionByName(fresh))
+    assert(keyset(t.scan()) == expected)
+    // materialization preserves the merged row set
+    MorDelete.applyDeletes(t)
+    assert(keyset(t.scan()) == expected)
+  }
+
+  test("MoR merge into an empty table is a plain append") {
+    val t = freshTable("graft-morm-empty")
+    val r = MorUpdate.mergeIntoMor(t, synthDf(40))
+    assert(r.inserted == 40 && r.updated == 0)
+    assert(t.currentSnapshot.get.operation == "append")
+    assert(t.scan().count() == 40)
+  }
+
+  test("incremental and changelog reads refuse to cross a MoR row change") {
+    val t = freshTable("graft-moru-cdc")
+    t.append(synthDf(80))
+    val v1 = t.currentVersion
+    MorUpdate.updateWhereMor(t, lit(true), Map("lang" -> lit("x")))
+    val e1 = intercept[IllegalArgumentException] { t.incrementalScan(v1).count() }
+    assert(e1.getMessage.contains("full refresh required"))
+    val e2 = intercept[IllegalArgumentException] { t.changelogScan(v1).count() }
+    assert(e2.getMessage.contains("full refresh required"))
+  }
+}
