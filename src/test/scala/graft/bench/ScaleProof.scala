@@ -36,7 +36,7 @@ object ScaleProof {
     // lake delete lifecycles: table build + MoR retraction + connector read
     // must all scale linearly in the corpus (the delete shard volume is the
     // matched-row count; application is one hash anti-join / probe pass)
-    "q58_mor_delete", "q69_pos_delete")
+    "q58_mor_delete", "q69_pos_delete", "q70_mor_update")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
