@@ -1062,6 +1062,51 @@ object SparkEntry {
       .orderBy($"repo", $"path")
   }
 
+  private def q71SqlMorDml(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // SQL DML through the DELTA row-level path under the oracle gate: with
+    // dml-mode = merge-on-read (set via CALL), plain SQL UPDATE / DELETE /
+    // MERGE plan as Spark WriteDelta — the scan serves (_file, _pos) row
+    // ids, deletes land as position-delete address shards, inserts as data
+    // files, ONE snapshot per statement, no target file rewritten. Three
+    // stacked statements with no materialization in between; DuckDB
+    // recomputes the final state with CASE/anti-join/UNION.
+    val docs = t(s, dir, "documents")
+    val rows = docs.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q71").toString
+    val cat = "g71_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    s.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val table = new graft.lake.GraftTable(s, s"$wh/ns/t")
+    table.append(rows.repartitionByRange(10, $"repo"))
+    val v1 = table.currentVersion
+    s.sql(s"CALL $cat.system.set_dml_mode(`table` => 'ns.t', mode => 'merge-on-read')")
+
+    s.sql(s"UPDATE $cat.ns.t SET lang = 'upd' WHERE repo = 'repo_5'")
+    s.sql(s"DELETE FROM $cat.ns.t WHERE repo = 'repo_8' AND path < 'f/5'")
+    rows.filter($"repo" === "repo_3" && $"path" < "f/3")
+      .withColumn("content", concat(lit("merged "), $"content"))
+      .withColumn("z", lit(0L))
+      .createOrReplaceTempView("q71_src")
+    s.sql(
+      s"""MERGE INTO $cat.ns.t t USING q71_src s
+         |ON t.repo = s.repo AND t.path = s.path AND t.commit = s.commit
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+
+    // three statements = exactly three snapshots, none rewriting a file
+    // (the translatable DELETE routes through the positional-delete fast
+    // path — metadata-only; untranslatable predicates go through the
+    // delta plan as sql-mor-delete, covered by SqlMorDmlSpec)
+    assert(table.currentVersion == v1 + 3, "one snapshot per SQL statement")
+    val ops = table.listSnapshots().map(_.operation).toSet
+    assert(Set("sql-mor-update", "mor-posdelete", "sql-mor-merge").subsetOf(ops))
+    s.sql(s"SELECT repo, path, commit, lang, sha2(content, 256) AS content_sha " +
+        s"FROM $cat.ns.t ORDER BY repo, path")
+  }
+
   private def q70MorUpdate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.sources.EqualTo
@@ -1687,6 +1732,7 @@ object SparkEntry {
     "q68_occ_commits"    -> (q68OccCommits(_, _)),
     "q69_pos_delete"     -> (q69PosDelete(_, _)),
     "q70_mor_update"     -> (q70MorUpdate(_, _)),
+    "q71_sql_mor_dml"    -> (q71SqlMorDml(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -1910,6 +1956,21 @@ object SparkEntry {
     // post-MoR-delete row set, recomputed relationally: survivors of the
     // delete predicate at commit c0 plus the re-inserted slice at c1 (the
     // sequence rule keeps re-inserts alive through the older delete)
+    // q71: the final state after three stacked SQL MoR statements —
+    // repo_5's lang flipped, repo_8's early slice deleted, repo_3's early
+    // slice content replaced by the merge
+    "q71_sql_mor_dml" ->
+      """WITH base AS (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |    'f/' || doc_id::VARCHAR || '.txt' AS path, lang, text
+        |  FROM documents)
+        |SELECT repo, path, 'c0' AS "commit",
+        |  CASE WHEN repo = 'repo_5' THEN 'upd' ELSE lang END AS lang,
+        |  CASE WHEN repo = 'repo_3' AND path < 'f/3'
+        |       THEN sha256('merged ' || text) ELSE sha256(text) END AS content_sha
+        |FROM base
+        |WHERE NOT (repo = 'repo_8' AND path < 'f/5')
+        |ORDER BY repo, path""".stripMargin,
     // q70: the final state after the MoR UPDATE (repo_4's lang flipped) and
     // the MoR MERGE (repo_1's early slice takes the merged content, repo_9's
     // early slice re-inserted under new/ paths)

@@ -127,19 +127,25 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
   with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** `_file` metadata column (SELECT _file FROM t works like Iceberg's) —
-    * also what SQL MERGE/UPDATE's runtime group filter collects. */
+  /** `_file` / `_pos` metadata columns (SELECT _file, _pos FROM t works
+    * like Iceberg's) — `_file` is also what SQL MERGE/UPDATE's runtime
+    * group filter collects, and (_file, _pos) is the delta path's row id. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(GraftFileColumn)
+    Array(GraftFileColumn, GraftPosColumn)
 
-  /** SQL MERGE INTO / UPDATE (and non-filter DELETE) as group-based
-    * copy-on-write row-level operations — see GraftRowLevel.scala. */
+  /** SQL MERGE INTO / UPDATE (and non-filter DELETE) as row-level
+    * operations — group-based copy-on-write by default, delta-based
+    * merge-on-read when the table's dml-mode property says so (see
+    * GraftRowLevel.scala / GraftTable.dmlMode). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(snapshot.isEmpty, "cannot run DML through a time-travel-pinned read")
     require(fromSnapshot.isEmpty, "cannot run DML through an incremental read")
-    () => new GraftRowLevelOperation(location, info.command)
+    val mor = new GraftTable(SparkSession.active, location).dmlMode == "merge-on-read"
+    () =>
+      if (mor) new GraftDeltaOperation(location, info.command)
+      else new GraftRowLevelOperation(location, info.command)
   }
   override def name(): String = s"graft.`$location`"
   // resolved once per table handle; a time-travel-pinned handle reports the
@@ -169,7 +175,13 @@ class GraftSparkTable(location: String, snapshot: Option[Long] = None,
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     require(snapshot.isEmpty, "cannot DELETE through a time-travel-pinned read")
-    Delete.deleteWhere(new GraftTable(SparkSession.active, location), filters)
+    val t = new GraftTable(SparkSession.active, location)
+    // the dml-mode property governs ALL SQL row-level DML: merge-on-read
+    // commits the matched addresses (no file rewritten, stacks on pending
+    // deletes without materializing); copy-on-write keeps the two-tier
+    // metadata-drop / rewrite split
+    if (t.dmlMode == "merge-on-read") MorDelete.deleteWherePositional(t, filters)
+    else Delete.deleteWhere(t, filters)
     ()
   }
 
@@ -978,8 +990,10 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType)
       // no requested column exists in this file: all-null constant vectors
       // carrying the footer's row count (O(1) memory regardless of rows)
       val n = fileRows.toInt
-      return new ColumnarBatch(
+      val b = new ColumnarBatch(
         columns.indices.map(i => missingVec(i, n)).toArray, n)
+      posOffset += n
+      return b
     }
     val inner = reader.resultBatch()
     if (allPresent) inner
@@ -994,14 +1008,26 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType)
         }
         i += 1
       }
+      posOffset += n
       new ColumnarBatch(vecs, n)
     }
   }
 
+  // running file-ordinal offset for the `_pos` metadata column — the
+  // vectorized reader never skips rows (no parquet filter pushed), so batch
+  // row counts sum to exact file positions
+  private var posOffset = 0L
+
   /** a requested column absent from the file's footer: `_file` is the
-    * reader's own path (metadata column), anything else reads as null
-    * (schema evolution). */
+    * reader's own path, `_pos` the row's file ordinal (metadata columns),
+    * anything else reads as null (schema evolution). */
   private def missingVec(fieldIdx: Int, n: Int): ColumnVector = {
+    if (columns(fieldIdx) == "_pos") {
+      val v = new org.apache.spark.sql.execution.vectorized.OnHeapColumnVector(n, LongType)
+      var i = 0
+      while (i < n) { v.putLong(i, posOffset + i); i += 1 }
+      return v
+    }
     val v = new ConstantColumnVector(n, required.fields(fieldIdx).dataType)
     if (columns(fieldIdx) == "_file")
       v.setUtf8String(UTF8String.fromString(absPath))
@@ -1050,8 +1076,11 @@ class GraftPartitionReader(absPath: String, columns: Array[String],
     ParquetReader.builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(absPath))
       .withConf(conf).build()
   private var cur: Group = _
+  // `_pos` metadata column: this reader walks the file sequentially with
+  // nothing skipped, so its row count IS the file ordinal
+  private var ordinal = -1L
 
-  override def next(): Boolean = { cur = reader.read(); cur != null }
+  override def next(): Boolean = { cur = reader.read(); ordinal += 1; cur != null }
 
   // `_file` metadata column: the reader knows its own file
   private val filePathUtf8 = UTF8String.fromString(absPath)
@@ -1062,6 +1091,7 @@ class GraftPartitionReader(absPath: String, columns: Array[String],
     while (i < columns.length) {
       val c = columns(i)
       if (c == "_file") { row.update(i, filePathUtf8); i += 1 }
+      else if (c == "_pos") { row.setLong(i, ordinal); i += 1 }
       else {
       val present = cur.getType.containsField(c) &&
         cur.getFieldRepetitionCount(cur.getType.getFieldIndex(c)) > 0

@@ -146,6 +146,16 @@ object GraftProcedures {
       Seq("table" -> S, "older_than_ms" -> L),
       out("reaped_claims" -> I),
       (t, in) => Seq[Any](t.repairRefs(in.getLong(1)).size))),
+    // how SQL UPDATE/MERGE/non-filter-DELETE execute: copy-on-write
+    // (rewrite matched files now) or merge-on-read (position-delete +
+    // append, one snapshot, materialize later)
+    "set_dml_mode" -> ((
+      Seq("table" -> S, "mode" -> S),
+      out("mode" -> S),
+      (t, in) => {
+        val m = in.getUTF8String(1).toString
+        t.setDmlMode(m); Seq[Any](m)
+      })),
     // merge pending MoR delete shards (k eqdel → 1, k posdel → 1) so reads
     // stop opening one shard per historical delete commit
     "compact_delete_shards" -> ((

@@ -44,6 +44,13 @@ object GraftFileColumn extends MetadataColumn {
   override def comment(): String = "absolute path of the data file holding the row"
 }
 
+object GraftPosColumn extends MetadataColumn {
+  override def name(): String = "_pos"
+  override def dataType(): DataType = LongType
+  override def isNullable: Boolean = false
+  override def comment(): String = "row ordinal within its data file (file order)"
+}
+
 class GraftRowLevelOperation(location: String,
                              cmd: RowLevelOperation.Command)
   extends RowLevelOperation {
@@ -134,20 +141,34 @@ class GraftCowScan(location: String, op: GraftRowLevelOperation,
         op.scannedFiles = Seq.empty; op.basis = None; Array.empty[InputPartition]
       case Some(s) =>
         op.basis = Some(s)
-        require(!table.hasEqDeletes(s),
+        val delta = op.isInstanceOf[GraftDeltaOperation]
+        // copy-on-write: EITHER pending flavor resurrects under the group
+        // rewrite — deleted rows would be carried into the rewritten files
+        // (equality) or the rewritten files' new paths would orphan the
+        // pending addresses (positional). The DELTA path instead APPLIES
+        // pending deletes per task (same filtering readers as the public
+        // scan), so stacked MoR DML needs no materialization in between.
+        if (!delta) require(!table.hasMorDeletes(s),
           "pending merge-on-read deletes: a copy-on-write SQL MERGE/UPDATE " +
           "would resurrect logically deleted rows — run MorDelete.applyDeletes first")
-        val kept = BloomIndex.prunedManifest(table, table.manifest(s), pushed)
+        val eqdels =
+          if (delta) table.eqDeleteShards(s).map(sh => table.io.abs(sh.path).toString)
+          else Nil
+        val posdels =
+          if (delta) table.posDeleteShards(s).map(sh => table.io.abs(sh.path).toString)
+          else Nil
+        val kept = BloomIndex.prunedManifest(table, table.manifestWithSeq(s), pushed)
           .filter(GraftScan.manifestPredicate(pushed))
-          .select("file_path", "record_count")
-          .as[(String, Long)].collect()
+          .select($"file_path", $"record_count", $"add_seq")
+          .as[(String, Long, Long)].collect()
         val narrowed = runtimeFiles match {
           case Some(abs) => kept.filter(k => abs.contains(table.io.abs(k._1).toString))
           case None => kept
         }
-        op.scannedFiles = narrowed.toSeq
-        narrowed.map { case (rel, _) =>
-          GraftInputPartition(table.io.abs(rel).toString).asInstanceOf[InputPartition]
+        op.scannedFiles = narrowed.toSeq.map(k => (k._1, k._2))
+        narrowed.map { case (rel, _, seq) =>
+          GraftInputPartition(table.io.abs(rel).toString, seq, eqdels, posdels)
+            .asInstanceOf[InputPartition]
         }
     }
     planned = out
@@ -328,5 +349,169 @@ object GraftCowDataWriter {
   def writable(dt: DataType): Boolean = dt match {
     case IntegerType | LongType | DoubleType | FloatType | BooleanType | StringType => true
     case _ => false
+  }
+}
+
+// ---- DELTA-based row-level operations (SQL merge-on-read DML) -------------
+//
+// Selected by the table's dml-mode property (GraftTable.dmlMode =
+// "merge-on-read"): SQL UPDATE / MERGE / non-filter DELETE plan as Spark's
+// WriteDelta instead of ReplaceData — the scan serves each row's physical
+// address through the (_file, _pos) row id, the writer turns deletes into
+// position-delete address shards and inserts into ordinary data files, and
+// the commit lands BOTH in one snapshot (GraftTable.commitMorRowChange).
+// No target file is rewritten; write bytes ∝ matched + inserted rows. This
+// is the same split Iceberg makes between its copy-on-write and
+// position-delta SQL paths, on the same Spark connector interfaces.
+
+class GraftDeltaOperation(location: String, cmd: RowLevelOperation.Command)
+  extends GraftRowLevelOperation(location, cmd) with SupportsDelta {
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  /** updates arrive as delete(old address) + insert(new row) — the position
+    * path cannot update in place (the old file is immutable). */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(location, GraftDeltaOperation.this, info.schema())
+    }
+
+  override def description(): String = s"GraftDelta[$cmd]"
+}
+
+/** one task's delta output: new data files, position-delete address files,
+  * and the count of deleted addresses. */
+case class GraftDeltaCommit(dataFiles: Seq[String], posFiles: Seq[String],
+                            deleted: Long) extends WriterCommitMessage
+
+class GraftDeltaWrite(location: String, op: GraftDeltaOperation,
+                      schema: StructType)
+  extends DeltaWrite with DeltaBatchWrite {
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val t = new GraftTable(SparkSession.active, location)
+    val extras = t.currentSnapshot.toSeq.flatMap(t.extraFields)
+    extras.foreach { f =>
+      require(GraftCowDataWriter.writable(f.dataType),
+        s"SQL ${op.command()} cannot write evolved column ${f.name}: ${f.dataType}")
+    }
+    new GraftDeltaWriterFactory(location,
+      s"b-mor-${UUID.randomUUID().toString.take(8)}", schema, extras)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val table = new GraftTable(spark, location)
+    val ms = messages.collect { case m: GraftDeltaCommit => m }
+    val dataFiles = ms.flatMap(_.dataFiles).toSeq
+    val posFiles = ms.flatMap(_.posFiles).toSeq
+    val deleted = ms.map(_.deleted).sum
+    if (dataFiles.isEmpty && posFiles.isEmpty) return
+    val basis = op.basis.getOrElse(
+      throw new IllegalStateException("delta write without a planned scan basis"))
+    val added =
+      if (dataFiles.isEmpty) Seq.empty else table.statsForFiles(dataFiles, "sql-mor")
+    table.commitMorRowChange(basis, added, posFiles, deleted,
+      s"sql-mor-${op.command().toString.toLowerCase}")
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val table = new GraftTable(SparkSession.active, location)
+    messages.collect { case m: GraftDeltaCommit => m.dataFiles ++ m.posFiles }
+      .flatten.foreach(table.io.delete)
+  }
+
+  override def description(): String = s"GraftDeltaWrite[${op.command()}]"
+}
+
+class GraftDeltaWriterFactory(location: String, batch: String,
+                              schema: StructType, extras: Seq[StructField])
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
+    val suffix = f"part-$partitionId%05d-$taskId-" + UUID.randomUUID().toString.take(8)
+    new GraftDeltaDataWriter(location, batch, suffix, schema, extras)
+  }
+}
+
+/** Task-side delta writer: inserts stream into an ordinary data-file writer
+  * (the CoW writer, reused — z recomputed, evolved extras typed through);
+  * deletes stream into a position-delete address file under meta/ — both
+  * uid-named, referenced only via the commit message, so zombie attempts
+  * are never swept into the table. */
+class GraftDeltaDataWriter(location: String, batch: String, suffix: String,
+                           inputSchema: StructType, extras: Seq[StructField])
+  extends DeltaWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.ParquetWriter
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+  import org.apache.parquet.hadoop.metadata.CompressionCodecName
+  import org.apache.parquet.hadoop.util.HadoopOutputFile
+  import org.apache.parquet.io.api.Binary
+  import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+  import org.apache.hadoop.conf.Configuration
+  import org.apache.hadoop.fs.{Path => HPath}
+
+  private val dataRel = s"data/$batch/$suffix.parquet"
+  private val posRel = s"meta/manifest-posdel-$batch-$suffix.parquet"
+  private val inserts = new GraftCowDataWriter(location, dataRel, inputSchema, extras)
+
+  private val posType = Types.buildMessage()
+    .addField(Types.optional(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType()).named("file_path"))
+    .addField(Types.optional(PrimitiveTypeName.INT64).named("pos"))
+    .named("spark_schema")
+  private val posFactory = new SimpleGroupFactory(posType)
+  private val conf = new Configuration()
+  private val posAbs = new HPath(new HPath(location), posRel)
+  private var posWriter: ParquetWriter[org.apache.parquet.example.data.Group] = _
+  private var deleted = 0L
+  private var wroteData = false
+
+  override def insert(row: InternalRow): Unit = { wroteData = true; inserts.write(row) }
+
+  /** id row = the operation's rowId() projection: (_file abs path, _pos). */
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    if (posWriter == null)
+      posWriter = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(posAbs, conf))
+        .withType(posType).withConf(conf)
+        .withCompressionCodec(CompressionCodecName.SNAPPY)
+        .build()
+    val g = posFactory.newGroup()
+    g.add("file_path", Binary.fromString(
+      GraftPosDeletes.relOf(id.getUTF8String(0).toString)))
+    g.add("pos", id.getLong(1))
+    posWriter.write(g)
+    deleted += 1L
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow, row: InternalRow): Unit =
+    throw new UnsupportedOperationException(
+      "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = inserts.commit() match {
+      case GraftStreamCommit(ps) => ps
+      case _ => Seq.empty
+    }
+    if (posWriter != null) { posWriter.close(); posWriter = null }
+    GraftDeltaCommit(dataMsg, if (deleted > 0) Seq(posRel) else Seq.empty, deleted)
+  }
+
+  override def abort(): Unit = {
+    inserts.abort()
+    if (posWriter != null) { posWriter.close(); posWriter = null }
+    if (deleted > 0) posAbs.getFileSystem(conf).delete(posAbs, false)
+  }
+
+  override def close(): Unit = {
+    inserts.close()
+    if (posWriter != null) { posWriter.close(); posWriter = null }
   }
 }

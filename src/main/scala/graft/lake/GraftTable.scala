@@ -963,7 +963,7 @@ class GraftTable(val spark: SparkSession, val location: String,
     * arithmetic: +appended −changed. Conflicts when the head moved past the
     * basis (the addresses were planned against its physical layout). */
   private[lake] def commitMorRowChange(basis: Snapshot, added: Seq[ManifestEntry],
-                                       posShardRel: Option[String], changedRows: Long,
+                                       posShardRels: Seq[String], changedRows: Long,
                                        operation: String): Snapshot = {
     val uid = UUID.randomUUID().toString.take(12)
     var (shards, seq) = parentShards(Some(basis))
@@ -972,10 +972,28 @@ class GraftTable(val spark: SparkSession, val location: String,
       MetaIO.writeEntries(io, addRel, added)
       seq += 1; shards :+= ManifestShard(seq, "add", addRel)
     }
-    posShardRel.foreach { r => seq += 1; shards :+= ManifestShard(seq, "posdel", r) }
+    posShardRels.foreach { r => seq += 1; shards :+= ManifestShard(seq, "posdel", r) }
     val live = basis.recordCount + added.map(_.record_count).sum - changedRows
     val files = if (basis.fileCount < 0) -1L else basis.fileCount + added.size
     publish(Some(basis), shards, operation, live, files)
+  }
+
+  // ---- DML strategy property --------------------------------------------
+
+  /** How SQL row-level DML (UPDATE / MERGE / non-filter DELETE) executes:
+    * "copy-on-write" (default — rewrite matched files now) or
+    * "merge-on-read" (position-delete old addresses + append new rows, one
+    * snapshot, materialize later) — the Iceberg write.update.mode /
+    * write.merge.mode table property re-expressed. */
+  def dmlMode: String =
+    if (io.exists("meta/dml-mode.text")) io.readString("meta/dml-mode.text").trim
+    else "copy-on-write"
+
+  def setDmlMode(mode: String): Unit = {
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"unknown dml mode $mode (copy-on-write | merge-on-read)")
+    init()
+    io.writeAtomic("meta/dml-mode.text", mode)
   }
 
   /** commit a delete-shard compaction (MorDelete.compactDeleteShards): the
@@ -1448,7 +1466,7 @@ class GraftTable(val spark: SparkSession, val location: String,
   def stagedScan(id: String): DataFrame = {
     val paths = spark.read.schema(GraftTable.manifestSchema)
       .parquet(io.abs(s"meta/staged-add-$id.parquet").toString)
-      .select($"file_path").as[String].collect()
+      .select($"file_path").as[String].collect().toSeq
     readFiles(paths)
   }
 

@@ -91,7 +91,7 @@ object MorUpdate {
         return MorUpdateResult(0, 0)
       }
       val posRel = writeAddresses(table, matching)
-      table.commitMorRowChange(basis, added, posRel, updatedRows, "mor-update")
+      table.commitMorRowChange(basis, added, posRel.toSeq, updatedRows, "mor-update")
       MorUpdateResult(updatedRows, added.size)
     } finally matching.unpersist()
   }
@@ -138,7 +138,7 @@ object MorUpdate {
         val updatedRows = matched.count()
         val insertedRows = added.map(_.record_count).sum - updates.count()
         if (added.isEmpty && posRel.isEmpty) return MorMergeResult(0, 0, 0)
-        table.commitMorRowChange(snap, added, posRel, updatedRows, "mor-merge")
+        table.commitMorRowChange(snap, added, posRel.toSeq, updatedRows, "mor-merge")
         MorMergeResult(updatedRows, insertedRows, added.size)
       } finally matched.unpersist()
     } finally src.unpersist()
