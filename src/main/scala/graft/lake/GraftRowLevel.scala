@@ -413,12 +413,20 @@ class GraftDeltaWrite(location: String, op: GraftDeltaOperation,
     val posFiles = ms.flatMap(_.posFiles).toSeq
     val deleted = ms.map(_.deleted).sum
     if (dataFiles.isEmpty && posFiles.isEmpty) return
-    val basis = op.basis.getOrElse(
-      throw new IllegalStateException("delta write without a planned scan basis"))
     val added =
       if (dataFiles.isEmpty) Seq.empty else table.statsForFiles(dataFiles, "sql-mor")
-    table.commitMorRowChange(basis, added, posFiles, deleted,
-      s"sql-mor-${op.command().toString.toLowerCase}")
+    op.basis match {
+      case Some(basis) =>
+        table.commitMorRowChange(basis, added, posFiles, deleted,
+          s"sql-mor-${op.command().toString.toLowerCase}")
+      case None =>
+        // no snapshot existed when the scan planned (MERGE INTO an empty
+        // table): there was nothing to address, so this is a pure insert
+        require(deleted == 0L && posFiles.isEmpty,
+          "delta deletes without a planned scan basis")
+        table.commit(added, Set.empty, "append")
+    }
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -472,9 +480,8 @@ class GraftDeltaDataWriter(location: String, batch: String, suffix: String,
   private val posAbs = new HPath(new HPath(location), posRel)
   private var posWriter: ParquetWriter[org.apache.parquet.example.data.Group] = _
   private var deleted = 0L
-  private var wroteData = false
 
-  override def insert(row: InternalRow): Unit = { wroteData = true; inserts.write(row) }
+  override def insert(row: InternalRow): Unit = inserts.write(row)
 
   /** id row = the operation's rowId() projection: (_file abs path, _pos). */
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {

@@ -191,8 +191,10 @@ class GraftTable(val spark: SparkSession, val location: String,
     // written post-publish, possibly out of order); that is safe because
     // version CLAIMS, not this estimate, guarantee non-reuse —
     // allocateVersion just bumps past any already-claimed id.
-    if (hwm > 0L)
-      return Seq(hwm, mainVersion, branches.values.maxOption.getOrElse(0L)).max + 1
+    // hwm + main hint only — no branches() call, which would LIST meta and
+    // read every head file per commit (heads are published before the hwm
+    // write, so a lag is only the racing-writer dip claims already absorb)
+    if (hwm > 0L) return Seq(hwm, mainVersion).max + 1
     // no hwm yet (table branched before one was ever written): one
     // recovery listing seeds it
     val listed = io.list("meta").flatMap { n =>
@@ -370,8 +372,11 @@ class GraftTable(val spark: SparkSession, val location: String,
     * `_metadata.file_path` by splitting on the table's own data/ directory,
     * so it is robust to any location prefix (URI scheme, mounts). */
   private[lake] def relFileCol: org.apache.spark.sql.Column =
-    concat(lit("data/"),
-      element_at(split(col("_metadata.file_path"), "/data/"), -1))
+    // greedy ^.*/data/ anchors on the LAST occurrence — the same semantics
+    // as GraftPosDeletes.relOf's lastIndexOf and LakeIO.relativize; a
+    // left-to-right split would mis-relativize a table LOCATION that itself
+    // ends in /data (".../data/data/b-x/f.parquet")
+    regexp_replace(col("_metadata.file_path"), "^.*/data/", "data/")
 
   /** readFilesWithSeq plus each row's physical address: `_file` (manifest-
     * relative path) and `_pos` (row ordinal in file order, Spark's
@@ -598,7 +603,17 @@ class GraftTable(val spark: SparkSession, val location: String,
       case (n, ref, pv) if heads.get(ref).contains(pv) && !extended((ref, pv)) => n
     }
     stale.foreach(n => io.delete(s"meta/$n"))
-    stale
+    // a writer that died between createBranch's exclusive create and the
+    // head write leaves an EMPTY head file: unreadable as a branch, yet
+    // blocking re-creation of the name — reap those too
+    val emptyHeads = io.listFileStatus("meta").collect {
+      case (n, mtime, bytes)
+        if n.startsWith("head-") && n.endsWith(".text") &&
+           mtime < olderThanMillis && bytes == 0L &&
+           io.readString(s"meta/$n").trim.isEmpty => n
+    }
+    emptyHeads.foreach(n => io.delete(s"meta/$n"))
+    stale ++ emptyHeads
   }
 
   // ---- schema evolution (Iceberg-style add/drop column, metadata-only) --
@@ -1267,8 +1282,9 @@ class GraftTable(val spark: SparkSession, val location: String,
       s.operation match {
         case "append" => inserts ::= (v, addedShardPaths(s))
         case op if op.startsWith("publish-wap") => inserts ::= (v, addedShardPaths(s))
-        case "mor-posdelete" =>
-          // the posdel shard THIS commit added (shard-set diff, name-agnostic)
+        case "mor-posdelete" | "sql-mor-delete" =>
+          // a pure positional delete (the SQL delta DELETE commits the same
+          // shape): the posdel shard THIS commit added (shard-set diff)
           val parentPos = snapshot(s.parent)
             .map(p => posDeleteShards(p).map(_.path).toSet).getOrElse(Set.empty)
           posDeletes :::= posDeleteShards(s).map(_.path).filterNot(parentPos)

@@ -129,6 +129,20 @@ class ConcurrencySpec extends SparkTestBase {
     assert(t.repairRefs(olderThanMillis = System.currentTimeMillis() + 1).isEmpty)
   }
 
+  test("repairRefs reaps an empty head file from a crashed createBranch") {
+    val t = fresh()
+    t.append(synthDf(10, seed = 35))
+    // simulate a writer that died between the exclusive create and the
+    // head write: the name is neither usable nor re-creatable
+    assert(t.io.createExclusive("meta/head-ghost.text"))
+    assert(!t.branches.contains("ghost"))
+    intercept[IllegalArgumentException] { t.createBranch("ghost") }
+    val reaped = t.repairRefs(olderThanMillis = System.currentTimeMillis() + 1)
+    assert(reaped.contains("head-ghost.text"))
+    t.createBranch("ghost") // the name is usable again
+    assert(t.branches.contains("ghost"))
+  }
+
   test("branches commit concurrently with main without cross-talk") {
     val t = fresh()
     t.append(synthDf(60, seed = 41))

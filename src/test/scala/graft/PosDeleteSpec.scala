@@ -220,6 +220,37 @@ class PosDeleteSpec extends SparkTestBase {
     assert(t.scan().count() == before)
   }
 
+  test("a table LOCATION ending in /data keeps addresses consistent") {
+    // the degenerate layout ".../data/data/<batch>/" — the address
+    // representation must agree between the library write path
+    // (relFileCol), the connector probe (GraftPosDeletes.relOf) and the
+    // manifest (LakeIO.relativize), or deletes silently vanish
+    val base = Files.createTempDirectory("graft-pos-datadir")
+    val t = new GraftTable(spark, base.resolve("data").toString)
+    val df = synthDf(120)
+    t.append(df.repartition(3))
+    val repo = df.select("repo").head().getString(0)
+    val expectDeleted = df.filter(col("repo") === repo).count()
+    val n = MorDelete.deleteWherePositional(t, col("repo") === repo)
+    assert(n == expectDeleted)
+    // the shard's file_path matches the manifest's representation exactly
+    import spark.implicits._
+    val shardPaths = t.posDeleteKeys(t.currentSnapshot.get)
+      .select("file_path").distinct().as[String].collect().toSet
+    val manifestPaths = t.manifest(t.currentSnapshot.get)
+      .select("file_path").as[String].collect().toSet
+    assert(shardPaths.subsetOf(manifestPaths),
+      s"address paths not in manifest representation: ${shardPaths -- manifestPaths}")
+    // both read paths apply the deletes
+    assert(t.scan().filter(col("repo") === repo).count() == 0)
+    assert(spark.read.format("graft").load(t.location)
+      .filter(col("repo") === repo).count() == 0)
+    // and materialization actually applies them (the semi-join must match)
+    val r = MorDelete.applyDeletes(t)
+    assert(r.affectedFiles > 0, "materialization found no affected files")
+    assert(t.scan().count() == 120 - expectDeleted)
+  }
+
   test("prunedScan applies positional deletes on the surviving files") {
     val t = freshTable("graft-pos-pruned")
     val df = synthDf(250)

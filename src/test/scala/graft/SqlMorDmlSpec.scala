@@ -136,6 +136,41 @@ class SqlMorDmlSpec extends SparkTestBase {
     assert(t.scan().filter(length(col("content")) % 2 === 0).count() == 0)
   }
 
+  test("MERGE INTO an EMPTY merge-on-read table is a pure insert (append)") {
+    catN += 1
+    val cat = s"morcat$catN"
+    val wh = Files.createTempDirectory(s"graft-mordml-$catN").toString
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.lake.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t (repo STRING, path STRING, commit STRING, " +
+      "lang STRING, content STRING, z BIGINT) USING graft")
+    val t = new GraftTable(spark, s"$wh/ns/t")
+    t.setDmlMode("merge-on-read")
+    import spark.implicits._
+    SourceFiles.generate(15, 3).toDF().withColumn("z", lit(0L))
+      .createOrReplaceTempView("mor_empty_src")
+    spark.sql(
+      s"""MERGE INTO $cat.ns.t t USING mor_empty_src s
+         |ON t.repo = s.repo AND t.path = s.path AND t.commit = s.commit
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.currentSnapshot.get.operation == "append")
+    assert(t.scan().count() == 15)
+  }
+
+  test("changelogScan crosses a SQL delta DELETE (pure positional delete)") {
+    val (cat, t) = freshSqlTable(90, "merge-on-read")
+    val v1 = t.currentVersion
+    val expect = t.scan().filter(length(col("content")) % 2 === 0).count()
+    spark.sql(s"DELETE FROM $cat.ns.t WHERE length(content) % 2 = 0")
+    assert(t.currentSnapshot.get.operation == "sql-mor-delete")
+    val dels = t.changelogScan(v1).filter(col("_change_type") === "delete")
+    assert(dels.count() == expect)
+    // full-row recovery, like any positional delete
+    assert(dels.filter(col("content").isNull).count() == 0)
+  }
+
   test("copy-on-write mode is unchanged; unknown mode refused") {
     val (cat, t) = freshSqlTable(80, "copy-on-write")
     val repo = t.scan().select("repo").head().getString(0)
