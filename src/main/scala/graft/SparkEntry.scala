@@ -1600,6 +1600,49 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  private def q72RewriteRebase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // validated rebase under the oracle gate: a compaction planned against
+    // snapshot S commits AFTER an interleaved append WITHOUT re-planning —
+    // GraftTable.commitRewrite, the Iceberg-RewriteFiles stance. Four doc_id
+    // slices are appended, a full re-pack of their files is planned against
+    // that head, a fifth slice lands mid-rewrite, and the rebased compaction
+    // commits on top of it. The final table must reassemble `documents`
+    // exactly (rebase lost nothing, duplicated nothing); the constants prove
+    // the rebase really happened: rebase_gap = compaction.parent −
+    // basis.version = 1 (it committed one snapshot PAST its planning basis),
+    // n_appends = 5 on one linear chain.
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q72").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/t")
+    (0 until 4).foreach { i =>
+      table.append(shaped(docs.filter($"doc_id" % 5 === i)).repartition(2))
+    }
+    val basis = table.currentSnapshot
+    val paths = table.manifest(basis.get).select("file_path").as[String].collect().toSeq
+    val packed = table.readFiles(paths)
+      .repartitionByRange(2, col("z")).sortWithinPartitions("z")
+    val added = table.writeDataFiles(packed, "compact")
+    // the interleaved ingest: lands between the rewrite's plan and commit
+    table.append(shaped(docs.filter($"doc_id" % 5 === 4)).repartition(2))
+    val snap = table.commitRewrite(basis, added, paths.toSet, "compact",
+      removedRecords = basis.get.recordCount)
+    val chain = table.ancestorsOf(table.currentVersion)
+    val meta = Seq((
+      table.listSnapshots().count(s0 => s0.operation == "append" && chain(s0.version)).toLong,
+      snap.parent - basis.get.version,
+      table.currentSnapshot.map(_.recordCount).getOrElse(0L)))
+      .toDF("n_appends", "rebase_gap", "committed_rows")
+    table.scan().groupBy($"lang")
+      .agg(count(lit(1)).as("n_rows"), sum(length($"content")).as("sum_len"))
+      .crossJoin(meta)
+      .orderBy($"lang")
+  }
+
   private def q56ShardExport(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.pipeline.TextFunctions.mix64
@@ -1730,6 +1773,7 @@ object SparkEntry {
     "q66_metadata_tables" -> (q66MetadataTables(_, _)),
     "q67_branches"       -> (q67Branches(_, _)),
     "q68_occ_commits"    -> (q68OccCommits(_, _)),
+    "q72_rewrite_rebase" -> (q72RewriteRebase(_, _)),
     "q69_pos_delete"     -> (q69PosDelete(_, _)),
     "q70_mor_update"     -> (q70MorUpdate(_, _)),
     "q71_sql_mor_dml"    -> (q71SqlMorDml(_, _)),
@@ -2103,6 +2147,16 @@ object SparkEntry {
         |  sum(length(text))::BIGINT AS sum_len,
         |  4::BIGINT AS n_appends, 4::BIGINT AS distinct_parents,
         |  0::BIGINT AS forks,
+        |  (SELECT count(*) FROM documents)::BIGINT AS committed_rows
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // q72: a compaction planned before an interleaved append commits after
+    // it via validated rebase — the final table is exactly `documents`
+    // (nothing lost, nothing duplicated) and rebase_gap = 1 proves the
+    // commit landed one snapshot past its planning basis without re-planning
+    "q72_rewrite_rebase" ->
+      """SELECT lang, count(*)::BIGINT AS n_rows,
+        |  sum(length(text))::BIGINT AS sum_len,
+        |  5::BIGINT AS n_appends, 1::BIGINT AS rebase_gap,
         |  (SELECT count(*) FROM documents)::BIGINT AS committed_rows
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // the final evolved row set: pre-evolution rows read the added column

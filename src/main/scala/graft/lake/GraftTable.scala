@@ -44,9 +44,12 @@ import java.util.UUID
   * (`meta/edge-<ref>-v<parent>`) to extend its ref from its parent, so
   * concurrent commits are serialized per ref with lost races DETECTED —
   * adds-only commits (append, streaming epochs, WAP publish) rebase onto the
-  * winner and retry, rewrite commits throw [[CommitConflictException]] for
-  * the caller to re-plan. Version ids stay globally unique across refs via
-  * per-version claims. See the "optimistic concurrency" section below.
+  * winner and retry; rewrite commits VALIDATE-AND-REBASE over compatible
+  * interleaves (commitRewrite — the Iceberg RewriteFiles stance) and throw
+  * [[CommitConflictException]] only on genuine overlap; content-dependent
+  * commits (MERGE, MoR deletes) always conflict on a moved head. Version ids
+  * stay globally unique across refs via per-version claims. See the
+  * "optimistic concurrency" section below.
   */
 /** fileCount = live data files at this snapshot, maintained arithmetically
   * like recordCount (-1 when unknown, e.g. tables written before the field
@@ -939,6 +942,165 @@ class GraftTable(val spark: SparkSession, val location: String,
         }
       publish(parent, shards, operation, liveCount, fileCount)
     }
+  }
+
+  // ---- validated rebase for rewrite commits (Iceberg RewriteFiles) -------
+  //
+  // A REWRITE (compaction / clustering) replaces `replacedPaths` with
+  // `added` holding the SAME logical rows — it is content-neutral, so unlike
+  // MERGE/UPDATE (whose matched-vs-insert split depends on target content)
+  // it does not have to conflict with every interleaved commit. At 100 TB a
+  // compaction runs for minutes-to-hours while ingest lands continuously;
+  // "re-plan the whole rewrite on any interleaved append" means maintenance
+  // can never commit on a live table. Instead, a lost edge race walks the
+  // snapshot chain from the planning basis to the new head and REBASES when
+  // every interleaved commit is compatible:
+  //
+  //   - "add" shards (appends, other rewrites' outputs)   → compatible
+  //   - "remove" shards DISJOINT from replacedPaths        → compatible
+  //     (two rewrites of disjoint file sets commute)
+  //   - "remove" shards touching a replaced file           → CONFLICT
+  //     (someone else already replaced rows this plan still carries)
+  //   - a restructured manifest list (rewrite-manifests, apply-deletes,
+  //     rollback, full bucket rewrite)                     → CONFLICT
+  //
+  // Independently of the walk, the PUBLISH-TIME parent must hold no pending
+  // delete shard the rewrite would corrupt — whether it arrived as an
+  // interleave or was already in a freshly-read basis (batched maintenance
+  // re-reads its basis per batch):
+  //
+  //   - any pending "eqdel" shard                          → CONFLICT
+  //     (the rebased add shard's seq would exceed the delete's seq, so the
+  //      rewrite's re-written copies of deleted rows would escape the
+  //      sequence rule and resurrect)
+  //   - a pending "posdel" shard touching a replaced file  → CONFLICT
+  //     (its addresses bind to a file this rewrite drops — those deletes
+  //      would silently vanish); DISJOINT posdel shards stay pending, valid
+  //
+  // Validation happens against the head observed at the top of each attempt;
+  // the edge claim then proves the head did not move between validation and
+  // publish (heads only move by claiming edges), so a rebase can never
+  // silently skip an unvalidated commit.
+
+  /** Commit a rewrite of `replacedPaths` into `added` with validated rebase
+    * (see block comment above). `basis` is the snapshot the plan was made
+    * against; `removedRecords` the exact row count of the replaced files
+    * (still exact after a rebase — compatible interleaves never touch them).
+    * Throws [[CommitConflictException]] on a genuine conflict. */
+  def commitRewrite(basis: Option[Snapshot], added: Seq[ManifestEntry],
+                    replacedPaths: Set[String], operation: String,
+                    removedRecords: Long): Snapshot = {
+    init()
+    val uid = UUID.randomUUID().toString.take(12)
+    val addRel = if (added.isEmpty) None else {
+      val r = s"meta/manifest-add-$uid.parquet"
+      MetaIO.writeEntries(io, r, added); Some(r)
+    }
+    val rmRel = if (replacedPaths.isEmpty) None else {
+      val r = s"meta/manifest-remove-$uid.parquet"
+      MetaIO.writeRemoves(io, r, replacedPaths.toSeq.sorted); Some(r)
+    }
+    val addedRecords = added.map(_.record_count).sum
+    val basisV = basis.map(_.version).getOrElse(0L)
+    val maxAttempts = 240 // × 25 ms ≈ 6 s of contention before giving up
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      val parent = currentSnapshot
+      val pv = parent.map(_.version).getOrElse(0L)
+      if (pv != basisV) validateRebase(basisV, parent, replacedPaths, operation)
+      var (shards, seq) = parentShards(parent)
+      // the publish-time parent must hold no pending delete the rewrite
+      // would corrupt (see block comment) — checked on the assembled shard
+      // list itself so it covers interleaves AND a freshly-read basis
+      shards.foreach { sh =>
+        if (sh.kind == "eqdel")
+          throw new CommitConflictException(
+            s"$operation on ref $refName at $location: the table has a " +
+            "pending equality-delete shard — rewriting files under it would " +
+            "resurrect deleted rows; materialize deletes (applyDeletes) and " +
+            "re-plan")
+        if (sh.kind == "posdel" && shardTouchesFiles(sh, replacedPaths))
+          throw new CommitConflictException(
+            s"$operation on ref $refName at $location: a pending positional-" +
+            "delete shard addresses a file this rewrite replaces — its " +
+            "deletes would be dropped; materialize deletes (applyDeletes) " +
+            "and re-plan")
+      }
+      addRel.foreach { r => seq += 1; shards :+= ManifestShard(seq, "add", r) }
+      rmRel.foreach { r => seq += 1; shards :+= ManifestShard(seq, "remove", r) }
+      val live = parent.map(_.recordCount).getOrElse(0L) + addedRecords - removedRecords
+      val pf = parent.map(_.fileCount).getOrElse(0L)
+      val files = if (pf < 0) -1L else pf + added.size - replacedPaths.size
+      if (claimEdge(refName, pv))
+        return publishClaimed(parent, shards, operation, live, files, None)
+      attempt += 1
+      Thread.sleep(25)
+    }
+    throw new CommitConflictException(
+      s"$operation on ref $refName at $location kept losing the edge claim " +
+      "and the head never advanced — a concurrent writer likely died before " +
+      "publishing; run repairRefs() and retry")
+  }
+
+  /** Walk head → basis and throw [[CommitConflictException]] unless every
+    * interleaved commit is compatible with rewriting `replacedPaths`. */
+  private def validateRebase(basisV: Long, head: Option[Snapshot],
+                             replacedPaths: Set[String], operation: String): Unit = {
+    def conflict(why: String): Nothing = throw new CommitConflictException(
+      s"$operation on ref $refName at $location was planned against v$basisV " +
+      s"but the head moved and cannot be rebased: $why; re-plan against the " +
+      "current head and retry")
+    // collect the interleaved snapshots (head-first) by parent pointers
+    var cur = head
+    val interleaved = scala.collection.mutable.ArrayBuffer.empty[Snapshot]
+    while (cur.exists(_.version != basisV)) {
+      val c = cur.get
+      if (c.version < basisV)
+        conflict(s"v${c.version} (${c.operation}) is below the basis — the " +
+          "ref was rolled back or restructured")
+      interleaved += c
+      cur = if (c.parent == 0L) None else snapshot(c.parent).orElse(
+        conflict(s"ancestor v${c.parent} of the new head is unreadable"))
+      if (c.parent == 0L && basisV != 0L)
+        conflict("the new head's ancestry does not reach the basis")
+    }
+    interleaved.foreach { c =>
+      val pShards =
+        if (c.parent == 0L) Seq.empty
+        else manifestShards(snapshot(c.parent).getOrElse(
+          conflict(s"parent v${c.parent} of interleaved v${c.version} is unreadable")))
+      val pMax = pShards.map(_.seq).maxOption.getOrElse(0)
+      val cShards = manifestShards(c)
+      if (cShards.filter(_.seq <= pMax).toSet != pShards.toSet)
+        conflict(s"interleaved ${c.operation} v${c.version} restructured the " +
+          "manifest list (not an incremental delta)")
+      cShards.filter(_.seq > pMax).foreach { sh =>
+        sh.kind match {
+          case "add" | "eqdel" | "posdel" => () // pending deletes are
+            // re-checked on the publish-time parent's own shard list —
+            // commitRewrite conflicts there on any pending eqdel and on
+            // posdel shards touching the replaced files
+          case "remove" =>
+            if (shardTouchesFiles(sh, replacedPaths))
+              conflict(s"interleaved ${c.operation} v${c.version} removed " +
+                "a file this rewrite replaces")
+          case other =>
+            conflict(s"interleaved v${c.version} added an unknown shard kind '$other'")
+        }
+      }
+    }
+  }
+
+  /** does the shard's `file_path` column intersect `paths`? One tiny
+    * metadata job (shards may be distributed-written and table-sized; the
+    * replaced set is already driver-held by the rewrite planner). */
+  private def shardTouchesFiles(sh: ManifestShard, paths: Set[String]): Boolean = {
+    if (paths.isEmpty) return false
+    import spark.implicits._
+    val shardPaths = spark.read.schema("file_path STRING")
+      .parquet(io.abs(sh.path).toString).select($"file_path")
+    val repl = paths.toSeq.toDF("file_path")
+    !shardPaths.join(broadcast(repl), "file_path").isEmpty
   }
 
   /** Commit a merge-on-read delete: the caller has already written the key

@@ -54,8 +54,11 @@ object Maintenance {
     val df = table.readFiles(smallPaths)
     val packed = df.repartitionByRange(bins, col("z")).sortWithinPartitions("z")
     val added = table.writeDataFiles(packed, "compact")
-    table.commit(added, smallPaths.toSet, "compact", removedRecords,
-      basis = snapOpt)
+    // validated rebase: interleaved ingest no longer forces a re-plan —
+    // the rewrite rebases over compatible commits, conflicts only when a
+    // concurrent commit touched one of the replaced files (GraftTable
+    // "validated rebase" section)
+    table.commitRewrite(snapOpt, added, smallPaths.toSet, "compact", removedRecords)
     Lineage.record(table, jobId, phase, smallPaths, added)
     CompactionResult(smallPaths.size, added.size, added.map(_.record_count).sum)
   }
@@ -117,9 +120,11 @@ object Maintenance {
     val clustered = salted.repartitionByRange(n, col("z"), col("_salt"))
       .sortWithinPartitions("z").drop("_salt")
     val added = table.writeDataFiles(clustered, "cluster")
-    // the rewrite replaces the whole live set: removed records = parent total
-    table.commit(added, paths.toSet, phase, removedRecords = snap.recordCount,
-      basis = Some(snap))
+    // the rewrite replaces the whole live set: removed records = parent
+    // total. Validated rebase: rows appended while the clustering ran stay
+    // live (and simply unclustered) instead of aborting the whole rewrite.
+    table.commitRewrite(Some(snap), added, paths.toSet, phase,
+      removedRecords = snap.recordCount)
     Lineage.record(table, jobId, phase, paths, added)
     added.map(_.record_count).sum
   }
@@ -172,7 +177,10 @@ object Maintenance {
         val packed = table.readFiles(paths)
           .repartitionByRange(bins, col("z")).sortWithinPartitions("z")
         val added = table.writeDataFiles(packed, s"compact-b$b")
-        table.commit(added, paths.toSet, "compact", recs)
+        // basis re-read per batch: our own prior batches never enter the
+        // rebase walk; only commits racing THIS batch's write window do
+        table.commitRewrite(table.currentSnapshot, added, paths.toSet,
+          "compact", recs)
         results += CompactionResult(paths.size, added.size, added.map(_.record_count).sum)
         b += 1
       }
@@ -218,7 +226,7 @@ object Maintenance {
       val clustered = salted.repartitionByRange(n, col("z"), col("_salt"))
         .sortWithinPartitions("z").drop("_salt")
       val added = table.writeDataFiles(clustered, s"cluster-b$b")
-      table.commit(added, paths.toSet,
+      table.commitRewrite(table.currentSnapshot, added, paths.toSet,
         if (useHilbert) "cluster_hilbert" else "cluster_zorder",
         removedRecords = recs)
       rows += added.map(_.record_count).sum
