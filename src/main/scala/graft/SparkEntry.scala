@@ -274,6 +274,22 @@ object SparkEntry {
       .orderBy($"member_id")
   }
 
+  private def q73CanonicalKeep(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // which COPY survives dedup: same minhash pair graph as q32, but the
+    // output names the LONGEST member of each near-dup group as its keeper
+    // (ties to the smallest doc_id) — the canonical-selection step between
+    // grouping and dropping that production pipelines actually run. One
+    // partial-aggregable max_by per group + one keep-id join; the full
+    // (member, keep) mapping is the audit trail.
+    val docs = t(s, dir, "documents")
+    val pairs = graft.pipeline.Dedup.minHashPairs(docs, "doc_id", "text",
+      bands = 16, rowsPerBand = 4, shingleSize = 2, threshold = 0.2)
+    graft.pipeline.Dedup.canonicalPerGroup(docs, "doc_id", pairs,
+        length($"text"))
+      .orderBy($"member_id")
+  }
+
   private def q44NearDupStar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // same pair derivation and output contract as q32, but grouped by the
@@ -1737,6 +1753,7 @@ object SparkEntry {
     "q30_media_ann"     -> (q30MediaAnn(_, _)),
     "q31_ixml_recover"  -> (q31IxmlRecover(_, _)),
     "q32_neardup_groups" -> (q32NearDupGroups(_, _)),
+    "q73_canonical_keep" -> (q73CanonicalKeep(_, _)),
     "q33_stream_window"  -> (q33StreamWindow(_, _)),
     "q34_core_types"     -> (q34CoreTypes(_, _)),
     "q35_ann_ivf"        -> (q35AnnIvf(_, _)),
@@ -2325,6 +2342,7 @@ object SparkEntry {
     "q18_minhash_pairs" -> duckMinhashPairsSql,
     "q32_neardup_groups" -> duckCcGroupsSql,
     "q44_neardup_star"   -> duckCcGroupsSql,
+    "q73_canonical_keep" -> duckCanonicalSql,
     // the delta rows the incremental read must return: exactly the second
     // (v2-prefixed) append, maintenance contributing nothing
     "q46_incremental" ->
@@ -2803,18 +2821,41 @@ object SparkEntry {
     * representative (min reachable id) fully independently of EITHER Spark
     * algorithm — shared by q32 (pointer doubling) and q44 (large/small-star),
     * so the two implementations are pinned to one external answer. */
-  private def duckCcGroupsSql: String =
+  /** shared CTE chain: minhash pairs → undirected edges → transitive
+    * closure → per-doc min-reachable group id. Both CC queries (q32, q44)
+    * and the canonical-selection query (q73) pin to this one closure. */
+  private def duckCcGroupCtes: String =
       s"""WITH RECURSIVE pairs AS ($duckMinhashPairsSql),
          |edges AS (SELECT id_a AS a, id_b AS b FROM pairs
          |          UNION SELECT id_b AS a, id_a AS b FROM pairs),
          |reach(src, dst) AS (
          |  SELECT a, b FROM edges
          |  UNION
-         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-         |SELECT d.doc_id AS member_id,
-         |  coalesce(least(d.doc_id, min(r.dst)), d.doc_id) AS group_id
-         |FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
-         |GROUP BY d.doc_id ORDER BY member_id""".stripMargin
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+         |groups AS (
+         |  SELECT d.doc_id AS member_id,
+         |    coalesce(least(d.doc_id, min(r.dst)), d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+         |  GROUP BY d.doc_id)""".stripMargin
+
+  private def duckCcGroupsSql: String =
+      s"""$duckCcGroupCtes
+         |SELECT member_id, group_id FROM groups ORDER BY member_id""".stripMargin
+
+  /** q73: the kept copy per group is the LONGEST member, ties to the
+    * smallest id — DuckDB replays the argmax ordering exactly (integer
+    * lengths, integer ids; the list-ORDER-BY form pins the tie-break). */
+  private def duckCanonicalSql: String =
+      s"""$duckCcGroupCtes,
+         |scored AS (SELECT g.member_id, g.group_id, length(d.text) AS score
+         |  FROM groups g JOIN documents d ON d.doc_id = g.member_id),
+         |keep AS (SELECT group_id,
+         |    (list(member_id ORDER BY score DESC, member_id ASC))[1] AS keep_id
+         |  FROM scored GROUP BY group_id)
+         |SELECT s.member_id, s.group_id, k.keep_id,
+         |  s.member_id = k.keep_id AS kept
+         |FROM scored s JOIN keep k USING (group_id)
+         |ORDER BY member_id""".stripMargin
 
   private def duckMinhashPairsSql: String =
       s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),

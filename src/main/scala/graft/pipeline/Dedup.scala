@@ -312,6 +312,39 @@ object Dedup {
       .select(col("id").as("member_id"), col("label").as("group_id"))
   }
 
+  /** Canonical-representative selection: the production question behind
+    * near-dup dedup is not "which groups exist" but "which COPY to keep" —
+    * min-label group ids are arbitrary, while pipelines keep the best copy
+    * (longest, highest quality score, most recent). Composes
+    * [[nearDupGroups]] with a per-group argmax over `score` evaluated
+    * against `df`'s rows; ties break to the smallest id so selection is
+    * deterministic whatever the partitioning.
+    *
+    * Output: one row per id in `df` — (member_id, group_id, keep_id, kept).
+    * Filter `kept` for the deduplicated corpus; the full mapping is the
+    * audit trail (every dropped document names its surviving replacement).
+    *
+    * 100-TB shape: the argmax is `max_by` over (score, −id) — a
+    * partial-aggregable hash aggregate, one row per (group, partition)
+    * map-side, ~|groups| rows shuffled — and the keep-id join broadcasts
+    * when groups are few or hash-joins linearly otherwise. Nothing here
+    * grows faster than the corpus. */
+  def canonicalPerGroup(df: DataFrame, idCol: String, pairs: DataFrame,
+                        score: Column, maxIter: Int = 25,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    val groups = nearDupGroups(df, idCol, pairs, maxIter, checkpointDir)
+    val scored = df.select(col(idCol).cast("long").as("member_id"),
+      score.cast("double").as("_score"))
+    val withScore = groups.join(scored, "member_id")
+    // max_by over (score asc, id desc) = highest score, smallest id on ties
+    val keep = withScore.groupBy("group_id")
+      .agg(max_by(col("member_id"),
+        struct(col("_score"), (-col("member_id")).as("nid"))).as("keep_id"))
+    withScore.join(keep, "group_id")
+      .select(col("member_id"), col("group_id"), col("keep_id"),
+        (col("member_id") === col("keep_id")).as("kept"))
+  }
+
   /** Lineage truncation for iterative loops: checkpoint (reliable when
     * `reliable`, executor-local otherwise), then REBUILD the frame from the
     * checkpointed RDD — LogicalRDD snapshots the origin plan's sizeInBytes,

@@ -442,6 +442,24 @@ class PipelineSpec extends SparkTestBase {
     assert(got == expected, s"got $got")
   }
 
+  test("canonicalPerGroup: highest score kept, ties to smallest id, singletons self-keep") {
+    import spark.implicits._
+    // group {1,2,3}: 2 has the top score; group {10,11}: scores tie → 10;
+    // singleton 30 keeps itself
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 7.0),
+        (10L, 4.0), (11L, 4.0), (30L, 1.0)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = graft.pipeline.Dedup.canonicalPerGroup(
+        docs, "doc_id", pairs, org.apache.spark.sql.functions.col("score"))
+      .select("member_id", "keep_id", "kept")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((1L, 2L, false), (2L, 2L, true), (3L, 2L, false),
+      (10L, 10L, true), (11L, 10L, false), (30L, 30L, true)), s"got $got")
+    // exactly one keeper per group
+    val keepers = got.groupBy(_._2).map { case (k, ms) => k -> ms.count(_._3) }
+    assert(keepers.values.forall(_ == 1), s"keepers $keepers")
+  }
+
   test("nearDupGroups: output restricted to df's ids even when pairs mention others") {
     import spark.implicits._
     // pairs computed over a superset: 99 is not in df but links 1-99-2;

@@ -28,7 +28,7 @@ object ScaleProof {
     "q18_minhash_pairs", "q19_simhash_pairs", "q23_lsh_neardup",
     "q23s_lsh_p16", "q17_ann_topk", "q20_embedding_neardup", "q21_ann_lsh",
     "q35_ann_ivf", "q32_neardup_groups", "q32s_lsh_groups",
-    "q44_neardup_star", "q44s_lsh_stargroups",
+    "q44_neardup_star", "q44s_lsh_stargroups", "q73_canonical_keep",
     "q41_corpus_sample", "q42_pack_sequences", "q43_ngram_jaccard",
     "q49_decontaminate", "q50_dup_ratio",
     "q52_repetition", "q53_chunk_dedup", "q54_incremental_dedup",
@@ -36,7 +36,11 @@ object ScaleProof {
     // lake delete lifecycles: table build + MoR retraction + connector read
     // must all scale linearly in the corpus (the delete shard volume is the
     // matched-row count; application is one hash anti-join / probe pass)
-    "q58_mor_delete", "q69_pos_delete", "q70_mor_update")
+    "q58_mor_delete", "q69_pos_delete", "q70_mor_update",
+    // rewrite-under-ingest lifecycle: appends + planned re-pack + interleaved
+    // append + validated-rebase commit — the rewrite's cost is the re-pack
+    // itself, so the lifecycle must scale linearly in the corpus
+    "q72_rewrite_rebase")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
