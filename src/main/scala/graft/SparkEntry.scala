@@ -290,6 +290,26 @@ object SparkEntry {
       .orderBy($"member_id")
   }
 
+  private def q74NdvSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // ANALYZE-style distinct-count statistics: per-lang NDV of `text` from a
+    // K-minimum-values sketch (k=64 smallest distinct sha60 hashes — the
+    // bounded-shuffle shape: partitions × k longs cross the wire, never the
+    // values), next to the exact distinct count the small-scale oracle can
+    // afford. DuckDB replays the identical k-th smallest distinct hash and
+    // the identical integer-floor estimate, so the estimate itself is under
+    // the hash gate, not just "close". Feeds Maintenance.analyze / the DSv2
+    // scan's reported column statistics (CBO).
+    val docs = t(s, dir, "documents")
+    val kmv = udaf(new graft.pipeline.KmvNdvAgg(64),
+      org.apache.spark.sql.Encoders.scalaLong)
+    docs.groupBy($"lang")
+      .agg(
+        kmv(coalesce(graft.pipeline.Sketch.sha60($"text"), lit(-1L))).as("ndv_est"),
+        countDistinct($"text").as("ndv_exact"))
+      .orderBy($"lang")
+  }
+
   private def q44NearDupStar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // same pair derivation and output contract as q32, but grouped by the
@@ -1794,6 +1814,7 @@ object SparkEntry {
     "q69_pos_delete"     -> (q69PosDelete(_, _)),
     "q70_mor_update"     -> (q70MorUpdate(_, _)),
     "q71_sql_mor_dml"    -> (q71SqlMorDml(_, _)),
+    "q74_ndv_sketch"     -> (q74NdvSketch(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -2343,6 +2364,32 @@ object SparkEntry {
     "q32_neardup_groups" -> duckCcGroupsSql,
     "q44_neardup_star"   -> duckCcGroupsSql,
     "q73_canonical_keep" -> duckCanonicalSql,
+    // q74: DuckDB replays the KMV sketch estimate exactly — same sha60
+    // hash, same k-th smallest distinct value, same integer-floor estimator
+    // ((k-1)·2^60 // h_k) in HUGEINT arithmetic
+    "q74_ndv_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT lang,
+        |    ('0x' || substr(sha256(text), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS nd
+        |  FROM h),
+        |e AS (
+        |  SELECT lang, max(nd) AS nd,
+        |    max(CASE WHEN rn = 64 THEN h END) AS kth
+        |  FROM r GROUP BY lang),
+        |x AS (
+        |  SELECT lang, count(DISTINCT text) AS ndv_exact
+        |  FROM documents GROUP BY lang)
+        |SELECT e.lang,
+        |  CASE WHEN e.nd < 64 THEN e.nd
+        |       ELSE ((63::HUGEINT * 1152921504606846976::HUGEINT)
+        |             // e.kth::HUGEINT)::BIGINT END AS ndv_est,
+        |  x.ndv_exact
+        |FROM e JOIN x USING (lang) ORDER BY e.lang""".stripMargin,
     // the delta rows the incremental read must return: exactly the second
     // (v2-prefixed) append, maintenance contributing nothing
     "q46_incremental" ->

@@ -420,9 +420,39 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     planInputPartitions() // ensure the pruning pass ran (result is cached)
     val (rows, bytes) = statsInfo.getOrElse((0L, 0L))
+    // ANALYZE-committed per-column NDV/null-count stats (Maintenance.analyze
+    // → meta/stats.json): reported through the connector Statistics so
+    // Catalyst's transformV2Stats turns them into attribute ColumnStats and
+    // CBO join estimation sees distinct counts, not just rows/bytes.
+    // Table-level and advisory (stale-allowed, like Iceberg puffin NDV) —
+    // skipped for incremental reads, whose slice the table stats don't
+    // describe.
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (fromSnapshot.isEmpty) {
+      new GraftTable(SparkSession.active, location).tableStats.foreach {
+        case (_, _, cols) =>
+          required.fields.foreach { f =>
+            cols.get(f.name).foreach { case (ndv, nulls) =>
+              colStats.put(
+                org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(nulls)
+                })
+            }
+          }
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
       override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 

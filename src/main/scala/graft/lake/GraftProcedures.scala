@@ -164,6 +164,16 @@ object GraftProcedures {
       (t, _) => {
         val (e, p) = MorDelete.compactDeleteShards(t)
         Seq[Any](e, p)
+      })),
+    // ANALYZE: one-pass KMV-sketch NDV + null counts → meta/stats.json,
+    // reported through the DSv2 scan's column statistics for CBO
+    "analyze_table" -> ((
+      Seq("table" -> S, "k" -> I),
+      out("columns" -> I, "stats_version" -> L),
+      (t, in) => {
+        Maintenance.analyze(t, k = in.getInt(1))
+        val st = t.tableStats.get
+        Seq[Any](st._3.size, st._1)
       })))
 
   def names: Seq[String] = defs.keys.toSeq.sorted

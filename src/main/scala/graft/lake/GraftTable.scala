@@ -1343,6 +1343,33 @@ class GraftTable(val spark: SparkSession, val location: String,
     io.writeString("meta/bucket-spec.json",
       s"""{"bucketCol": "$column", "bucketN": $n, "sorted": "$sorted"}""")
 
+  // ---- table column statistics (ANALYZE → CBO; the puffin-NDV idea) -----
+
+  /** Latest ANALYZE result: (computedAtVersion, rowCount,
+    * col → (ndvEstimate, nullCount)). Advisory the way Iceberg's puffin NDV
+    * blobs are: later commits do NOT invalidate it — the recorded snapshot
+    * version makes staleness visible to callers; correctness never depends
+    * on it (CBO estimates only). Cheap driver-side read, None = never
+    * analyzed. */
+  def tableStats: Option[(Long, Long, Map[String, (Long, Long)])] =
+    if (!io.exists("meta/stats.json")) None
+    else {
+      val m = parseJsonFlat(io.readString("meta/stats.json"))
+      val cols = m.keysIterator
+        .collect { case k if k.startsWith("ndv.") => k.substring(4) }.toSeq
+      Some((m("version").toLong, m("rows").toLong,
+        cols.map(c => c -> (m(s"ndv.$c").toLong, m(s"nulls.$c").toLong)).toMap))
+    }
+
+  private[lake] def writeStats(version: Long, rows: Long,
+                               cols: Map[String, (Long, Long)]): Unit = {
+    val body = (Seq(s""""version": $version""", s""""rows": $rows""") ++
+      cols.toSeq.sortBy(_._1).flatMap { case (c, (ndv, nulls)) =>
+        Seq(s""""ndv.$c": $ndv""", s""""nulls.$c": $nulls""") })
+      .mkString("{", ", ", "}")
+    io.writeAtomic("meta/stats.json", body)
+  }
+
   def append(df: DataFrame): Snapshot = {
     init()
     // a bucketed table keeps its layout across appends: rows are routed so

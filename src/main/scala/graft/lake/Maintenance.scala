@@ -323,4 +323,35 @@ object Maintenance {
     Lineage.record(table, jobId, phase, affectedRel.toSeq, addedRewrite ++ addedInsert)
     MergeResult(updatedCount, insertedCount, affectedRel.size)
   }
+
+  /** ANALYZE: one-pass per-column statistics — NDV via the KMV sketch (k
+    * smallest distinct sha60 hashes; shuffle is partitions × k longs per
+    * column, never the values), null counts, and the row count — committed
+    * to `meta/stats.json` stamped with the snapshot version it scanned.
+    * Feeds the DSv2 scan's reported column statistics so CBO join
+    * estimation sees distinct counts through the connector. Advisory and
+    * stale-allowed like Iceberg's puffin NDV blobs: later commits don't
+    * invalidate it, correctness never depends on it.
+    *
+    * Returns col → (ndvEstimate, nullCount). */
+  def analyze(table: GraftTable, cols: Seq[String] = Seq.empty,
+              k: Int = 1024): Map[String, (Long, Long)] = {
+    import graft.pipeline.{KmvNdvAgg, Sketch}
+    val snapOpt = table.currentSnapshot
+    if (snapOpt.isEmpty) return Map.empty
+    val df = table.scan()
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val kmv = org.apache.spark.sql.functions.udaf(
+      new KmvNdvAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    val aggs = names.flatMap { c => Seq(
+      kmv(coalesce(Sketch.sha60(col(c)), lit(-1L))).as(s"__ndv_$c"),
+      count(when(col(c).isNull, 1)).as(s"__nulls_$c")) }
+    // ONE aggregation job; the only driver-side value is one fixed-width row
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*).head()
+    val rows = row.getLong(0)
+    val stats = names.zipWithIndex.map { case (c, i) =>
+      c -> (row.getLong(1 + 2 * i), row.getLong(2 + 2 * i)) }.toMap
+    table.writeStats(snapOpt.get.version, rows, stats)
+    stats
+  }
 }
