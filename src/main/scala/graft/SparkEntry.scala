@@ -310,6 +310,22 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  private def q75QuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.pipeline.TextFunctions.token_estimate
+    // quantile-threshold curation: DROP the bottom 1/4 of each language by
+    // token count (ties by doc_id) — the "keep the top 75% by score per
+    // stratum" filtering step. Rank-exact with integer arithmetic end to
+    // end (rational q, DIV threshold), computed without a per-stratum
+    // global sort: score-range buckets + broadcast prefix counts + a
+    // window only within each (lang, bucket).
+    val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+    graft.pipeline.Curation.dropBottomQuantile(
+        docs, "doc_id", "lang", token_estimate($"text"), 1L, 4L, buckets = 64)
+      .select($"doc_id", $"lang", $"score".as("tokens"), $"rank")
+      .orderBy($"doc_id")
+  }
+
   private def q44NearDupStar(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // same pair derivation and output contract as q32, but grouped by the
@@ -1815,6 +1831,7 @@ object SparkEntry {
     "q70_mor_update"     -> (q70MorUpdate(_, _)),
     "q71_sql_mor_dml"    -> (q71SqlMorDml(_, _)),
     "q74_ndv_sketch"     -> (q74NdvSketch(_, _)),
+    "q75_quantile_filter" -> (q75QuantileFilter(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -2390,6 +2407,21 @@ object SparkEntry {
         |             // e.kth::HUGEINT)::BIGINT END AS ndv_est,
         |  x.ndv_exact
         |FROM e JOIN x USING (lang) ORDER BY e.lang""".stripMargin,
+    // q75: rank-exact quantile filter — same deterministic (tokens, doc_id)
+    // order, same integer-floor drop count (n·1 // 4) per language
+    "q75_quantile_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '[A-Z]?[a-z]+|[A-Z]+|[0-9]{1,4}|[^\sA-Za-z0-9]'))::BIGINT AS tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, tokens,
+        |    row_number() OVER (PARTITION BY lang ORDER BY tokens, doc_id) AS rank,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM d)
+        |SELECT doc_id, lang, tokens, rank
+        |FROM r WHERE rank > (n * 1) // 4
+        |ORDER BY doc_id""".stripMargin,
     // the delta rows the incremental read must return: exactly the second
     // (v2-prefixed) append, maintenance contributing nothing
     "q46_incremental" ->

@@ -143,6 +143,77 @@ object Curation {
       .drop("__l", "__bb", "__off", "__b", "__h")
   }
 
+  /** Quantile-threshold filtering: DROP the bottom `qNumer/qDenom` fraction
+    * of each stratum by an integer score (ties broken by id) — the
+    * "keep the top 75% by quality per language" curation step. The cut is
+    * rank-exact: per stratum exactly floor(q·n) rows drop, the kept set is
+    * `rank > floor(q·n)` under the deterministic (score, id) order, and q
+    * is a RATIONAL so the threshold rank is integer arithmetic end to end
+    * (bit-replayable in any engine; a float q times a 10^11 row count is
+    * not).
+    *
+    * Scale shape mirrors the prefix-sum sampler above — no per-stratum
+    * global sort: per-stratum (min, max, n) in one tiny agg (broadcast),
+    * score range split into order-preserving buckets, per-(stratum, bucket)
+    * row counts prefix-summed over the tiny bucket frame (broadcast back),
+    * and a row_number only WITHIN each (stratum, bucket). offset + local
+    * rank == the exact global rank because buckets are monotone in score.
+    * Degenerate strata (constant score) collapse to one bucket — the same
+    * single-task sort any rank-exact method pays when every key ties.
+    *
+    * Returns the KEPT rows of `df` plus `score` and `rank` (1-based within
+    * the stratum, ascending score = worst first). */
+  def dropBottomQuantile(df: DataFrame, idCol: String, strataCol: String,
+                         score: Column, qNumer: Long, qDenom: Long,
+                         buckets: Int = 1024): DataFrame = {
+    require(qDenom > 0 && qNumer >= 0 && qNumer <= qDenom,
+      s"q must be a fraction in [0,1], got $qNumer/$qDenom")
+    require(buckets > 0, "buckets must be positive")
+    val base = df.withColumn("score", score.cast("long"))
+    // pass 1: per-stratum score range + row count — strata-many rows, tiny
+    val ranges = base.groupBy(col(strataCol).as("__s"))
+      .agg(min("score").as("__lo"), max("score").as("__hi"),
+           count(lit(1)).as("__n"))
+      // DIV throughout: Column./ is floating and loses exactness for
+      // 60-bit score ranges
+      .withColumn("__w", greatest(lit(1L),
+        expr(s"(__hi - __lo + 1) DIV $buckets")))
+      // rows to drop: floor(q * n) in exact integer arithmetic
+      .withColumn("__drop", expr(s"(__n * $qNumer) DIV $qDenom"))
+    val bucketed = base
+      .join(broadcast(ranges), col(strataCol) === col("__s"))
+      .withColumn("__b", expr("(score - __lo) DIV __w"))
+    // pass 2: per-(stratum, bucket) counts → starting offsets (tiny frame)
+    val perBucket = bucketed.groupBy(col(strataCol).as("__s2"), col("__b").as("__bb"))
+      .agg(count(lit(1)).as("__bn"))
+    val acrossBuckets = Window.partitionBy("__s2").orderBy("__bb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("__off", coalesce(sum("__bn").over(acrossBuckets), lit(0L)))
+      .select("__s2", "__bb", "__off")
+    val withinBucket = Window.partitionBy(col(strataCol), col("__b"))
+      .orderBy(col("score"), col(idCol))
+    bucketed
+      .join(broadcast(offsets),
+        col(strataCol) === col("__s2") && col("__b") === col("__bb"))
+      .withColumn("rank", col("__off") + row_number().over(withinBucket))
+      .filter(col("rank") > col("__drop"))
+      .drop("__s", "__lo", "__hi", "__n", "__w", "__drop", "__b", "__s2", "__bb", "__off")
+  }
+
+  /** Reference single-window formulation of dropBottomQuantile (identical
+    * result; serializes each stratum through one task — test use only). */
+  private[graft] def dropBottomQuantileNaive(
+      df: DataFrame, idCol: String, strataCol: String,
+      score: Column, qNumer: Long, qDenom: Long): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("score"), col(idCol))
+    df.withColumn("score", score.cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__drop", expr(s"(count(1) OVER (PARTITION BY $strataCol) * $qNumer) DIV $qDenom"))
+      .filter(col("rank") > col("__drop"))
+      .drop("__drop")
+  }
+
   /** Reference single-window formulation (identical result; serializes each
     * stratum through one task — test/verification use only). */
   private[graft] def tokenBudgetSampleNaive(

@@ -153,6 +153,49 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("quantile filter: bucketed rank equals the global window, drop count exact") {
+    import spark.implicits._
+    val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")
+    val naive = Curation.dropBottomQuantileNaive(docs, "doc_id", "lang", toks, 1L, 4L)
+      .select($"doc_id", $"lang", $"score", $"rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(naive.nonEmpty)
+    for (b <- Seq(2, 16, 256)) {
+      val got = Curation.dropBottomQuantile(docs, "doc_id", "lang", toks, 1L, 4L, buckets = b)
+        .select($"doc_id", $"lang", $"score", $"rank")
+        .collect().map(_.toSeq).sortBy(_.toString)
+      assert(got.toSeq == naive.toSeq, s"buckets=$b diverged from the global window")
+    }
+    // per-stratum arithmetic: exactly n - floor(n/4) rows survive
+    val n = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = Curation.dropBottomQuantile(docs, "doc_id", "lang", toks, 1L, 4L, buckets = 16)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    n.foreach { case (l, c) => assert(kept(l) == c - c / 4, s"lang $l") }
+    // partition-layout invariance
+    val re = Curation.dropBottomQuantile(docs.repartition(13), "doc_id", "lang",
+        toks, 1L, 4L, buckets = 16)
+      .select($"doc_id", $"lang", $"score", $"rank")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(re.toSeq == naive.toSeq)
+  }
+
+  test("quantile filter: degenerate strata — constant scores, tiny n, q edges") {
+    import spark.implicits._
+    val df = Seq(
+      // constant score: range collapses to one bucket, ties break by id —
+      // with n=4 and q=1/4 exactly id 1 (rank 1) drops
+      (1L, "c", 7L), (2L, "c", 7L), (3L, "c", 7L), (4L, "c", 7L),
+      // n=1..3 with q=1/4: floor(n/4)=0 → everything survives
+      (10L, "a", 5L),
+      (20L, "b", 9L), (21L, "b", 3L)).toDF("doc_id", "lang", "sc")
+    val kept = Curation.dropBottomQuantile(df, "doc_id", "lang", $"sc", 1L, 4L, buckets = 8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L, 10L, 20L, 21L))
+    // q = 1 (drop all) and q = 0 (keep all)
+    assert(Curation.dropBottomQuantile(df, "doc_id", "lang", $"sc", 1L, 1L).count() == 0)
+    assert(Curation.dropBottomQuantile(df, "doc_id", "lang", $"sc", 0L, 1L).count() == 7)
+  }
+
   test("sequence packing: bin/offset arithmetic matches the global-window prefix sums") {
     import spark.implicits._
     val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")

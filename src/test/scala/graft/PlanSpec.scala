@@ -182,6 +182,20 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), s"q41 offsets not broadcast:\n$p")
   }
 
+  test("q75 quantile filter: rank window keyed by (lang, bucket), frames broadcast") {
+    val df = SparkEntry.queries("q75_quantile_filter")(spark, sfDir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // rank-exactness must not cost a per-stratum global sort: the only
+    // full-data window partitions by (lang, __b); range + offset frames
+    // join back as broadcasts
+    assert(p.contains("Window"), s"q75 lost its rank window:\n$p")
+    val badStratumWindow = p.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(lang#") && !l.contains("__b"))
+    assert(!badStratumWindow, s"q75 windows a whole stratum in one task:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"q75 frames not broadcast:\n$p")
+  }
+
   test("k-means-trained IVF: recall matches or beats the modulo quantizer; no window in training") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
