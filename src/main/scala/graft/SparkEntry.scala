@@ -1606,6 +1606,40 @@ object SparkEntry {
     branchPre.unionAll(mainPre).unionAll(mainPost).orderBy($"phase", $"lang")
   }
 
+  private def q76CherryPick(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the rollback+cherry-pick lifecycle under the oracle gate: three
+    // appends land (base, bad, good), rollback erases everything after
+    // base, cherry-pick re-applies ONLY the good append's delta onto the
+    // restored head — metadata-only, no data file rewritten. Output = the
+    // per-lang view after the rollback (base alone) and after the pick
+    // (base + good, bad still gone), plus the snapshot operation string.
+    // DuckDB recomputes both phases from the same doc_id split.
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang", $"text".as("content"))
+    val wh = java.nio.file.Files.createTempDirectory("graft-q76").toString
+    val table = new graft.lake.GraftTable(s, s"$wh/t")
+    table.append(shaped(docs.filter($"doc_id" % 5 <= 2)).repartition(4)) // v1 base
+    table.append(shaped(docs.filter($"doc_id" % 5 === 3)).repartition(2)) // v2 bad
+    table.append(shaped(docs.filter($"doc_id" % 5 === 4)).repartition(2)) // v3 good
+    table.rollback(1L)                                                    // v4
+    val cp = table.cherryPick(3L)                                         // v5
+    def counts(df: DataFrame, phase: String) =
+      df.groupBy($"lang").agg(count(lit(1)).as("n_rows"),
+        sum(length($"content")).as("sum_len"))
+        .select(lit(phase).as("phase"), $"lang", $"n_rows", $"sum_len")
+    val postRollback = counts(
+      s.read.format("graft").option("snapshot", 4L).load(table.location),
+      "post_rollback")
+    val postPick = counts(table.scan(), "post_pick")
+    postRollback.unionAll(postPick)
+      .withColumn("op", lit(cp.operation))
+      .orderBy($"phase", $"lang")
+  }
+
   private def q68OccCommits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // optimistic concurrency under the oracle gate: four UNCOORDINATED
@@ -1832,6 +1866,7 @@ object SparkEntry {
     "q71_sql_mor_dml"    -> (q71SqlMorDml(_, _)),
     "q74_ndv_sketch"     -> (q74NdvSketch(_, _)),
     "q75_quantile_filter" -> (q75QuantileFilter(_, _)),
+    "q76_cherrypick"     -> (q76CherryPick(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -2192,6 +2227,17 @@ object SparkEntry {
         |FROM documents
         |CROSS JOIN (SELECT unnest(['branch_pre', 'main_pre', 'main_post']) AS phase)
         |WHERE phase <> 'main_pre' OR doc_id % 10 < 7
+        |GROUP BY phase, lang
+        |ORDER BY phase, lang""".stripMargin,
+    // q76: after rollback the view is base only; after cherry-pick it is
+    // base + the picked append — the bad slice (doc_id % 5 = 3) never returns
+    "q76_cherrypick" ->
+      """SELECT phase, lang, count(*)::BIGINT AS n_rows,
+        |  sum(length(text))::BIGINT AS sum_len, 'cherrypick-v3' AS op
+        |FROM documents
+        |CROSS JOIN (SELECT unnest(['post_rollback', 'post_pick']) AS phase)
+        |WHERE (phase = 'post_rollback' AND doc_id % 5 <= 2)
+        |   OR (phase = 'post_pick' AND doc_id % 5 <> 3)
         |GROUP BY phase, lang
         |ORDER BY phase, lang""".stripMargin,
     // q68: four racing appends of disjoint doc_id slices must reassemble

@@ -102,6 +102,12 @@ object GraftProcedures {
       Seq("table" -> S, "version" -> L),
       out("version" -> L),
       (t, in) => Seq[Any](t.rollback(in.getLong(1)).version))),
+    // re-apply one append snapshot's delta onto the current head (the
+    // post-rollback companion / selective cross-branch promote)
+    "cherrypick_snapshot" -> ((
+      Seq("table" -> S, "version" -> L),
+      out("version" -> L),
+      (t, in) => Seq[Any](t.cherryPick(in.getLong(1)).version))),
     "set_tag" -> ((
       Seq("table" -> S, "tag" -> S, "version" -> L),
       out("tag" -> S, "version" -> L),

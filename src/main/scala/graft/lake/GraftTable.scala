@@ -1604,6 +1604,66 @@ class GraftTable(val spark: SparkSession, val location: String,
       s"rollback-to-v$toVersion", target.recordCount, target.fileCount)
   }
 
+  /** CHERRY-PICK: re-apply snapshot `v`'s APPEND delta onto the current
+    * head as a new commit — the post-rollback companion (roll back past a
+    * bad commit, then cherry-pick the good commits that landed after it)
+    * and the selective cross-line promote (pick one branch commit without
+    * fast-forwarding the whole line). Metadata-only like rollback: the new
+    * snapshot re-lists head's shards plus v's own add shards; no data file
+    * is read or rewritten.
+    *
+    * Two validations make it safe: the delta must be a PURE append whose
+    * entries account exactly for v's row-count change over its parent
+    * (refuses rewrites, deletes and manifest-rewrite snapshots, whose
+    * deltas are only meaningful against their own parent rowset), and none
+    * of the delta's files may already be live at head (cherry-picking an
+    * ancestor would double-count its rows) — checked as a distributed
+    * semi-join against the head manifest, never a collected path set. */
+  def cherryPick(v: Long): Snapshot = {
+    import spark.implicits._
+    val target = snapshot(v).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot v$v at $location"))
+    val parentOfV = snapshot(target.parent)
+    val parentPaths = parentOfV.map(manifestShards(_).map(_.path).toSet)
+      .getOrElse {
+        if (target.parent == 0L) Set.empty[String]
+        else throw new IllegalStateException(
+          s"parent snapshot v${target.parent} of v$v is expired — " +
+          s"v$v's delta can no longer be isolated")
+      }
+    val delta = manifestShards(target).filterNot(s => parentPaths(s.path))
+    require(delta.nonEmpty, s"snapshot v$v has no delta to cherry-pick")
+    val nonAdd = delta.filterNot(_.kind == "add").map(_.kind).distinct
+    require(nonAdd.isEmpty,
+      s"cherry-pick supports append snapshots only; v$v's delta contains " +
+      s"${nonAdd.mkString(", ")} shards — a rewrite/delete delta is only " +
+      "meaningful against its own parent rowset")
+    val deltaEntries = spark.read.schema(GraftTable.manifestSchema)
+      .parquet(delta.map(s => io.abs(s.path).toString): _*)
+    val agg = deltaEntries.agg(
+      coalesce(sum("record_count"), lit(0L)), count(lit(1))).head()
+    val (addedRecords, addedFiles) = (agg.getLong(0), agg.getLong(1))
+    val parentRecords = parentOfV.map(_.recordCount).getOrElse(0L)
+    require(target.recordCount - parentRecords == addedRecords,
+      s"v$v is not a pure append: its delta lists $addedRecords rows but the " +
+      s"commit changed the live count by ${target.recordCount - parentRecords} " +
+      "(rewrites and manifest rewrites re-list files they did not add)")
+    val head = currentSnapshot
+    head.foreach { h =>
+      val overlap = deltaEntries.select($"file_path")
+        .join(manifest(h).select($"file_path"), Seq("file_path"), "left_semi")
+        .count()
+      require(overlap == 0L,
+        s"$overlap of v$v's files are already live at head — the delta is " +
+        "already present (cherry-picking an ancestor would double-count rows)")
+    }
+    var (shards, seq) = parentShards(head)
+    delta.foreach { d => seq += 1; shards :+= ManifestShard(seq, "add", d.path) }
+    publish(head, shards, s"cherrypick-v$v",
+      head.map(_.recordCount).getOrElse(0L) + addedRecords,
+      head.map(_.fileCount).filter(_ >= 0).map(_ + addedFiles).getOrElse(-1L))
+  }
+
   /** Remove ORPHAN data files: files under data/ that no retained snapshot's
     * manifest references and that are older than `olderThanMillis` — the
     * debris of crashed write attempts (a task that died between writing its

@@ -959,4 +959,63 @@ class LakeSpec extends SparkTestBase {
       .agg(count(lit(1))).head().getLong(0)
     assert(curN == 650L, s"current count $curN")
   }
+
+  test("cherry-pick: re-applies an append delta after rollback; refusals are loud") {
+    val t = freshTable("graft-cherry")
+    val base = synthDf(100)
+    val bad = synthDf(50, seed = 7).withColumn("path", concat(lit("bad/"), col("path")))
+    val good = synthDf(40, seed = 9).withColumn("path", concat(lit("good/"), col("path")))
+    t.append(base)        // v1
+    t.append(bad)         // v2 — the commit to erase
+    t.append(good)        // v3 — the commit to keep
+    t.rollback(1)         // v4 = base rowset again
+    val cp = t.cherryPick(3)
+    assert(cp.operation == "cherrypick-v3")
+    assert(keyset(t.scan()) == keyset(base) ++ keyset(good))
+    assert(t.scan().count() == 140)
+    assert(t.currentSnapshot.get.recordCount == 140L)
+    assert(t.currentSnapshot.get.fileCount ==
+      t.snapshot(1).get.fileCount + t.snapshot(3).get.fileCount - t.snapshot(2).get.fileCount)
+
+    // ancestor: v1's files are live at head — double-count refused
+    val e1 = intercept[IllegalArgumentException](t.cherryPick(1))
+    assert(e1.getMessage.contains("already live at head"))
+    // a compaction snapshot is not an append delta
+    Maintenance.compact(t, "cp-compact", smallBytes = Long.MaxValue)
+    val vC = t.currentVersion
+    val e2 = intercept[IllegalArgumentException](t.cherryPick(vC))
+    assert(e2.getMessage.contains("append"))
+  }
+
+  test("cherry-pick: selective promote of one branch commit onto main") {
+    val t = freshTable("graft-cherry-br")
+    t.append(synthDf(60))
+    t.createBranch("wip")
+    val b = t.forBranch("wip")
+    val extraA = synthDf(10, seed = 3).withColumn("path", concat(lit("a/"), col("path")))
+    val extraB = synthDf(10, seed = 4).withColumn("path", concat(lit("b/"), col("path")))
+    b.append(extraA)
+    val vA = b.currentVersion
+    b.append(extraB)
+    // promote ONLY the first branch commit; main never sees extraB
+    t.cherryPick(vA)
+    assert(keyset(t.scan()) == keyset(synthDf(60)) ++ keyset(extraA))
+    assert(b.scan().count() == 80) // the branch line is untouched
+    // SQL procedure surface
+    spark.conf.set("spark.sql.catalog.cpcat", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.cpcat.warehouse",
+      java.nio.file.Paths.get(t.location).getParent.toString)
+    try {
+      val tblName = java.nio.file.Paths.get(t.location).getFileName.toString
+      val before = t.currentVersion
+      t.rollback(1)
+      val r = spark.sql(
+        s"CALL cpcat.system.cherrypick_snapshot(`table` => '$tblName', version => $vA)").head()
+      assert(r.getLong(0) > before)
+      assert(keyset(t.scan()) == keyset(synthDf(60)) ++ keyset(extraA))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.cpcat")
+      spark.conf.unset("spark.sql.catalog.cpcat.warehouse")
+    }
+  }
 }
