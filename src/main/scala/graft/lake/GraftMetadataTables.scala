@@ -46,7 +46,8 @@ class GraftMetadataSparkTable(baseLocation: String, kind: String,
 }
 
 object GraftMetadataTables {
-  val kinds: Set[String] = Set("snapshots", "files", "tags", "branches")
+  val kinds: Set[String] =
+    Set("snapshots", "files", "tags", "branches", "history", "column_stats")
 
   val snapshotsSchema: StructType = StructType(Seq(
     StructField("version", LongType, nullable = false),
@@ -68,11 +69,37 @@ object GraftMetadataTables {
     StructField("branch", StringType, nullable = false),
     StructField("head_version", LongType, nullable = false)))
 
+  /** history = the Iceberg convention: every snapshot with whether it is on
+    * the current head's ancestry. In this engine main's history never forks
+    * — rollback and cherry-pick are NEW commits whose parent is the previous
+    * head (the restored/picked content is re-listed, causality stays linear)
+    * — so `is_current_ancestor = false` marks exactly the commits on
+    * not-yet-published branch lines (still time-travelable until their
+    * branch is dropped and expire reaps them). */
+  val historySchema: StructType = StructType(Seq(
+    StructField("made_current_at", LongType, nullable = false),
+    StructField("version", LongType, nullable = false),
+    StructField("parent", LongType, nullable = false),
+    StructField("operation", StringType, nullable = false),
+    StructField("is_current_ancestor", BooleanType, nullable = false)))
+
+  /** column_stats = the committed ANALYZE result (Maintenance.analyze):
+    * per-column NDV + null count, stamped with the snapshot version the
+    * scan saw and the row count it measured. */
+  val columnStatsSchema: StructType = StructType(Seq(
+    StructField("column", StringType, nullable = false),
+    StructField("ndv", LongType, nullable = false),
+    StructField("null_count", LongType, nullable = false),
+    StructField("stats_version", LongType, nullable = false),
+    StructField("row_count", LongType, nullable = false)))
+
   def schemaOf(kind: String): StructType = kind match {
-    case "snapshots" => snapshotsSchema
-    case "tags"      => tagsSchema
-    case "branches"  => branchesSchema
-    case "files"     => GraftTable.manifestSchema
+    case "snapshots"    => snapshotsSchema
+    case "tags"         => tagsSchema
+    case "branches"     => branchesSchema
+    case "history"      => historySchema
+    case "column_stats" => columnStatsSchema
+    case "files"        => GraftTable.manifestSchema
   }
 
   def scan(base: String, kind: String, pinned: Option[Long]): Scan = {
@@ -95,6 +122,21 @@ object GraftMetadataTables {
         local(branchesSchema, t.branches.toSeq.sortBy(_._1).map { case (n, v) =>
           new GenericInternalRow(Array[Any](UTF8String.fromString(n), v))
         }, s"graft.branches @ $base")
+      case "history" =>
+        val anc = t.currentSnapshot
+          .map(s => t.ancestorsOf(s.version)).getOrElse(Set.empty[Long])
+        local(historySchema, t.listSnapshots().sortBy(_.version).map(s =>
+          new GenericInternalRow(Array[Any](s.tsMillis, s.version, s.parent,
+            UTF8String.fromString(s.operation), anc(s.version)))),
+          s"graft.history @ $base")
+      case "column_stats" =>
+        val rows = t.tableStats.toSeq.flatMap { case (ver, n, cols) =>
+          cols.toSeq.sortBy(_._1).map { case (c, (ndv, nulls)) =>
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(c), ndv, nulls, ver, n))
+          }
+        }
+        local(columnStatsSchema, rows, s"graft.column_stats @ $base")
       case "files" => new FilesScan(base, pinned)
     }
   }

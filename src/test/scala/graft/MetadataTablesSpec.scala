@@ -99,4 +99,53 @@ class MetadataTablesSpec extends SparkTestBase {
     shadow.append(synthDf(12))
     assert(spark.sql("SELECT count(*) FROM msh.t.files").head().getLong(0) == 12)
   }
+
+  test("history: linear main stays all-ancestor; branch commits are off-ancestry") {
+    val wh = Files.createTempDirectory("meta-hist").toString
+    spark.conf.set("spark.sql.catalog.hcat", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.hcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE hcat.ns")
+    val t = new GraftTable(spark, s"$wh/ns/t")
+    t.append(synthDf(30))                                      // v1
+    t.append(synthDf(10, seed = 7)
+      .withColumn("path", concat(lit("bad/"), col("path"))))   // v2 (bad)
+    t.rollback(1)                                              // v3
+    t.createBranch("wip")
+    t.forBranch("wip").append(synthDf(10, seed = 9)
+      .withColumn("path", concat(lit("wip/"), col("path"))))   // v4 (branch)
+    t.append(synthDf(5, seed = 11)
+      .withColumn("path", concat(lit("more/"), col("path"))))  // v5 (main)
+    val hist = spark.sql(
+      "SELECT version, operation, is_current_ancestor FROM hcat.ns.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    assert(hist.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // main's causality is LINEAR (rollback is a new commit on the same
+    // line, v2 stays an ancestor even though its rows are gone); the only
+    // off-ancestry snapshot is the unpublished branch commit v4
+    assert(hist.filter(!_._3).map(_._1).toSeq == Seq(4L))
+    assert(hist.find(_._1 == 3L).get._2 == "rollback-to-v1")
+    // every row carries a made_current_at timestamp
+    assert(spark.sql("SELECT count(*) FROM hcat.ns.t.history WHERE made_current_at > 0")
+      .head().getLong(0) == 5)
+  }
+
+  test("column_stats surfaces the committed ANALYZE result") {
+    val wh = Files.createTempDirectory("meta-cstats").toString
+    spark.conf.set("spark.sql.catalog.ccat", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ccat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE ccat.ns")
+    val t = new GraftTable(spark, s"$wh/ns/t")
+    t.append(synthDf(200))
+    // never analyzed → empty, not an error
+    assert(spark.sql("SELECT * FROM ccat.ns.t.column_stats").count() == 0)
+    Maintenance.analyze(t, Seq("repo", "lang"), k = 512)
+    val rows = spark.sql(
+      "SELECT column, ndv, null_count, stats_version, row_count " +
+      "FROM ccat.ns.t.column_stats ORDER BY column").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("lang", "repo"))
+    assert(rows.forall(r => r.getLong(3) == t.currentVersion && r.getLong(4) == 200L))
+    val exact = t.scan().select(countDistinct(col("repo")), countDistinct(col("lang"))).head()
+    assert(rows.find(_.getString(0) == "repo").get.getLong(1) == exact.getLong(0))
+    assert(rows.find(_.getString(0) == "lang").get.getLong(1) == exact.getLong(1))
+  }
 }
