@@ -1640,6 +1640,33 @@ object SparkEntry {
       .orderBy($"phase", $"lang")
   }
 
+  private def q77CdcUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // CDC upsert-mode ingestion under the oracle gate: three epochs with
+    // overlapping keys land through the foreachBatch upsert sink (equality
+    // delete on live-matched keys + append, ONE merge-on-read snapshot per
+    // epoch, no file rewritten), epoch 1 is deliberately replayed (the
+    // sink-recovery case) and must not double-apply. The final table holds
+    // the LATEST version per key; DuckDB recomputes the winner per doc_id
+    // from the same splits.
+    val docs = t(s, dir, "documents")
+    def shaped(df: DataFrame, prefix: String) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang",
+      concat(lit(prefix), $"text").as("content"))
+    val loc = java.nio.file.Files.createTempDirectory("graft-q77").toString + "/t"
+    val sink = graft.lake.MorUpdate.upsertSink(loc, "q77")
+    sink(shaped(docs.filter($"doc_id" % 2 === 0), ""), 0L)
+    sink(shaped(docs.filter($"doc_id" % 3 === 0), "v2 "), 1L)
+    sink(shaped(docs.filter($"doc_id" % 3 === 0), "v2 "), 1L) // replayed epoch
+    sink(shaped(docs.filter($"doc_id" % 5 === 0), "v3 "), 2L)
+    val table = new graft.lake.GraftTable(s, loc)
+    table.scan()
+      .select($"repo", $"path", $"lang", sha2($"content", 256).as("content_sha"))
+      .orderBy($"path")
+  }
+
   private def q68OccCommits(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // optimistic concurrency under the oracle gate: four UNCOORDINATED
@@ -1867,6 +1894,7 @@ object SparkEntry {
     "q74_ndv_sketch"     -> (q74NdvSketch(_, _)),
     "q75_quantile_filter" -> (q75QuantileFilter(_, _)),
     "q76_cherrypick"     -> (q76CherryPick(_, _)),
+    "q77_cdc_upsert"     -> (q77CdcUpsert(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -2240,6 +2268,18 @@ object SparkEntry {
         |   OR (phase = 'post_pick' AND doc_id % 5 <> 3)
         |GROUP BY phase, lang
         |ORDER BY phase, lang""".stripMargin,
+    // q77: latest upsert epoch wins per key — v3 where doc_id%5=0, else v2
+    // where doc_id%3=0, else the original where doc_id%2=0; the replayed
+    // epoch contributes nothing extra (row count = the distinct key count)
+    "q77_cdc_upsert" ->
+      """SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo,
+        |  'f/' || doc_id::VARCHAR || '.txt' AS path, lang,
+        |  sha256(CASE WHEN doc_id % 5 = 0 THEN 'v3 ' || text
+        |              WHEN doc_id % 3 = 0 THEN 'v2 ' || text
+        |              ELSE text END) AS content_sha
+        |FROM documents
+        |WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0
+        |ORDER BY path""".stripMargin,
     // q68: four racing appends of disjoint doc_id slices must reassemble
     // exactly `documents` — n_appends/distinct_parents = 4 and forks = 0
     // are the chain-shape constants the optimistic protocol guarantees

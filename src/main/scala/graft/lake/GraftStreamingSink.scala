@@ -54,30 +54,7 @@ class GraftStreamingWrite(location: String, queryId: String, inputSchema: Struct
     // interleaved commits, not the whole log. No marker yet = first epochs
     // or a pre-marker table: one full scan, then the marker takes over.
     val markerRel = s"meta/stream-epoch-$queryId.text"
-    val marker: Option[(Long, Long)] =
-      if (table.exists && table.io.exists(markerRel))
-        table.io.readString(markerRel).trim.split(' ') match {
-          case Array(e, v) => Some((e.toLong, v.toLong))
-          case _ => None
-        }
-      else None
-    def chainHasOp(floor: Long): Boolean = {
-      var v = table.currentVersion
-      while (v > floor) {
-        table.snapshot(v) match {
-          case Some(s) if s.operation == op => return true
-          case Some(s) => v = s.parent
-          case None => return false // expired below here: older than any crash window
-        }
-      }
-      false
-    }
-    val replayed =
-      marker.exists(_._1 >= epochId) ||
-      (table.exists && (marker match {
-        case Some((_, mv)) => chainHasOp(mv)
-        case None => table.listSnapshots().exists(_.operation == op)
-      }))
+    val replayed = table.epochReplayed(markerRel, op, epochId)
     if (replayed) {
       // replayed epoch: the original commit survives in the snapshot log;
       // drop this attempt's files instead of appending the batch twice

@@ -1188,6 +1188,69 @@ class GraftTable(val spark: SparkSession, val location: String,
   private[lake] def nextEqDeleteSeq(basis: Option[Snapshot]): Long =
     parentShards(basis)._2.toLong + 1L
 
+  /** Commit a merge-on-read UPSERT: ONE snapshot holding both the batch's
+    * equality-delete keys (del_seq = s, retracting whatever prior version
+    * of those keys is live) and the batch's new data files (add seq = s+1,
+    * so the batch's own rows survive their own retraction — the Iceberg
+    * sequence rule). The CDC "upsert mode" write shape: no MERGE join on
+    * the write path, no file rewritten; a never-seen key retracts nothing.
+    * `eqdelShardRel = None` = the batch matched nothing live — commits as
+    * a plain append, leaving no pending-delete state behind. */
+  private[lake] def commitUpsert(added: Seq[ManifestEntry],
+                                 eqdelShardRel: Option[String],
+                                 retractedRows: Long, basis: Option[Snapshot],
+                                 operation: String): Snapshot = {
+    init()
+    val uid = UUID.randomUUID().toString.take(12)
+    val addRel = s"meta/manifest-add-$uid.parquet"
+    MetaIO.writeEntries(io, addRel, added)
+    val (prev, seq) = parentShards(basis)
+    var shards = prev
+    var s = seq
+    eqdelShardRel.foreach { r => s += 1; shards :+= ManifestShard(s, "eqdel", r) }
+    s += 1
+    shards :+= ManifestShard(s, "add", addRel)
+    val liveCount = basis.map(_.recordCount).getOrElse(0L) - retractedRows +
+      added.map(_.record_count).sum
+    val parentFiles = basis.map(_.fileCount).getOrElse(0L)
+    publish(basis, shards, operation, liveCount,
+      if (parentFiles < 0) -1L else parentFiles + added.size)
+  }
+
+  /** Exactly-once epoch guard shared by the streaming sinks: has `op`
+    * (which embeds the sink/query id and epoch id) already been committed?
+    * A per-sink high-water marker answers the common case in one read; the
+    * crash window (committed, marker not yet advanced) is covered by
+    * walking the snapshot chain only back to the marker's version. No
+    * marker = first epochs or a pre-marker table: one full log scan, then
+    * the marker takes over. */
+  private[lake] def epochReplayed(markerRel: String, op: String,
+                                  epochId: Long): Boolean = {
+    val marker: Option[(Long, Long)] =
+      if (exists && io.exists(markerRel))
+        io.readString(markerRel).trim.split(' ') match {
+          case Array(e, v) => Some((e.toLong, v.toLong))
+          case _ => None
+        }
+      else None
+    def chainHasOp(floor: Long): Boolean = {
+      var v = currentVersion
+      while (v > floor) {
+        snapshot(v) match {
+          case Some(sn) if sn.operation == op => return true
+          case Some(sn) => v = sn.parent
+          case None => return false // expired below here: older than any crash window
+        }
+      }
+      false
+    }
+    marker.exists(_._1 >= epochId) ||
+      (exists && (marker match {
+        case Some((_, mv)) => chainHasOp(mv)
+        case None => listSnapshots().exists(_.operation == op)
+      }))
+  }
+
   /** Commit the MATERIALIZATION of pending merge-on-read deletes: the
     * affected files were rewritten with deletes applied, every eqdel shard
     * is dropped from the manifest list, and the live record count is

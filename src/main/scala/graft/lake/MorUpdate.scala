@@ -144,6 +144,78 @@ object MorUpdate {
     } finally src.unpersist()
   }
 
+  final case class UpsertResult(inserted: Long, retracted: Long, version: Long)
+
+  /** CDC UPSERT by key — the Flink/Iceberg "upsert mode" write shape: land
+    * `batch` (one full row per (repo, path, commit) key; CDC streams
+    * deliver exactly that) as ONE merge-on-read snapshot holding an
+    * equality delete on the batch's live-matched keys plus an append of
+    * the batch rows. No MERGE join drives the write, no target file is
+    * rewritten: a scattered 10^4-key upsert costs key-bytes of delete
+    * shard + the batch's own files, and materialization happens at leisure
+    * (applyDeletes / the next compaction).
+    *
+    * Exactness: recordCount must stay exact (the zero-job sizing
+    * arithmetic depends on it), so the retraction count is measured with
+    * one key-projected semi-join of the live scan against the BROADCAST
+    * batch keys — the one scan-shaped job an exact-live-count engine pays
+    * where Iceberg lets total-records drift. The same pass prunes the
+    * delete shard to the keys that actually match something live, so a
+    * pure-insert batch commits as a plain append with no pending-delete
+    * state at all. */
+  def upsertBatch(table: GraftTable, batch: DataFrame,
+                  operation: String = "mor-upsert"): UpsertResult = {
+    val spark = table.spark
+    val keys = Seq("repo", "path", "commit")
+    val basis = table.currentSnapshot
+    val delSeq = table.nextEqDeleteSeq(basis)
+    val batchKeys = batch.select(keys.map(col): _*).distinct()
+    // live rows hit by the batch's keys: persisted because it serves both
+    // the exact retraction count and the pruned delete-key shard
+    val liveMatches = basis match {
+      case None => None
+      case Some(_) =>
+        val m = table.scan().select(keys.map(col): _*)
+          .join(broadcast(batchKeys), keys, "left_semi").persist()
+        Some(m)
+    }
+    try {
+      val retracted = liveMatches.map(_.count()).getOrElse(0L)
+      val shardRel =
+        if (retracted == 0L) None
+        else {
+          val uid = java.util.UUID.randomUUID().toString.take(12)
+          val rel = s"meta/manifest-eqdel-$uid.parquet"
+          liveMatches.get.distinct()
+            .withColumn("del_seq", lit(delSeq))
+            .write.mode("overwrite").parquet(table.io.abs(rel).toString)
+          Some(rel)
+        }
+      val added = table.writeDataFiles(batch, "upsert")
+      if (added.isEmpty && shardRel.isEmpty)
+        return UpsertResult(0L, 0L, basis.map(_.version).getOrElse(0L))
+      val snap = table.commitUpsert(added, shardRel, retracted, basis, operation)
+      UpsertResult(added.map(_.record_count).sum, retracted, snap.version)
+    } finally liveMatches.foreach(_.unpersist())
+  }
+
+  /** foreachBatch adapter with exactly-once epoch replay protection (the
+    * same marker + chain-walk guard the append streaming sink uses):
+    * {{{ stream.writeStream.foreachBatch(MorUpdate.upsertSink(loc, "cdc-1")) }}}
+    * A replayed epoch (sink-side recovery re-runs the last batch) finds its
+    * (sinkId, epochId) marker and commits nothing — the table never holds
+    * an epoch twice. */
+  def upsertSink(location: String, sinkId: String)
+      : (DataFrame, Long) => Unit = { (batch, epochId) =>
+    val table = new GraftTable(batch.sparkSession, location)
+    val op = s"mor-upsert sink=$sinkId epoch=$epochId"
+    val markerRel = s"meta/stream-upsert-$sinkId.text"
+    if (!table.epochReplayed(markerRel, op, epochId)) {
+      val r = upsertBatch(table, batch, op)
+      table.io.writeAtomic(markerRel, s"$epochId ${r.version}")
+    }
+  }
+
   /** write the matched addresses as a posdel shard; None when empty. */
   private def writeAddresses(table: GraftTable, matching: DataFrame): Option[String] = {
     val uid = java.util.UUID.randomUUID().toString.take(12)
