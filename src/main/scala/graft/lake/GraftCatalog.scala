@@ -88,6 +88,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     new GraftSparkTable(path, Some(resolve(path)), acceptAnySchema = false)
   }
 
+  /** SQL time travel by time: `TIMESTAMP AS OF '...'` — Spark hands the
+    * instant in MICROseconds; resolves to the newest snapshot on main's
+    * ancestry committed at or before it (branch-line snapshots are never
+    * picked up by a timestamp — the Iceberg rule). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val path = tablePath(ident)
+    def resolve(p: String): Long = {
+      val t = new GraftTable(SparkSession.active, p)
+      val tsMillis = timestampMicros / 1000L
+      val anc = t.currentSnapshot.map(s => t.ancestorsOf(s.version))
+        .getOrElse(Set.empty[Long])
+      t.listSnapshots()
+        .filter(s => anc(s.version) && s.tsMillis <= tsMillis)
+        .map(_.version).maxOption
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
+    if (!isTable(path)) {
+      val base = (warehouse +: ident.namespace()).mkString("/")
+      return metadataTable(ident, Some(resolve(base)))
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
+    new GraftSparkTable(path, Some(resolve(path)), acceptAnySchema = false)
+  }
+
   override def tableExists(ident: Identifier): Boolean = isTable(tablePath(ident))
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

@@ -1603,15 +1603,22 @@ class GraftTable(val spark: SparkSession, val location: String,
     * manifest shards (only when unreferenced by kept snapshots), delete data
     * files referenced only by expired snapshots. The live-set difference is
     * computed as DataFrames; only the deletion list is collected. */
-  def expireSnapshots(olderThanMillis: Long): (Int, Int) = {
+  def expireSnapshots(olderThanMillis: Long, retainLast: Int = 1): (Int, Int) = {
+    require(retainLast >= 1, "retainLast must keep at least the head")
     val all = listSnapshots()
     // RETAINED whatever their age: main's head, tagged snapshots (the
-    // audit/compliance pin — dropTag is the only release), and every live
+    // audit/compliance pin — dropTag is the only release), every live
     // branch's FULL ancestry (the branch stays readable, committable and
     // fast-forwardable — the ancestry walk is what proves fast-forward
-    // safety; dropBranch/fastForward releases the line)
+    // safety; dropBranch/fastForward releases the line), and the newest
+    // `retainLast` snapshots of main's ancestry (Iceberg's retain-last
+    // guard: a burst of recent commits stays time-travelable even when the
+    // age cutoff is aggressive)
+    val mainAncestry = ancestorsOf(mainVersion)
+    val recentMain = all.filter(s => mainAncestry(s.version))
+      .map(_.version).sorted.takeRight(retainLast)
     val protectedVersions = tags.values.toSet + mainVersion + currentVersion ++
-      branches.values.flatMap(ancestorsOf)
+      branches.values.flatMap(ancestorsOf) ++ recentMain
     val (expired, kept) = all.partition(s =>
       s.tsMillis < olderThanMillis && !protectedVersions(s.version))
     if (expired.isEmpty) return (0, 0)

@@ -960,6 +960,49 @@ class LakeSpec extends SparkTestBase {
     assert(curN == 650L, s"current count $curN")
   }
 
+  test("TIMESTAMP AS OF resolves the newest main-ancestry snapshot at the instant") {
+    val wh = Files.createTempDirectory("graft-tsaof").toString
+    spark.conf.set("spark.sql.catalog.tscat", "graft.lake.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tscat.warehouse", wh)
+    try {
+      val t = new GraftTable(spark, s"$wh/ns/t")
+      t.append(synthDf(30))
+      val ts1 = t.currentSnapshot.get.tsMillis
+      Thread.sleep(5)
+      t.append(synthDf(10, seed = 7).withColumn("path", concat(lit("b/"), col("path"))))
+      // a branch commit AFTER ts1 must never be picked by a timestamp
+      t.createBranch("side")
+      t.forBranch("side").append(synthDf(5, seed = 9))
+      val instant = java.time.Instant.ofEpochMilli(ts1)
+        .atZone(java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val n = spark.sql(
+        s"SELECT count(*) FROM tscat.ns.t TIMESTAMP AS OF '$instant'").head().getLong(0)
+      assert(n == 30L, s"expected the v1 rowset at $instant, got $n rows")
+      // the current read still sees both appends, not the branch
+      assert(spark.sql("SELECT count(*) FROM tscat.ns.t").head().getLong(0) == 40L)
+      // an instant before the first commit resolves nothing
+      val early = intercept[Exception](spark.sql(
+        "SELECT count(*) FROM tscat.ns.t TIMESTAMP AS OF '2000-01-01 00:00:00'").collect())
+      assert(early.getMessage.toLowerCase.contains("table"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.tscat")
+      spark.conf.unset("spark.sql.catalog.tscat.warehouse")
+    }
+  }
+
+  test("expireSnapshots retainLast keeps the newest N main snapshots past the age cutoff") {
+    val t = freshTable("graft-retain")
+    t.append(synthDf(20))                                                   // v1
+    t.append(synthDf(5, seed = 7).withColumn("path", concat(lit("b/"), col("path")))) // v2
+    t.append(synthDf(5, seed = 9).withColumn("path", concat(lit("c/"), col("path")))) // v3
+    // cutoff in the future: ONLY retainLast protects anything but the head
+    val (expired, _) = t.expireSnapshots(System.currentTimeMillis() + 60000, retainLast = 2)
+    assert(expired == 1, "v1 expires; v2 and v3 are the retained last 2")
+    assert(t.snapshot(1).isEmpty && t.snapshot(2).isDefined && t.snapshot(3).isDefined)
+    assert(t.scan().count() == 30)
+  }
+
   test("cherry-pick: re-applies an append delta after rollback; refusals are loud") {
     val t = freshTable("graft-cherry")
     val base = synthDf(100)

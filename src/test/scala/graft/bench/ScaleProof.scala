@@ -40,7 +40,13 @@ object ScaleProof {
     // rewrite-under-ingest lifecycle: appends + planned re-pack + interleaved
     // append + validated-rebase commit — the rewrite's cost is the re-pack
     // itself, so the lifecycle must scale linearly in the corpus
-    "q72_rewrite_rebase")
+    "q72_rewrite_rebase",
+    // round-5 additions: KMV NDV sketch (shuffle is partitions × k longs —
+    // should be FLAT, not linear), bucketed quantile rank (one full-data
+    // exchange keyed by (lang, bucket)), cherry-pick and CDC-upsert
+    // lifecycles (delete shard ∝ matched keys, appends ∝ corpus)
+    "q74_ndv_sketch", "q74s_sketch_only", "q75_quantile_filter",
+    "q76_cherrypick", "q77_cdc_upsert")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
@@ -65,6 +71,14 @@ object ScaleProof {
         val pairs = graft.pipeline.Dedup.embeddingPairsLsh(
           emb, "vec_id", "embedding", threshold = 0.3, planes = 8, bands = 4)
         graft.pipeline.Dedup.nearDupGroups(emb, "vec_id", pairs)
+      }),
+      // q74 without the oracle's exact countDistinct companion: the KMV
+      // sketch ALONE — its shuffle is partitions × k longs, so the 10×
+      // corpus must show a ~FLAT shuffle ratio (the driver query's 10×
+      // ratio is the exact-count column, not the sketch)
+      "q74s_sketch_only" -> ((s: SparkSession, dir: String) => {
+        graft.pipeline.Sketch.ndvByGroup(
+          s.read.parquet(s"$dir/documents.parquet"), "text", 64, "lang")
       }),
       // SAME θ=0.3 pair set, grouped by large-star/small-star instead of
       // pointer doubling — the head-to-head shuffle contrast between the
