@@ -1479,6 +1479,14 @@ class GraftTable(val spark: SparkSession, val location: String,
     * snapshot's json before its files, so a broken chain fails loudly
     * here, never silently returns partial rows). A merge or delete in the
     * range changes rows in a way additions cannot express — refused. */
+  /** the eqdel shards snapshot `s` itself added (shard-set diff vs parent;
+    * shards are uid-named so the diff is name-agnostic). */
+  private def newEqDeleteShards(s: Snapshot): Seq[String] = {
+    val parentEq = snapshot(s.parent)
+      .map(p => eqDeleteShards(p).map(_.path).toSet).getOrElse(Set.empty[String])
+    eqDeleteShards(s).map(_.path).filterNot(parentEq)
+  }
+
   def incrementalEntries(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 0 && fromV <= toV,
       s"incremental range (v$fromV, v$toV] is not a valid version interval")
@@ -1489,6 +1497,10 @@ class GraftTable(val spark: SparkSession, val location: String,
         s"snapshot v$v is missing (expired?) — incremental read (v$fromV, v$toV] cannot be reconstructed"))
       s.operation match {
         case "append" => addPaths = addedShardPaths(s).toList ::: addPaths
+        case op if op.startsWith("mor-upsert") && newEqDeleteShards(s).isEmpty =>
+          // a pure-insert upsert commit IS an append (the shard pruning in
+          // upsertBatch leaves no delete state when nothing matched)
+          addPaths = addedShardPaths(s).toList ::: addPaths
         case op if rowsetPreservingOps(op) => // no row change: skip
         case op => throw new IllegalArgumentException(
           s"incremental read crosses snapshot v$v (operation=$op): an " +
@@ -1544,10 +1556,14 @@ class GraftTable(val spark: SparkSession, val location: String,
         case "mor-delete" =>
           // the eqdel shard THIS commit added: its shard set minus the
           // parent's (shards are uid-named; the diff is name-agnostic)
-          val parentEq = snapshot(s.parent)
-            .map(p => eqDeleteShards(p).map(_.path).toSet).getOrElse(Set.empty)
-          deletes :::= eqDeleteShards(s).map(_.path).filterNot(parentEq)
-            .map(p => (v, p)).toList
+          deletes :::= newEqDeleteShards(s).map(p => (v, p)).toList
+        case op if op.startsWith("mor-upsert") =>
+          // an upsert commit is fully expressible as change records: a
+          // delete per retracted key (its eqdel shard) + an insert per
+          // batch row (its add shard) — both from the SAME snapshot, so
+          // consumers see the retraction and its replacement atomically
+          inserts ::= (v, addedShardPaths(s))
+          deletes :::= newEqDeleteShards(s).map(p => (v, p)).toList
         case op if rowsetPreservingOps(op) => // no row change
         case op => throw new IllegalArgumentException(
           s"changelog crosses snapshot v$v (operation=$op): a copy-on-write " +

@@ -125,6 +125,35 @@ class UpsertSpec extends SparkTestBase {
     assert(t.currentSnapshot.get.recordCount == 3L)
   }
 
+  test("changelog expresses an upsert as delete records + inserts from one commit") {
+    import spark.implicits._
+    val t = new GraftTable(spark, Files.createTempDirectory("ups-cdf").toString)
+    val base = synthDf(20)
+    t.append(base)                                            // v1
+    val changed = base.limit(3)
+      .withColumn("content", concat(lit("v2 "), col("content")))
+    MorUpdate.upsertBatch(t, changed)                         // v2
+    val cdf = t.changelogScan(1)
+    val byType = cdf.groupBy($"_change_type").count().as[(String, Long)]
+      .collect().toMap
+    assert(byType == Map("delete" -> 3L, "insert" -> 3L))
+    // both sides of the change carry the SAME commit version (atomicity in
+    // the feed) and the same keys
+    assert(cdf.select($"_commit_version").distinct().as[Long].collect().toSeq == Seq(2L))
+    val delKeys = cdf.filter($"_change_type" === "delete")
+      .select("repo", "path", "commit").as[(String, String, String)].collect().toSet
+    val insKeys = cdf.filter($"_change_type" === "insert")
+      .select("repo", "path", "commit").as[(String, String, String)].collect().toSet
+    assert(delKeys == insKeys)
+    // a pure-insert upsert commit IS appends-only: the incremental read
+    // accepts it; one with retractions is refused loudly
+    val fresh = synthDf(4, seed = 11).withColumn("path", concat(lit("n/"), col("path")))
+    MorUpdate.upsertBatch(t, fresh)                           // v3, no matches
+    assert(t.incrementalScan(2).count() == 4)
+    val e = intercept[IllegalArgumentException](t.incrementalScan(1).count())
+    assert(e.getMessage.contains("appends-only"))
+  }
+
   private def keysetOf(df: org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     df.select(col("repo"), col("path"), col("commit"), sha2(col("content"), 256))
