@@ -918,6 +918,81 @@ object SparkEntry {
     df
   }
 
+  private val limitCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.lake.GraftTable]()
+
+  /** LIMIT pushdown through the public connector: a `LIMIT k` over a
+    * many-file table plans only the fewest files whose committed
+    * record_counts cover k and caps every partition reader at k rows —
+    * at 100 TB the difference between opening one small file and scanning
+    * the table. The query REQUIRES the pushdown to have planned AND to have
+    * truncated the file list; the returned row is deterministic (count +
+    * containment proof) even though which k rows arrive is not. */
+  private def q78LimitPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = limitCache.computeIfAbsent((s, dir), _ => {
+      val docs = t(s, dir, "documents")
+      val shaped = docs.select(
+        concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+        concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+        lit("c0").as("commit"), $"lang", $"text".as("content"))
+      val loc = java.nio.file.Files.createTempDirectory("graft-q78").toString
+      val tb = new graft.lake.GraftTable(s, loc)
+      tb.append(shaped.repartition(8)) // 8 files: truncation has work to do
+      tb
+    })
+    def read() = s.read.format("graft").load(table.location)
+      .select($"repo", $"path", $"commit", sha2($"content", 256).as("sha"))
+    val limited = read().limit(37)
+    limited.count() // execute once so the scan's planning stats are recorded
+    val desc = limited.queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    require(desc.contains("PushedLimit=37"), s"limit pushdown did not plan:\n$desc")
+    val files = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+      .getOrElse(sys.error(s"no pruning ratio in scan description:\n$desc"))
+    require(files.group(1).toInt < files.group(2).toInt,
+      s"pushed limit did not truncate planning (files=${files.matched}):\n$desc")
+    // whichever 37 rows the scan chose: count is exact, none may leak from
+    // outside the table (anti-join containment), total cross-checks DuckDB
+    limited.agg(count(lit(1)).as("limited_rows"))
+      .crossJoin(read().agg(count(lit(1)).as("total_rows")))
+      .crossJoin(limited.join(read(), Seq("repo", "path", "commit", "sha"),
+        "left_anti").agg(count(lit(1)).as("leaked")))
+  }
+
+  private val topnCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.lake.GraftTable]()
+
+  /** TopN pushdown through the public connector: `ORDER BY repo LIMIT 25`
+    * over a bucket-SORTED table caps every reader at its bucket's first 25
+    * rows (a sorted file's prefix IS its local top-k) — the global sort
+    * then merges k rows per bucket instead of the whole table. The query
+    * REQUIRES the capped plan; the oracle checks the deterministic
+    * projection (the repo multiset of the top 25, ties included). */
+  private def q79TopnPushdown(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val table = topnCache.computeIfAbsent((s, dir), _ => {
+      val docs = t(s, dir, "documents")
+      val shaped = docs.select(
+        concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+        concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+        lit("c0").as("commit"), $"lang", $"text".as("content"))
+      val loc = java.nio.file.Files.createTempDirectory("graft-q79").toString
+      val tb = new graft.lake.GraftTable(s, loc)
+      tb.append(shaped.repartition(4))
+      graft.lake.Maintenance.bucketize(tb, 8, "repo")
+      tb
+    })
+    val topk = s.read.format("graft").load(table.location)
+      .orderBy($"repo").limit(25)
+    topk.count() // execute once so the scan's planning state is recorded
+    val desc = topk.queryExecution.executedPlan
+      .collectLeaves().map(_.toString).mkString
+    require(desc.contains("PushedTopN=repo ASC LIMIT 25 (capped)"),
+      s"TopN pushdown did not plan capped:\n$desc")
+    topk.select($"repo").orderBy($"repo")
+  }
+
   private val incrCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (graft.lake.GraftTable, Long)]()
 
@@ -1895,6 +1970,8 @@ object SparkEntry {
     "q75_quantile_filter" -> (q75QuantileFilter(_, _)),
     "q76_cherrypick"     -> (q76CherryPick(_, _)),
     "q77_cdc_upsert"     -> (q77CdcUpsert(_, _)),
+    "q78_limit_pushdown" -> (q78LimitPushdown(_, _)),
+    "q79_topn_pushdown"  -> (q79TopnPushdown(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -2280,6 +2357,21 @@ object SparkEntry {
         |FROM documents
         |WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0
         |ORDER BY path""".stripMargin,
+    // q78: LIMIT pushdown — which 37 rows the truncated scan returns is
+    // nondeterministic, so the oracle checks the deterministic projection:
+    // exactly min(37, |table|) rows arrived, every one of them is a real
+    // table row (leaked = 0 by anti-join), and the full count cross-checks
+    "q78_limit_pushdown" ->
+      """SELECT least(37, count(*))::BIGINT AS limited_rows,
+        |  count(*)::BIGINT AS total_rows, 0::BIGINT AS leaked
+        |FROM documents""".stripMargin,
+    // q79: TopN pushdown — ties make the top-25 ROWS nondeterministic, but
+    // the repo multiset of any valid top-25 under `repo ASC` is unique
+    "q79_topn_pushdown" ->
+      """SELECT repo FROM (
+        |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo
+        |  FROM documents ORDER BY repo LIMIT 25
+        |) ORDER BY repo""".stripMargin,
     // q68: four racing appends of disjoint doc_id slices must reassemble
     // exactly `documents` — n_appends/distinct_parents = 4 and forks = 0
     // are the chain-shape constants the optimistic protocol guarantees

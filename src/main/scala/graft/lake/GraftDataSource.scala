@@ -230,11 +230,66 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
                        maxVersionsPerBatch: Option[Long] = None,
                        tableSchema: StructType = GraftDataSource.schema)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggPushed: Option[Seq[GraftAggScan.PushedAgg]] = None
+  private var limit: Option[Int] = None
+
+  /** LIMIT pushdown — `SELECT * FROM t LIMIT k` over a 100-TB table must
+    * not plan (or read) every file: planning keeps only the fewest files
+    * whose committed record_counts cover k, and each partition reader stops
+    * after k rows, so at most one small file is usually opened. Declared
+    * PARTIALLY pushed, so Spark always keeps its own global Limit — the
+    * scan only has to deliver at least min(k, table rows), which the
+    * truncation guarantees because record_count is exact for files with no
+    * pending deletes. Refused for incremental reads (the changelog slice
+    * has its own row accounting) and while merge-on-read deletes are
+    * pending (record_count is then an upper bound on surviving rows, so a
+    * truncated plan could under-deliver). Spark only pushes a limit when no
+    * Filter sits between it and the scan, so the kept-residual predicates
+    * never interact with the truncation. */
+  override def pushLimit(l: Int): Boolean = {
+    if (fromSnapshot.isDefined || morPending || l <= 0) false
+    else { limit = Some(l); true }
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** TopN pushdown — `ORDER BY c LIMIT k` over a bucket-SORTED table: each
+    * bucket file is physically sorted by c (Maintenance.bucketize), so a
+    * partition's local top-k under `c ASC NULLS FIRST` is literally its
+    * first k rows, and the per-partition reader cap turns a full-table sort
+    * feed into k rows per bucket. PARTIALLY pushed: Spark keeps its global
+    * TakeOrderedAndProject, so the cap only has to preserve every possible
+    * top-k candidate — which sorted-prefix rows do by construction. The
+    * SCAN re-verifies at planning time that every planned partition is a
+    * single sorted file on exactly this column (appends since bucketize,
+    * multi-file buckets, pending deletes all void it) and silently drops
+    * the cap otherwise — never a wrong answer, only a missed shortcut. */
+  private var topN: Option[(String, Int)] = None
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    if (fromSnapshot.isDefined || morPending || l <= 0 || orders.length != 1)
+      return false
+    val o = orders(0)
+    val col = o.expression() match {
+      case nr: NamedReference if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    // bucketize sorts ascending (nulls first, Spark's ASC default) — any
+    // other requested order can't be served by a file prefix
+    if (o.direction() != SortDirection.ASCENDING ||
+        o.nullOrdering() != NullOrdering.NULLS_FIRST) return false
+    val t = new GraftTable(SparkSession.active, location)
+    val ok = t.bucketSorted && t.bucketSpec.exists(_._1 == col)
+    if (ok) topN = Some((col, l))
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(GraftScanBuilder.supported)
@@ -283,7 +338,7 @@ class GraftScanBuilder(location: String, snapshot: Option[Long] = None,
     case Some(aggs) => new GraftAggScan(location, snapshot, aggs)
     case None =>
       new GraftScan(location, pushed, required, snapshot, columnar, fromSnapshot,
-        maxVersionsPerBatch)
+        maxVersionsPerBatch, limit, topN)
   }
 }
 
@@ -308,7 +363,9 @@ object GraftScanBuilder {
 class GraftScan(location: String, pushed: Array[Filter], required: StructType,
                 snapshot: Option[Long] = None, columnar: Boolean = true,
                 fromSnapshot: Option[Long] = None,
-                maxVersionsPerBatch: Option[Long] = None)
+                maxVersionsPerBatch: Option[Long] = None,
+                limit: Option[Int] = None,
+                topN: Option[(String, Int)] = None)
   extends Scan with Batch
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -390,6 +447,11 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
+    // a pushed LIMIT/TopN means a Limit operator sits directly above this
+    // scan and the plan/readers are truncated to its row budget; pruning
+    // files underneath it could under-deliver, so runtime filters are
+    // ignored (they are always an optional optimization, never required)
+    if (limit.isDefined || topN.isDefined) return
     val usable = filters.filter(GraftScanBuilder.supported)
     if (usable.nonEmpty) {
       runtime = runtime ++ usable
@@ -399,6 +461,8 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
 
   @volatile private var runtime: Array[Filter] = Array.empty
   @volatile private var planned: Array[InputPartition] = _
+  // set during planning when the bucket layout can serve the pushed TopN
+  @volatile private var topNCap: Option[Int] = None
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -460,7 +524,12 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
     val files = pruneInfo.map { case (k, t) => s" files=$k/$t" }.getOrElse("")
     val rt = if (runtime.nonEmpty) s" RuntimeFilters=[${runtime.mkString(", ")}]" else ""
     val inc = fromSnapshot.map(v => s" incrementalFrom=v$v").getOrElse("")
-    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]$rt$inc$files"
+    val lim = limit.map(l => s" PushedLimit=$l").getOrElse("")
+    val tn = topN.map { case (c, l) =>
+      val served = if (topNCap.isDefined) "capped" else "uncapped"
+      s" PushedTopN=$c ASC LIMIT $l ($served)"
+    }.getOrElse("")
+    s"GraftScan location=$location PushedFilters=[${pushed.mkString(", ")}]$rt$inc$lim$tn$files"
   }
 
   /** Manifest pruning runs DISTRIBUTED: the pushed filters become a Column
@@ -531,6 +600,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
         })
         if (eqdels.nonEmpty || posdels.nonEmpty) {
           bucketInfo = None // pending MoR deletes: row path, no key grouping
+          topNCap = None    // surviving-row prefixes are not sorted prefixes
           val kept = bloomPruned(table, table.manifestWithSeq(s))
             .filter(GraftScan.manifestPredicate(pushed ++ runtime) && bucketPred)
             .select("file_path", "record_count", "file_bytes", "add_seq")
@@ -542,16 +612,32 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
               .asInstanceOf[InputPartition]
           }
         } else {
-          val kept = bloomPruned(table, m)
+          val keptAll = bloomPruned(table, m)
             .filter(GraftScan.manifestPredicate(pushed ++ runtime) && bucketPred)
             .select("file_path", "record_count", "file_bytes", "bucket")
             .as[(String, Long, Long, Option[Int])].collect()
+          // pushed LIMIT: keep only the fewest files whose exact committed
+          // record_counts cover it (largest-first, path tiebreak for
+          // determinism) — `LIMIT 10` plans one file, not the whole table.
+          // Sound because this branch has no pending deletes (counts exact)
+          // and a partially-pushed limit keeps Spark's global Limit above.
+          val kept = limit match {
+            case Some(l) if keptAll.length > 1 =>
+              val sorted = keptAll.sortBy(k => (-k._2, k._1))
+              var cum = 0L
+              var n = 0
+              while (n < sorted.length && cum < l) { cum += sorted(n)._2; n += 1 }
+              sorted.take(n)
+            case _ => keptAll
+          }
           pruneInfo = Some((kept.length, total))
           statsInfo = Some((kept.map(_._2).sum, kept.map(_._3).sum))
           // bucket grouping: only for a full-table (non-incremental) batch
-          // read whose EVERY surviving file carries a valid bucket id
+          // read whose EVERY surviving file carries a valid bucket id; a
+          // limit-truncated plan never reports key grouping (its partition
+          // values would be incomplete, and no join sits under a limit)
           val grouped = spec.filter { case (_, n) =>
-            kept.forall(_._4.exists(b => b >= 0 && b < n))
+            limit.isEmpty && kept.forall(_._4.exists(b => b >= 0 && b < n))
           }
           grouped match {
             case Some((c, n)) =>
@@ -560,6 +646,9 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
               // ordering is reportable only while every bucket is a single
               // sorted file (concatenated files would break it)
               orderInfo = table.bucketSorted && byBucket.values.forall(_.length <= 1)
+              // a pushed TopN caps readers only once planning CONFIRMS the
+              // sorted-single-file-per-bucket layout on the TopN's column
+              topNCap = topN.collect { case (col, l) if orderInfo && col == c => l }
               // OCCUPIED buckets only: Spark's key-grouped machinery fills
               // value-set gaps between the two join sides itself
               // (pushPartValues); reporting empty phantom partitions instead
@@ -572,6 +661,7 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
             case None =>
               bucketInfo = None
               orderInfo = false
+              topNCap = None
               kept.map { case (p, _, _, _) =>
                 GraftInputPartition(table.io.abs(p).toString).asInstanceOf[InputPartition]
               }
@@ -580,8 +670,10 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, columnar)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    planInputPartitions() // resolves the TopN cap from the planned layout
+    new GraftReaderFactory(required, columnar, limit.orElse(topNCap))
+  }
 
   /** `spark.readStream.format("graft")`: each microbatch is the appends-only
     * changelog between two snapshot versions. */
@@ -900,7 +992,8 @@ class GraftAggReaderFactory extends PartitionReaderFactory {
   * missing from a file's footer (schema evolution) are spliced in as
   * constant null vectors; the row-at-a-time Group reader remains only as
   * the non-columnar fallback Spark may request. */
-class GraftReaderFactory(required: StructType, columnar: Boolean = true)
+class GraftReaderFactory(required: StructType, columnar: Boolean = true,
+                         limit: Option[Int] = None)
   extends PartitionReaderFactory {
   private val columns = required.fieldNames
 
@@ -915,19 +1008,21 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true)
     }
 
   override def createColumnarReader(partition: InputPartition)
-      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    partition match {
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val inner = partition match {
       case p: GraftInputPartition =>
         new GraftColumnarPartitionReader(p.absPath, required)
       case b: GraftBucketedPartition =>
         GraftChainedReader.columnar(b.absPaths, required)
     }
+    limit.fold(inner)(GraftLimitReaders.columnar(inner, _))
+  }
 
   private val fieldTypes: Map[String, DataType] =
     required.fields.map(f => f.name -> f.dataType).toMap
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    partition match {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val inner = partition match {
       case p: GraftInputPartition =>
         if (p.eqDeletes.isEmpty && p.posDeletes.isEmpty)
           new GraftPartitionReader(p.absPath, columns, fieldTypes)
@@ -936,6 +1031,39 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true)
             fieldTypes, p.posDeletes)
       case b: GraftBucketedPartition =>
         GraftChainedReader.rows(b.absPaths, columns, fieldTypes)
+    }
+    limit.fold(inner)(GraftLimitReaders.rows(inner, _))
+  }
+}
+
+/** Per-partition row caps for a pushed LIMIT: the limit is PARTIALLY pushed
+  * (Spark keeps the global Limit), so each partition may stop after `limit`
+  * rows — a partition can never contribute more than the whole query needs.
+  * The columnar flavor truncates the final batch in place via setNumRows. */
+object GraftLimitReaders {
+  def rows(inner: PartitionReader[InternalRow], limit: Int)
+      : PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var remaining = limit
+      override def next(): Boolean =
+        remaining > 0 && inner.next() && { remaining -= 1; true }
+      override def get(): InternalRow = inner.get()
+      override def close(): Unit = inner.close()
+    }
+
+  def columnar(inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
+               limit: Int)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var remaining = limit
+      override def next(): Boolean = remaining > 0 && inner.next()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = inner.get()
+        if (b.numRows > remaining) b.setNumRows(remaining)
+        remaining -= b.numRows
+        b
+      }
+      override def close(): Unit = inner.close()
     }
 }
 
