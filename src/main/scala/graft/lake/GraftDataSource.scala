@@ -672,7 +672,8 @@ class GraftScan(location: String, pushed: Array[Filter], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     planInputPartitions() // resolves the TopN cap from the planned layout
-    new GraftReaderFactory(required, columnar, limit.orElse(topNCap))
+    new GraftReaderFactory(required, columnar, limit.orElse(topNCap),
+      pushed ++ runtime)
   }
 
   /** `spark.readStream.format("graft")`: each microbatch is the appends-only
@@ -738,7 +739,7 @@ class GraftMicroBatchStream(location: String, pushed: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required, columnar)
+    new GraftReaderFactory(required, columnar, None, pushed)
 }
 
 object GraftScan {
@@ -993,7 +994,8 @@ class GraftAggReaderFactory extends PartitionReaderFactory {
   * constant null vectors; the row-at-a-time Group reader remains only as
   * the non-columnar fallback Spark may request. */
 class GraftReaderFactory(required: StructType, columnar: Boolean = true,
-                         limit: Option[Int] = None)
+                         limit: Option[Int] = None,
+                         pushed: Array[Filter] = Array.empty)
   extends PartitionReaderFactory {
   private val columns = required.fieldNames
 
@@ -1011,9 +1013,9 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true,
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val inner = partition match {
       case p: GraftInputPartition =>
-        new GraftColumnarPartitionReader(p.absPath, required)
+        new GraftColumnarPartitionReader(p.absPath, required, pushed)
       case b: GraftBucketedPartition =>
-        GraftChainedReader.columnar(b.absPaths, required)
+        GraftChainedReader.columnar(b.absPaths, required, pushed)
     }
     limit.fold(inner)(GraftLimitReaders.columnar(inner, _))
   }
@@ -1033,6 +1035,43 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true,
         GraftChainedReader.rows(b.absPaths, columns, fieldTypes)
     }
     limit.fold(inner)(GraftLimitReaders.rows(inner, _))
+  }
+}
+
+/** Pushed-filter → parquet FilterPredicate translation for ROW-GROUP stats
+  * pruning inside data files. Conservative by construction: untranslatable
+  * leaves drop out of an AND (keeping more), void an OR entirely, and the
+  * whole translation returns None rather than guess — parquet's
+  * StatisticsFilter then only drops groups whose stats PROVE no match, and
+  * string stats compare with the UTF8 (unsigned lexicographic) comparator,
+  * the same ordering Spark's UTF8String uses. All filters stay residual
+  * row-level in Spark, so this can only skip IO, never rows that matter. */
+private[lake] object GraftParquetFilters {
+  import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+  import org.apache.parquet.io.api.Binary
+
+  private val stringCols = Set("repo", "path", "lang", "commit")
+  private def bin(c: String) = FilterApi.binaryColumn(c)
+  private def b(v: String) = Binary.fromString(v)
+
+  def translate(filters: Array[Filter]): Option[FilterPredicate] =
+    filters.flatMap(toPred).reduceOption(FilterApi.and)
+
+  private def toPred(f: Filter): Option[FilterPredicate] = f match {
+    case EqualTo(c, v: String) if stringCols(c) => Some(FilterApi.eq(bin(c), b(v)))
+    case GreaterThan(c, v: String) if stringCols(c) => Some(FilterApi.gt(bin(c), b(v)))
+    case GreaterThanOrEqual(c, v: String) if stringCols(c) => Some(FilterApi.gtEq(bin(c), b(v)))
+    case LessThan(c, v: String) if stringCols(c) => Some(FilterApi.lt(bin(c), b(v)))
+    case LessThanOrEqual(c, v: String) if stringCols(c) => Some(FilterApi.ltEq(bin(c), b(v)))
+    case In(c, vs) if stringCols(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+      vs.map(v => FilterApi.eq(bin(c), b(v.asInstanceOf[String])): FilterPredicate)
+        .reduceOption(FilterApi.or)
+    case And(l, r) => (toPred(l), toPred(r)) match {
+      case (Some(a), Some(c)) => Some(FilterApi.and(a, c))
+      case (a, c) => a.orElse(c) // the untranslatable side keeps everything
+    }
+    case Or(l, r) => for { a <- toPred(l); c <- toPred(r) } yield FilterApi.or(a, c)
+    case _ => None
   }
 }
 
@@ -1071,9 +1110,10 @@ object GraftLimitReaders {
   * hold several bucket-pure files (appends after bucketize); each is opened
   * only when its predecessor is exhausted, so memory stays one-file-bounded. */
 object GraftChainedReader {
-  def columnar(paths: Seq[String], required: StructType)
+  def columnar(paths: Seq[String], required: StructType,
+               pushed: Array[Filter] = Array.empty)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    chain(paths, p => new GraftColumnarPartitionReader(p, required))
+    chain(paths, p => new GraftColumnarPartitionReader(p, required, pushed))
 
   def rows(paths: Seq[String], columns: Array[String],
            types: Map[String, DataType] = Map.empty): PartitionReader[InternalRow] =
@@ -1104,7 +1144,8 @@ object GraftChainedReader {
   * call. Projection is the `required` schema intersected with the file's
   * own footer (order preserved); absent columns become constant null
   * vectors so schema evolution never fails the batch path. */
-class GraftColumnarPartitionReader(absPath: String, required: StructType)
+class GraftColumnarPartitionReader(absPath: String, required: StructType,
+                                   pushed: Array[Filter] = Array.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
@@ -1112,27 +1153,50 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType)
   import org.apache.hadoop.conf.Configuration
 
   private val columns = required.fieldNames
-  // one footer open to learn which requested columns this file has (and the
-  // row count for the degenerate all-missing case)
-  private val (present: Array[String], fileRows: Long) = {
+  // ROW-GROUP pruning: the pushed (always-residual) filters translate to a
+  // parquet FilterPredicate, and ParquetFileReader drops whole row groups
+  // whose stats prove no row can match — inside-the-file pruning the
+  // manifest's file-level min/max can't see (a 1-GB file with 8 row groups
+  // and a selective predicate decodes 1 group, not 8). Sound because every
+  // filter stays residual row-level in Spark, so dropping definite
+  // non-matches can never change the result. DISABLED when `_pos` is
+  // requested: the file-ordinal metadata column counts rows as read, and a
+  // skipped group would shift every later ordinal (positional deletes and
+  // delta DML address rows by it).
+  private val rowGroupFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] =
+    if (columns.contains("_pos")) None else GraftParquetFilters.translate(pushed)
+
+  // one ParquetFileReader serves the footer probe AND the page reads (the
+  // previous shape opened the footer twice: once to project, once to read)
+  private val pfr: org.apache.parquet.hadoop.ParquetFileReader = {
     val conf = new Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
-    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-    try {
-      val fileSchema = rd.getFooter.getFileMetaData.getSchema
-      (columns.filter(fileSchema.containsField), rd.getRecordCount)
-    } finally rd.close()
+    val b = org.apache.parquet.HadoopReadOptions.builder(conf)
+    rowGroupFilter.foreach(p =>
+      b.withRecordFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p)))
+    new org.apache.parquet.hadoop.ParquetFileReader(in, b.build())
   }
+  private val fileSchema = pfr.getFooter.getFileMetaData.getSchema
+  private val present: Array[String] = columns.filter(fileSchema.containsField)
+  // post-row-group-filter row count (== footer count when no filter applied)
+  private val fileRows: Long = pfr.getRecordCount
   private val allPresent = present.length == columns.length
   private val presentIdx: Map[String, Int] = present.zipWithIndex.toMap
+  @volatile private var pfrClosed = false
+  private def closePfr(): Unit = if (!pfrClosed) { pfrClosed = true; pfr.close() }
 
   private val reader: VectorizedParquetRecordReader =
-    if (present.isEmpty) null
+    if (present.isEmpty) { closePfr(); null }
     else {
+      val req = new org.apache.parquet.schema.MessageType(fileSchema.getName,
+        present.map(c => fileSchema.getType(Seq(c): _*)): _*)
+      pfr.setRequestedSchema(req) // column projection for the page reads
       val r = new VectorizedParquetRecordReader(
         /* useOffHeap = */ false, /* capacity = */ 4096)
-      r.initialize(absPath, java.util.Arrays.asList(present: _*))
+      org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedReaderBridge
+        .init(r, fileSchema, req, () => pfr.readNextRowGroup(), () => closePfr(),
+          fileRows.toInt)
       r.resultBatch() // allocates the column vectors (initBatch) — nextBatch
       r               // NPEs if called before the batch exists
     }
@@ -1193,7 +1257,10 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType)
     v
   }
 
-  override def close(): Unit = if (reader != null) reader.close()
+  override def close(): Unit = {
+    if (reader != null) reader.close()
+    closePfr()
+  }
 }
 
 class GraftPartitionReader(absPath: String, columns: Array[String],
