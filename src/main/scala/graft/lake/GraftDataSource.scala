@@ -1038,21 +1038,38 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true,
   }
 }
 
-/** Pushed-filter → parquet FilterPredicate translation for ROW-GROUP stats
-  * pruning inside data files. Conservative by construction: untranslatable
-  * leaves drop out of an AND (keeping more), void an OR entirely, and the
-  * whole translation returns None rather than guess — parquet's
-  * StatisticsFilter then only drops groups whose stats PROVE no match, and
-  * string stats compare with the UTF8 (unsigned lexicographic) comparator,
-  * the same ordering Spark's UTF8String uses. All filters stay residual
-  * row-level in Spark, so this can only skip IO, never rows that matter. */
+/** Pushed-filter → parquet FilterPredicate translation for ROW-GROUP and
+  * PAGE (column-index) stats pruning inside data files. Conservative by
+  * construction: untranslatable leaves drop out of an AND (keeping more),
+  * void an OR entirely, and the whole translation returns None rather than
+  * guess — parquet's statistics/column-index filters then only drop
+  * groups/pages whose stats PROVE no match, and string stats compare with
+  * the UTF8 (unsigned lexicographic) comparator, the same ordering Spark's
+  * UTF8String uses. Scope is the base-schema columns every data file is
+  * guaranteed to carry (a predicate on an evolved column would make
+  * parquet's schema validator throw on pre-evolution files); `z` rides
+  * along as INT64 so post-`cluster` curve-range scans prune too. All
+  * filters stay residual row-level in Spark, so this can only skip IO,
+  * never rows that matter. */
 private[lake] object GraftParquetFilters {
   import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
   import org.apache.parquet.io.api.Binary
 
   private val stringCols = Set("repo", "path", "lang", "commit")
+  private val longCols = Set("z")
   private def bin(c: String) = FilterApi.binaryColumn(c)
   private def b(v: String) = Binary.fromString(v)
+  private def lng(c: String) = FilterApi.longColumn(c)
+  private def l(v: Any): java.lang.Long = v match {
+    case x: Long => Long.box(x)
+    case x: Int => Long.box(x.toLong)
+    case x: java.lang.Long => x
+    case x: java.lang.Integer => Long.box(x.longValue())
+  }
+  private def isLongVal(v: Any): Boolean = v match {
+    case _: Long | _: Int | _: java.lang.Long | _: java.lang.Integer => true
+    case _ => false
+  }
 
   def translate(filters: Array[Filter]): Option[FilterPredicate] =
     filters.flatMap(toPred).reduceOption(FilterApi.and)
@@ -1066,6 +1083,23 @@ private[lake] object GraftParquetFilters {
     case In(c, vs) if stringCols(c) && vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
       vs.map(v => FilterApi.eq(bin(c), b(v.asInstanceOf[String])): FilterPredicate)
         .reduceOption(FilterApi.or)
+    case EqualTo(c, v) if longCols(c) && isLongVal(v) => Some(FilterApi.eq(lng(c), l(v)))
+    case GreaterThan(c, v) if longCols(c) && isLongVal(v) => Some(FilterApi.gt(lng(c), l(v)))
+    case GreaterThanOrEqual(c, v) if longCols(c) && isLongVal(v) => Some(FilterApi.gtEq(lng(c), l(v)))
+    case LessThan(c, v) if longCols(c) && isLongVal(v) => Some(FilterApi.lt(lng(c), l(v)))
+    case LessThanOrEqual(c, v) if longCols(c) && isLongVal(v) => Some(FilterApi.ltEq(lng(c), l(v)))
+    case In(c, vs) if longCols(c) && vs.nonEmpty && vs.forall(isLongVal) =>
+      vs.map(v => FilterApi.eq(lng(c), l(v)): FilterPredicate).reduceOption(FilterApi.or)
+    // null tests prune via per-group/page null counts (eq/notEq against a
+    // null value are parquet's is-null / is-not-null forms)
+    case IsNull(c) if stringCols(c) =>
+      Some(FilterApi.eq(bin(c), null: Binary))
+    case IsNotNull(c) if stringCols(c) =>
+      Some(FilterApi.notEq(bin(c), null: Binary))
+    case IsNull(c) if longCols(c) =>
+      Some(FilterApi.eq(lng(c), null: java.lang.Long))
+    case IsNotNull(c) if longCols(c) =>
+      Some(FilterApi.notEq(lng(c), null: java.lang.Long))
     case And(l, r) => (toPred(l), toPred(r)) match {
       case (Some(a), Some(c)) => Some(FilterApi.and(a, c))
       case (a, c) => a.orElse(c) // the untranslatable side keeps everything
@@ -1179,8 +1213,11 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType,
   }
   private val fileSchema = pfr.getFooter.getFileMetaData.getSchema
   private val present: Array[String] = columns.filter(fileSchema.containsField)
-  // post-row-group-filter row count (== footer count when no filter applied)
-  private val fileRows: Long = pfr.getRecordCount
+  // post-filter row count: with a filter the PAGE-level (column-index) path
+  // is used, so the count is the filtered row-range total; without one it is
+  // the footer count
+  private val fileRows: Long =
+    if (rowGroupFilter.isDefined) pfr.getFilteredRecordCount else pfr.getRecordCount
   private val allPresent = present.length == columns.length
   private val presentIdx: Map[String, Int] = present.zipWithIndex.toMap
   @volatile private var pfrClosed = false
@@ -1194,9 +1231,17 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType,
       pfr.setRequestedSchema(req) // column projection for the page reads
       val r = new VectorizedParquetRecordReader(
         /* useOffHeap = */ false, /* capacity = */ 4096)
+      // with a filter, read FILTERED row groups: parquet applies the
+      // row-group statistics filter AND the column-index (page-level)
+      // filter, and the surviving pages carry row indexes the vectorized
+      // decoder uses for synchronized row skipping across columns — the
+      // exact read path Spark's own parquet source drives (its
+      // ParquetRowGroupReaderImpl delegates to readNextFilteredRowGroup)
+      val nextGroup: () => org.apache.parquet.column.page.PageReadStore =
+        if (rowGroupFilter.isDefined) () => pfr.readNextFilteredRowGroup()
+        else () => pfr.readNextRowGroup()
       org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedReaderBridge
-        .init(r, fileSchema, req, () => pfr.readNextRowGroup(), () => closePfr(),
-          fileRows.toInt)
+        .init(r, fileSchema, req, nextGroup, () => closePfr(), fileRows.toInt)
       r.resultBatch() // allocates the column vectors (initBatch) — nextBatch
       r               // NPEs if called before the batch exists
     }
