@@ -206,6 +206,36 @@ object SparkEntry {
       .select($"text_hash", $"keep_id", $"dup_count")
   }
 
+  /** q80: normalization-aware exact dedup — CCNet-style normalize (lower,
+    * digits→0, punctuation→space, trim) then one hash-aggregate. The corpus
+    * is `documents` unioned with a deterministically "messied" variant of
+    * every doc (leading whitespace, uppercased, trailing punctuation, id
+    * offset), so every normalized group must absorb ≥2 RAW-distinct texts —
+    * exactly what normalization buys beyond plain exact dedup (q13). */
+  private def q80NormDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    val messy = docs.select(($"doc_id" + 100000L).as("doc_id"),
+      concat(lit("  "), upper($"text"), lit(" !!")).as("text"))
+    graft.pipeline.Dedup.normalizedExact(docs.unionAll(messy), "doc_id", "text")
+      .orderBy($"keep_id")
+      .select($"norm_hash", $"keep_id", $"dup_count", $"raw_variants")
+  }
+
+  /** q81: SemDeDup-style semantic dedup over `embeddings` — deterministic
+    * coarse clustering (the IVF quantizer, so DuckDB rebuilds the identical
+    * index) then within-cluster epsilon-ball pruning at cosine >= 0.35:
+    * a doc is dropped iff an earlier doc in its cluster is that similar
+    * (dup_of names it). tau sits 2.5e-4 from the nearest within-cluster
+    * pair, so the float threshold cannot flip cross-engine. */
+  private def q81SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.Dedup
+      .semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.35)
+      .orderBy($"id")
+      .select($"id", $"cid", $"dup_of", $"kept")
+  }
+
   private def q14TokenStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     t(s, dir, "documents")
@@ -1972,6 +2002,8 @@ object SparkEntry {
     "q77_cdc_upsert"     -> (q77CdcUpsert(_, _)),
     "q78_limit_pushdown" -> (q78LimitPushdown(_, _)),
     "q79_topn_pushdown"  -> (q79TopnPushdown(_, _)),
+    "q80_norm_dedup"     -> (q80NormDedup(_, _)),
+    "q81_semantic_dedup" -> (q81SemanticDedup(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -2372,6 +2404,37 @@ object SparkEntry {
         |  SELECT 'repo_' || (doc_id % 10)::VARCHAR AS repo
         |  FROM documents ORDER BY repo LIMIT 25
         |) ORDER BY repo""".stripMargin,
+    // q80: the oracle re-derives the identical CCNet normalization
+    // (lower, digits→0, punct→space, trim) over the same messied union
+    "q80_norm_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '  ' || upper(text) || ' !!' FROM documents),
+        |norm AS (SELECT doc_id, sha256(text) AS raw_hash,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[0-9]', '0', 'g'),
+        |                      '[^a-z0-9]+', ' ', 'g')) AS n
+        |  FROM corpus)
+        |SELECT sha256(n) AS norm_hash, min(doc_id) AS keep_id,
+        |  count(*) AS dup_count, count(DISTINCT raw_hash) AS raw_variants
+        |FROM norm GROUP BY n ORDER BY keep_id""".stripMargin,
+    // q81: DuckDB rebuilds the identical deterministic clustering (IVF
+    // quantizer: id % 50 = 1 are the centroids, argmax ties to cid asc)
+    // and the within-cluster epsilon-ball rule at the same tau
+    "q81_semantic_dedup" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT id AS cid, e AS ce FROM v WHERE id % 50 = 1),
+        |asg AS (SELECT id, e, cid FROM (
+        |  SELECT v.id, v.e, c.cid,
+        |    row_number() OVER (PARTITION BY v.id
+        |      ORDER BY list_cosine_similarity(v.e, c.ce) DESC, c.cid ASC) AS rn
+        |  FROM v, c) WHERE rn = 1),
+        |dups AS (SELECT a.id, min(b.id) AS dup_of
+        |  FROM asg a JOIN asg b ON a.cid = b.cid AND b.id < a.id
+        |    AND list_cosine_similarity(a.e, b.e) >= 0.35
+        |  GROUP BY a.id)
+        |SELECT a.id, a.cid, d.dup_of, d.dup_of IS NULL AS kept
+        |FROM asg a LEFT JOIN dups d ON a.id = d.id ORDER BY a.id""".stripMargin,
     // q68: four racing appends of disjoint doc_id slices must reassemble
     // exactly `documents` — n_appends/distinct_parents = 4 and forks = 0
     // are the chain-shape constants the optimistic protocol guarantees

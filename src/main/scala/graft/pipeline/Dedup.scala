@@ -499,4 +499,60 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .distinct() // a pair colliding in several bands appears once
   }
+
+  /** CCNet-style text normalization for deduplication: lowercase, digits
+    * folded to '0', punctuation/symbols collapsed to single spaces, outer
+    * whitespace trimmed — so case/punctuation/number variants of the same
+    * document hash identically. Pure Column composition (codegen'd
+    * built-ins, per-row, no shuffle); the identical recipe is expressible
+    * in the DuckDB oracle (`regexp_replace(..., 'g')`). */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[0-9]", "0"),
+                        "[^a-z0-9]+", " "))
+
+  /** exact dedup over the NORMALIZED text: one hash-aggregate, like
+    * `exact`, but groups case/punct/digit variants together. Also reports
+    * how many RAW-distinct texts each normalized group absorbed — the
+    * measure of what normalization bought beyond plain exact dedup. */
+  def normalizedExact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(normalizeForDedup(col(textCol)), 256).as("norm_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"),
+           countDistinct(sha2(col(textCol), 256)).as("raw_variants"))
+
+  /** SemDeDup-style SEMANTIC dedup: cluster the embedding space, then drop
+    * any document whose cluster holds an earlier (smaller-id) document
+    * within cosine >= tau — one representative survives per epsilon-ball.
+    * Clustering uses the same deterministic coarse quantizer as the IVF
+    * index (`Ann.ivfAssign`: every id ≡ residue (mod every) is a centroid,
+    * assignment is the partial-aggregable broadcast argmax), so a
+    * cross-engine oracle rebuilds the identical clustering; swap in
+    * k-means centroids (`Ann.kmeansCentroids`) at deployment without
+    * changing the plan shape. The pairwise stage is a WITHIN-CLUSTER
+    * equi-self-join on cid — candidates are bounded by cluster sizes
+    * (pick centroid density so clusters stay ~sqrt(n)), never the n²
+    * corpus square; like SemDeDup, pairs split across clusters are
+    * deliberately not compared (the documented recall trade).
+    * Output: one row per input id — (id, cid, dup_of, kept) where dup_of
+    * is the smallest earlier similar id in the cluster (null ⇒ kept). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String, tau: Double,
+                    centroidEvery: Int = 50, centroidResidue: Int = 1): DataFrame =
+    semanticDedupAssigned(
+      Ann.ivfAssign(df, idCol, vecCol, centroidEvery, centroidResidue), tau)
+
+  /** The epsilon-ball stage of semanticDedup over a PRE-BUILT cluster
+    * assignment (id, v, cid) — from `Ann.ivfAssign` (deterministic
+    * quantizer), or `Ann.ivfAssignCentroids` over trained
+    * `Ann.kmeansCentroids` at deployment. At scale the assignment persists
+    * as table state (the IVF index), so re-running dedup after ingest pays
+    * only this stage. */
+  def semanticDedupAssigned(asg: DataFrame, tau: Double): DataFrame = {
+    val a = asg.select(col("cid"), col("id"), col("v"))
+    val b = asg.select(col("cid"), col("id").as("id_b"), col("v").as("v_b"))
+    val dups = a.join(b, Seq("cid"))
+      .filter(col("id_b") < col("id") && cosine(col("v"), col("v_b")) >= tau)
+      .groupBy(col("id")).agg(min(col("id_b")).as("dup_of"))
+    asg.select(col("id"), col("cid"))
+      .join(dups, Seq("id"), "left_outer")
+      .select(col("id"), col("cid"), col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
 }

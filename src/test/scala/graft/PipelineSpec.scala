@@ -681,4 +681,73 @@ class PipelineSpec extends SparkTestBase {
     val other = Curation.mixture(df, "id", "src", weights, 1.5, 8L)
     assert(other.collect().toSet != out.collect().toSet)
   }
+
+  test("normalizeForDedup: case, digits, punctuation and whitespace fold") {
+    import spark.implicits._
+    val out = Seq(
+      "  Hello,   WORLD!! 42 times?  ",
+      "hello world 00 times",
+      "a-b_c",
+      ""
+    ).toDF("t").select(Dedup.normalizeForDedup($"t")).as[String].collect()
+    assert(out(0) == "hello world 00 times")
+    assert(out(1) == out(0)) // variants collapse to the same key
+    assert(out(2) == "a b c")
+    assert(out(3) == "")
+  }
+
+  test("normalizedExact merges raw-distinct variants that exact dedup keeps apart") {
+    import spark.implicits._
+    val base = docs.select($"doc_id", $"text")
+    val messy = base.select(($"doc_id" + 100000L).as("doc_id"),
+      concat(lit("  "), upper($"text"), lit(" !!")).as("text"))
+    val corpus = base.unionByName(messy)
+    // plain exact dedup sees the variants as distinct
+    assert(Dedup.exact(corpus, "doc_id", "text").count() == 2 * Dedup.exact(base, "doc_id", "text").count())
+    val norm = Dedup.normalizedExact(corpus, "doc_id", "text")
+    // normalized groups = raw-distinct originals; every group absorbed >= 2
+    // raw variants and kept the original (smaller) id
+    assert(norm.count() == Dedup.exact(base, "doc_id", "text").count())
+    assert(norm.filter($"raw_variants" < 2).count() == 0)
+    assert(norm.filter($"keep_id" >= 100000).count() == 0)
+  }
+
+  test("semanticDedup: one representative per within-cluster epsilon-ball") {
+    import spark.implicits._
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding", 0.35)
+    // one row per input id, keepers + dups partition the corpus
+    assert(out.count() == emb.count())
+    assert(out.filter($"kept" =!= $"dup_of".isNull).count() == 0)
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    // dup_of always names an EARLIER doc in the SAME cluster that is kept
+    // or itself a dup of something even earlier (chains allowed), and the
+    // named doc really is cosine >= tau away
+    val vecs = emb.select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    rows.foreach { case (id, (cid, dupOf)) =>
+      if (dupOf >= 0) {
+        assert(dupOf < id && rows(dupOf)._1 == cid)
+        assert(TextOps.cosineLocal(vecs(id), vecs(dupOf)) >= 0.35)
+      }
+    }
+    // raising tau above the max within-cluster cosine keeps everything
+    assert(Dedup.semanticDedup(emb, "vec_id", "embedding", 0.9999)
+      .filter(!$"kept").count() == 0)
+  }
+
+  test("semanticDedupAssigned composes with a trained k-means index") {
+    import spark.implicits._
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", k = 8, iters = 3)
+    val index = Ann.ivfAssignCentroids(emb, "vec_id", "embedding", cents)
+    val out = Dedup.semanticDedupAssigned(index, 0.35)
+    assert(out.count() == emb.count())
+    assert(out.filter($"kept" =!= $"dup_of".isNull).count() == 0)
+    // same-cluster + earlier invariants hold under the trained quantizer too
+    val cid = index.select($"id", $"cid").as[(Long, Long)].collect().toMap
+    out.filter(!$"kept").select($"id", $"dup_of").as[(Long, Long)].collect()
+      .foreach { case (id, dupOf) =>
+        assert(dupOf < id && cid(dupOf) == cid(id))
+      }
+  }
 }

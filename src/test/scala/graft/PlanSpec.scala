@@ -310,6 +310,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("q81 semantic dedup: argmax assignment (no window), cid equi-join, no cartesian") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val p = graft.pipeline.Dedup.semanticDedup(emb, "vec_id", "embedding", 0.35)
+      .queryExecution.executedPlan.toString
+    // assignment is the partial-aggregable argmax, never a row_number window
+    assert(!p.contains("Window"), s"q81 window in assignment:\n$p")
+    // no unbroadcast n² anywhere (the centroid assignment's
+    // BroadcastNestedLoopJoin is the designed K-bounded broadcast shape, q35)
+    assert(!p.contains("CartesianProduct"), s"q81 cartesian:\n$p")
+    // the pairwise stage is an equi-join keyed on cid — cluster-bounded
+    assert(p.contains("Join [cid") || p.contains("Join cid"),
+      s"q81 pairwise stage not a cid equi-join:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries") {
     // AQE finalizes the plan only on execution
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)

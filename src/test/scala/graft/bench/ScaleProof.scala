@@ -46,7 +46,11 @@ object ScaleProof {
     // exchange keyed by (lang, bucket)), cherry-pick and CDC-upsert
     // lifecycles (delete shard ∝ matched keys, appends ∝ corpus)
     "q74_ndv_sketch", "q74s_sketch_only", "q75_quantile_filter",
-    "q76_cherrypick", "q77_cdc_upsert")
+    "q76_cherrypick", "q77_cdc_upsert",
+    // round-5 additions: normalized exact dedup (one hash-agg — linear) and
+    // SemDeDup semantic dedup (fixed quantizer density ⇒ centroid count ∝ n,
+    // cluster size ~constant ⇒ within-cluster join volume linear)
+    "q80_norm_dedup", "q81_semantic_dedup")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
