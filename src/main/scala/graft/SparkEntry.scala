@@ -414,6 +414,46 @@ object SparkEntry {
       .orderBy($"window_start", $"event_type")
   }
 
+  /** q82: STREAM-STREAM interval join through the real engine — views and
+    * clicks read as two file-source streams from the same landing directory
+    * (maxFilesPerTrigger=1 forces several microbatches; matches whose sides
+    * arrive in DIFFERENT microbatches must come out of the join's buffered
+    * state, which is exactly what this gates), attribution window 30
+    * minutes, append sink accumulating each batch's newly-matched pairs.
+    * The staged files are randomly partitioned, so replay disorder spans
+    * the table; the watermark is set past that span, making the inner join
+    * emit exactly the batch join for the oracle (production uses a
+    * disorder-sized watermark — StreamingSpec pins stream ≡ batch there
+    * and the state-eviction bound). */
+  private def q82StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-q82").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q82-ckpt").toString
+    val staged = java.nio.file.Files.createTempDirectory("graft-q82-in").toString
+    val events = t(s, dir, "events").withColumn("ts", $"ts".cast("timestamp"))
+    events.repartition(4).write.mode("overwrite").parquet(staged)
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    val src = ss.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+    val joined = graft.streaming.EventStream.attributedClicks(
+      src.filter($"event_type" === "view"),
+      src.filter($"event_type" === "click"),
+      withinMinutes = 30, watermarkMinutes = 50000)
+    joined.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch((b: DataFrame, _: Long) => b.write.mode("append").parquet(out))
+      .start()
+      .awaitTermination()
+    s.read.parquet(out).select($"user_id", $"view_id", $"click_id",
+        date_format($"view_ts", "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format($"click_ts", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        round($"click_value", 2).as("click_value"))
+      .orderBy($"view_id", $"click_id")
+  }
+
   private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // STREAMING TTL dedup under the oracle gate: replay the events table as
@@ -2004,6 +2044,7 @@ object SparkEntry {
     "q79_topn_pushdown"  -> (q79TopnPushdown(_, _)),
     "q80_norm_dedup"     -> (q80NormDedup(_, _)),
     "q81_semantic_dedup" -> (q81SemanticDedup(_, _)),
+    "q82_stream_join"    -> (q82StreamJoin(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -2418,6 +2459,23 @@ object SparkEntry {
         |SELECT sha256(n) AS norm_hash, min(doc_id) AS keep_id,
         |  count(*) AS dup_count, count(DISTINCT raw_hash) AS raw_variants
         |FROM norm GROUP BY n ORDER BY keep_id""".stripMargin,
+    // q82: the oracle is the BATCH interval join — the streaming replay's
+    // watermark covers the staged disorder, so the inner stream-stream
+    // join must emit exactly this row set
+    "q82_stream_join" ->
+      """WITH v AS (SELECT user_id, event_id AS view_id, ts AS view_ts
+        |           FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts,
+        |             value AS click_value
+        |      FROM events WHERE event_type = 'click')
+        |SELECT v.user_id, v.view_id, c.click_id,
+        |  strftime(v.view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  round(c.click_value, 2) AS click_value
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.click_ts >= v.view_ts
+        |  AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
+        |ORDER BY v.view_id, c.click_id""".stripMargin,
     // q81: DuckDB rebuilds the identical deterministic clustering (IVF
     // quantizer: id % 50 = 1 are the centroids, argmax ties to cid asc)
     // and the within-cluster epsilon-ball rule at the same tau

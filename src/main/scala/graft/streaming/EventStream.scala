@@ -153,6 +153,36 @@ object EventStream {
 
   /** epoch microseconds of a Timestamp (getTime is ms-truncated; the nanos
     * field carries the full sub-second precision). */
+  /** STREAM-STREAM interval join (click attribution): every view matched
+    * to the same user's clicks landing within `withinMinutes` AFTER it.
+    * The time-range condition plus the two watermarks is what makes the
+    * join's buffered state FINITE: Spark derives, per side, how long a row
+    * can still find a partner (view state lives until the click watermark
+    * passes view_ts + within; click state until the view watermark passes
+    * click_ts) and evicts behind that — without watermarks a stream-stream
+    * join buffers both streams forever. `watermarkMinutes` must cover the
+    * ingest disorder: an INNER join then emits exactly the batch-join
+    * result (late rows beyond it may be dropped — at-most-once on the
+    * late tail, the standard trade; StreamingSpec pins stream ≡ batch).
+    * Works identically on static frames (batch backfill), where watermarks
+    * are no-ops. */
+  def attributedClicks(views: DataFrame, clicks: DataFrame,
+                       withinMinutes: Int, watermarkMinutes: Int = 60): DataFrame = {
+    val v = views.select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", s"$watermarkMinutes minutes")
+    val c = clicks.select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"),
+        col("value").as("click_value"))
+      .withWatermark("click_ts", s"$watermarkMinutes minutes")
+    v.join(c,
+        col("user_id") === col("click_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") +
+          expr(s"INTERVAL $withinMinutes MINUTES"))
+      .drop("click_user")
+  }
+
   private def micros(t: Timestamp): Long =
     math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 

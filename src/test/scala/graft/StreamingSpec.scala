@@ -41,6 +41,55 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.size == 4) // (w0 click), (w10 view), (w10 click), (w20 view)
   }
 
+  test("stream-stream interval join: cross-batch matches from state, stream ≡ batch, state evicted") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val clicks = MemoryStream[Event]
+    val q = attributedClicks(views.toDF(), clicks.toDF(),
+        withinMinutes = 10, watermarkMinutes = 10)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // batch 1: view(1)@t0 + click(2)@t3 match inside the batch; view(3)@t8
+    // stays buffered waiting for later clicks
+    views.addData(Event(1, ts(0), 1, "view", 0.0, "{}"),
+                  Event(3, ts(8), 1, "view", 0.0, "{}"))
+    clicks.addData(Event(2, ts(3), 1, "click", 1.5, "{}"))
+    q.processAllAvailable()
+    // batch 2: click(4)@t15 must match view(3) OUT OF THE JOIN STATE
+    // (its view arrived a batch earlier); t15-t0=15 > 10 so view(1) doesn't
+    clicks.addData(Event(4, ts(15), 1, "click", 2.5, "{}"))
+    views.addData(Event(5, ts(16), 2, "view", 0.0, "{}"))
+    q.processAllAvailable()
+    // batch 3: push both watermarks far ahead — every old buffered row is
+    // past (other side's watermark − reach) and must be evicted
+    views.addData(Event(6, ts(1000), 3, "view", 0.0, "{}"))
+    clicks.addData(Event(7, ts(1000), 3, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    views.addData(Event(8, ts(1010), 3, "view", 0.0, "{}"))
+    clicks.addData(Event(9, ts(1010), 3, "click", 0.0, "{}"))
+    q.processAllAvailable()
+    val state = q.lastProgress.stateOperators(0)
+    q.stop()
+    val streamed = spark.sql("SELECT view_id, click_id FROM attrib")
+      .as[(Long, Long)].collect().toSet
+    // batch replay of the same input must agree (watermarks no-op in batch)
+    val allV = Seq(Event(1, ts(0), 1, "view", 0.0, "{}"), Event(3, ts(8), 1, "view", 0.0, "{}"),
+      Event(5, ts(16), 2, "view", 0.0, "{}"), Event(6, ts(1000), 3, "view", 0.0, "{}"),
+      Event(8, ts(1010), 3, "view", 0.0, "{}"))
+    val allC = Seq(Event(2, ts(3), 1, "click", 1.5, "{}"), Event(4, ts(15), 1, "click", 2.5, "{}"),
+      Event(7, ts(1000), 3, "click", 0.0, "{}"), Event(9, ts(1010), 3, "click", 0.0, "{}"))
+    val batch = attributedClicks(allV.toDF(), allC.toDF(), 10, 10)
+      .select($"view_id", $"click_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.contains((3L, 4L)), "cross-microbatch match missing")
+    assert(!streamed.contains((1L, 4L)), "outside-window pair leaked")
+    // eviction: only rows still inside the watermark reach may be buffered
+    // (the t0-t16 era is long gone); without eviction this would be 9+
+    assert(state.numRowsTotal <= 4,
+      s"join state not evicted: ${state.numRowsTotal} rows buffered")
+  }
+
   test("sessionization splits on the inactivity gap") {
     import spark.implicits._
     val events = Seq(
