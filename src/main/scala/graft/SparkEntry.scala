@@ -454,6 +454,65 @@ object SparkEntry {
       .orderBy($"view_id", $"click_id")
   }
 
+  /** q83: STREAM-STATIC enrichment against a LIVE lake-table dimension —
+    * each microbatch joins the event stream to a per-user tier dimension
+    * read through the DSv2 connector INSIDE foreachBatch, so every batch
+    * re-resolves the table head (the production pattern for slowly-changing
+    * dimensions: a broadcast join per batch, dimension freshness = one
+    * microbatch). Between the two AvailableNow passes a CoW MERGE INTO
+    * retiers every user_id % 10 == 3 — pass-2 batches must see the merged
+    * dimension while pass-1 rows keep the tiers they were enriched with
+    * (the checkpoint makes the file→pass split exact: pass 1 stages only
+    * the first-half events). DuckDB replays both joins relationally. */
+  private def q83StreamEnrich(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-q83").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q83-ckpt").toString
+    val staged = java.nio.file.Files.createTempDirectory("graft-q83-in").toString
+    val loc = java.nio.file.Files.createTempDirectory("graft-q83-dim").toString
+    val events = t(s, dir, "events").withColumn("ts", $"ts".cast("timestamp"))
+    val half = (events.agg(max($"event_id")).head().getLong(0) + 1L) / 2L
+    // the dimension lives IN THE LAKE: key in repo ("user_<id>"), tier in
+    // lang — maintained by the same commit machinery as every other table
+    val dim = new graft.lake.GraftTable(s, loc)
+    def dimRows(tier: org.apache.spark.sql.Column) = events.select($"user_id").distinct()
+      .select(concat(lit("user_"), $"user_id").as("repo"), lit("profile").as("path"),
+        lit("c0").as("commit"), tier.as("lang"), lit("").as("content"))
+    dim.append(dimRows(concat(lit("tier_"), pmod($"user_id", lit(4)))))
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    def runPass(): Unit = {
+      val src = ss.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staged)
+      src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // connector read built PER BATCH: plans against the current head
+          val d = batch.sparkSession.read.format("graft").load(loc)
+            .select(substring(col("repo"), 6, 20).cast("long").as("user_id"),
+                    col("lang").as("tier"))
+          batch.join(broadcast(d), Seq("user_id"))
+            .select(col("tier"), col("event_type"), col("value"))
+            .write.mode("append").parquet(out)
+        }
+        .start().awaitTermination()
+    }
+    events.filter($"event_id" < half).repartition(2)
+      .write.mode("append").parquet(staged)
+    runPass()
+    // mid-stream dimension maintenance: CoW MERGE retiers user_id % 10 == 3
+    graft.lake.Maintenance.mergeInto(dim, "q83-retier",
+      dimRows(lit("tier_x")).filter(substring($"repo", 6, 20).cast("long") % 10 === 3))
+    events.filter($"event_id" >= half).repartition(2)
+      .write.mode("append").parquet(staged)
+    runPass()
+    s.read.parquet(out)
+      .groupBy($"tier", $"event_type")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      .orderBy($"tier", $"event_type")
+  }
+
   private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // STREAMING TTL dedup under the oracle gate: replay the events table as
@@ -2045,6 +2104,7 @@ object SparkEntry {
     "q80_norm_dedup"     -> (q80NormDedup(_, _)),
     "q81_semantic_dedup" -> (q81SemanticDedup(_, _)),
     "q82_stream_join"    -> (q82StreamJoin(_, _)),
+    "q83_stream_enrich"  -> (q83StreamEnrich(_, _)),
   )
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
@@ -2476,6 +2536,26 @@ object SparkEntry {
         |  AND c.click_ts >= v.view_ts
         |  AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE
         |ORDER BY v.view_id, c.click_id""".stripMargin,
+    // q83: both dimension versions replayed relationally — first-half
+    // events join the original tiers, second-half events the post-MERGE
+    // tiers (user_id % 10 = 3 retiered to tier_x between the passes)
+    "q83_stream_enrich" ->
+      """WITH half AS (SELECT (max(event_id) + 1) // 2 AS h FROM events),
+        |d1 AS (SELECT DISTINCT user_id,
+        |         'tier_' || (user_id % 4)::VARCHAR AS tier FROM events),
+        |d2 AS (SELECT user_id,
+        |         CASE WHEN user_id % 10 = 3 THEN 'tier_x' ELSE tier END AS tier
+        |       FROM d1),
+        |enriched AS (
+        |  SELECT d1.tier, e.event_type, e.value FROM events e
+        |    JOIN d1 USING (user_id) WHERE e.event_id < (SELECT h FROM half)
+        |  UNION ALL
+        |  SELECT d2.tier, e.event_type, e.value FROM events e
+        |    JOIN d2 USING (user_id) WHERE e.event_id >= (SELECT h FROM half))
+        |SELECT tier, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM enriched GROUP BY tier, event_type
+        |ORDER BY tier, event_type""".stripMargin,
     // q81: DuckDB rebuilds the identical deterministic clustering (IVF
     // quantizer: id % 50 = 1 are the centroids, argmax ties to cid asc)
     // and the within-cluster epsilon-ball rule at the same tau
