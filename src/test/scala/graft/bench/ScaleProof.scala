@@ -50,7 +50,11 @@ object ScaleProof {
     // round-5 additions: normalized exact dedup (one hash-agg — linear) and
     // SemDeDup semantic dedup (fixed quantizer density ⇒ centroid count ∝ n,
     // cluster size ~constant ⇒ within-cluster join volume linear)
-    "q80_norm_dedup", "q81_semantic_dedup")
+    "q80_norm_dedup", "q81_semantic_dedup",
+    // streaming lifecycles through the real engine (events synthesized with
+    // disjoint per-copy users): interval-join state and per-batch dimension
+    // joins are keyed per user, so both must scale linearly
+    "q82_stream_join", "q83_stream_enrich")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
@@ -155,34 +159,50 @@ object ScaleProof {
     spark.stop()
   }
 
-  /** copies 1..factor-1 of documents+embeddings appended to copy 0. */
+  /** copies 1..factor-1 of documents+embeddings+events appended to copy 0.
+    * Guarded per table so adding a table to the proof later only
+    * synthesizes the missing one. */
   private def synthesize(spark: SparkSession, base: String, work: String,
                          factor: Int): Unit = {
-    val done = new java.io.File(s"$work/_DONE")
-    if (done.exists()) return
+    def missing(t: String) = !new java.io.File(s"$work/$t.parquet/_SUCCESS").exists()
     import spark.implicits._
     val lower = "abcdefghijklmnopqrstuvwxyz"
     val upper = lower.toUpperCase
     val digits = "0123456789"
     def rot(s: String, k: Int) = { val m = k % s.length; s.drop(m) + s.take(m) }
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    val docCopies = (0 until factor).map { k =>
-      docs.select(($"doc_id" + lit(k.toLong * 100000000L)).as("doc_id"),
-        (if (k == 0) $"text"
-         else translate($"text", lower + upper + digits,
-           rot(lower, k) + rot(upper, k) + rot(digits, k))).as("text"),
-        $"lang", $"source", $"n_chars")
-    }.reduce(_ unionByName _)
-    docCopies.repartition(32).write.mode("overwrite").parquet(s"$work/documents.parquet")
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    val embCopies = (0 until factor).map { k =>
-      emb.select(($"vec_id" + lit(k.toLong * 100000000L)).as("vec_id"),
-        (if (k == 0) $"embedding"
-         else expr(s"transform(embedding, (x, i) -> x * (cast(pmod(hash($k, i), 2) as float) * 2.0f - 1.0f))"))
-          .as("embedding"),
-        $"label")
-    }.reduce(_ unionByName _)
-    embCopies.repartition(8).write.mode("overwrite").parquet(s"$work/embeddings.parquet")
-    done.createNewFile()
+    if (missing("documents")) {
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      val docCopies = (0 until factor).map { k =>
+        docs.select(($"doc_id" + lit(k.toLong * 100000000L)).as("doc_id"),
+          (if (k == 0) $"text"
+           else translate($"text", lower + upper + digits,
+             rot(lower, k) + rot(upper, k) + rot(digits, k))).as("text"),
+          $"lang", $"source", $"n_chars")
+      }.reduce(_ unionByName _)
+      docCopies.repartition(32).write.mode("overwrite").parquet(s"$work/documents.parquet")
+    }
+    if (missing("embeddings")) {
+      val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      val embCopies = (0 until factor).map { k =>
+        emb.select(($"vec_id" + lit(k.toLong * 100000000L)).as("vec_id"),
+          (if (k == 0) $"embedding"
+           else expr(s"transform(embedding, (x, i) -> x * (cast(pmod(hash($k, i), 2) as float) * 2.0f - 1.0f))"))
+            .as("embedding"),
+          $"label")
+      }.reduce(_ unionByName _)
+      embCopies.repartition(8).write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+    }
+    // events: copies carry DISJOINT user ids (and offset event ids), so
+    // per-user join/session/state cardinality stays constant and stream
+    // lifecycles must scale linearly in the corpus
+    if (missing("events")) {
+      val ev = spark.read.parquet(s"$base/events.parquet")
+      val evCopies = (0 until factor).map { k =>
+        ev.select(($"event_id" + lit(k.toLong * 100000000L)).as("event_id"), $"ts",
+          ($"user_id" + lit(k.toLong * 1000000L)).as("user_id"),
+          $"event_type", $"value", $"props")
+      }.reduce(_ unionByName _)
+      evCopies.repartition(8).write.mode("overwrite").parquet(s"$work/events.parquet")
+    }
   }
 }
