@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -511,6 +511,72 @@ object SparkEntry {
       .groupBy($"tier", $"event_type")
       .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
       .orderBy($"tier", $"event_type")
+  }
+
+  /** q84: backward AS-OF join over `events` — each click attributes to the
+    * single most recent view by the same user within 24 hours (ties at
+    * identical (user, ts) pre-collapsed to max event_id so both engines
+    * pick the same row; the tolerance drops ~60% of matches at every SF so
+    * the gate exercises both the pick and the bound). The operator is the
+    * union-window form — ONE exchange of |clicks|+|views| rows keyed by
+    * user, no candidate pairs — vs q82's interval join which materializes
+    * every in-window pair. DuckDB replays it with its native ASOF JOIN
+    * (tolerance applied outside the ASOF ON, which admits one inequality). */
+  private def q84AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = t(s, dir, "events").withColumn("ts", $"ts".cast("timestamp"))
+    val views = ev.filter($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"event_id").as("view_id"))
+      .withColumnRenamed("ts", "view_ts")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"), $"value")
+    graft.pipeline.AsOf.join(clicks, views, Seq("user_id"),
+        "click_ts", "view_ts", toleranceSeconds = 86400)
+      .select($"user_id", $"click_id", $"view_id",
+        date_format($"click_ts", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format($"view_ts", "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        round($"value", 2).as("click_value"))
+      .orderBy($"click_id")
+  }
+
+  /** deterministic messy-URL synthesis for q85/q86: six variant classes per
+    * doc (plain, SHOUTING+trailing-slash, utm param, www+:443+#fragment,
+    * real param + utm param, real param) over a shared page space, so
+    * canonicalization must collapse exactly the classes that differ only by
+    * rule-removable noise. Replayed verbatim in the DuckDB oracle. */
+  private def syntheticUrl(): Column = {
+    val v = pmod(col("doc_id"), lit(6))
+    val host = concat(col("source"), lit(".example.com"))
+    val path = concat(lit("/page/"), pmod(col("doc_id"), lit(37)).cast("string"))
+    concat(
+      when(v === 1, lit("HTTPS://")).otherwise(lit("https://")),
+      when(v === 0 || v === 3, lit("www.")).otherwise(lit("")),
+      when(v === 1, upper(host)).otherwise(host),
+      when(v === 3, lit(":443")).otherwise(lit("")),
+      when(v === 1, concat(upper(path), lit("/"))).otherwise(path),
+      when(v === 2, lit("?utm_source=feed")).when(v === 3, lit("#frag"))
+        .when(v === 4, lit("?a=1&utm_campaign=x")).when(v === 5, lit("?a=1"))
+        .otherwise(lit("")))
+  }
+
+  /** q85: canonical-URL dedup — the cheapest dedup stage of a web corpus,
+    * collapsing tracking/port/www/fragment/slash variants before any text
+    * hashing. One hash-aggregate; DuckDB re-derives the canonical form. */
+  private def q85UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.Web.urlDedup(
+        t(s, dir, "documents").withColumn("url", syntheticUrl()), "doc_id", "url")
+      .orderBy($"keep_id")
+      .select($"canonical_url", $"keep_id", $"dup_count")
+  }
+
+  /** q86: per-domain corpus profile (docs, distinct canonical pages, mean
+    * size) — the aggregate a domain blocklist / sampling policy reads. */
+  private def q86DomainStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.Web.domainStats(
+        t(s, dir, "documents").withColumn("url", syntheticUrl()), "url", "n_chars")
+      .orderBy($"domain")
   }
 
   private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
@@ -2105,7 +2171,54 @@ object SparkEntry {
     "q81_semantic_dedup" -> (q81SemanticDedup(_, _)),
     "q82_stream_join"    -> (q82StreamJoin(_, _)),
     "q83_stream_enrich"  -> (q83StreamEnrich(_, _)),
+    "q84_asof_join"      -> (q84AsofJoin(_, _)),
+    "q85_url_dedup"      -> (q85UrlDedup(_, _)),
+    "q86_domain_stats"   -> (q86DomainStats(_, _)),
   )
+
+  /** shared q85/q86 oracle prelude: re-synthesize the six messy-URL variant
+    * classes from doc_id (verbatim replay of [[syntheticUrl]]) and re-derive
+    * the canonical form by the same six rules as
+    * [[graft.pipeline.Web.canonicalUrl]] — lower, strip #fragment, strip
+    * default :443/:80, strip leading www., drop tracking (utm_ prefix,
+    * fbclid, gclid, ref=) and empty query params (order-preserving), strip
+    * trailing slash. */
+  private val UrlSynthAndCanonSql: String =
+    """WITH u AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 6 = 1 THEN 'HTTPS://' ELSE 'https://' END ||
+      |  CASE WHEN doc_id % 6 IN (0,3) THEN 'www.' ELSE '' END ||
+      |  CASE WHEN doc_id % 6 = 1 THEN upper(source || '.example.com')
+      |       ELSE source || '.example.com' END ||
+      |  CASE WHEN doc_id % 6 = 3 THEN ':443' ELSE '' END ||
+      |  CASE WHEN doc_id % 6 = 1
+      |       THEN upper('/page/' || (doc_id % 37)::VARCHAR) || '/'
+      |       ELSE '/page/' || (doc_id % 37)::VARCHAR END ||
+      |  CASE doc_id % 6 WHEN 2 THEN '?utm_source=feed' WHEN 3 THEN '#frag'
+      |    WHEN 4 THEN '?a=1&utm_campaign=x' WHEN 5 THEN '?a=1'
+      |    ELSE '' END AS url
+      |  FROM documents),
+      |s AS (SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    lower(url), '#.*$', ''),
+      |    '^(https://[^/?#:]*):443($|[/?#])', '\1\2'),
+      |    '^(http://[^/?#:]*):80($|[/?#])', '\1\2'),
+      |    '^(https?://)www\.', '\1') AS u
+      |  FROM u),
+      |p AS (SELECT doc_id,
+      |  regexp_replace(string_split(u, '?')[1], '/$', '') AS pre,
+      |  CASE WHEN len(string_split(u, '?')) > 1 THEN string_split(u, '?')[2]
+      |       ELSE '' END AS q
+      |  FROM s),
+      |k AS (SELECT doc_id, pre,
+      |  array_to_string(list_filter(string_split(q, '&'),
+      |    p2 -> len(p2) > 0
+      |      AND NOT regexp_matches(p2, '^(utm_|fbclid|gclid|ref=)')),
+      |    '&') AS kept
+      |  FROM p),
+      |canon AS (SELECT doc_id,
+      |  CASE WHEN len(kept) > 0 THEN pre || '?' || kept ELSE pre END
+      |    AS canonical_url FROM k)
+      |""".stripMargin
 
   // ---- generated DuckDB SQL fragments for the LSH oracles: the ±1 plane
   // matrix (TextOps.planeSign) is emitted as SQL literals so DuckDB
@@ -2556,6 +2669,45 @@ object SparkEntry {
         |  round(sum(value), 2) AS total_value
         |FROM enriched GROUP BY tier, event_type
         |ORDER BY tier, event_type""".stripMargin,
+    // q84: DuckDB's native ASOF JOIN picks the same greatest-view_ts-<=-
+    // click_ts row; the 24h tolerance is applied OUTSIDE the join (DuckDB's
+    // ASOF ON admits exactly one inequality) — identical semantics to the
+    // Spark side, which also gates tolerance after the match
+    "q84_asof_join" ->
+      """WITH v0 AS (SELECT user_id, ts AS view_ts, event_id FROM events
+        |            WHERE event_type = 'view'),
+        |v AS (SELECT user_id, view_ts, max(event_id) AS view_id
+        |      FROM v0 GROUP BY user_id, view_ts),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS click_ts, value
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT c.user_id, c.click_id, v.view_id, c.click_ts,
+        |             v.view_ts, c.value
+        |      FROM c ASOF JOIN v
+        |        ON c.click_ts >= v.view_ts AND c.user_id = v.user_id)
+        |SELECT user_id, click_id, view_id,
+        |  strftime(click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        |  round(value, 2) AS click_value
+        |FROM j WHERE epoch(click_ts) - epoch(view_ts) <= 86400
+        |ORDER BY click_id""".stripMargin,
+    // q85/q86: DuckDB replays BOTH halves — the messy-URL synthesis (same
+    // six doc_id%6 variant classes) AND the canonicalization rule set
+    // (lower, de-fragment, default-port, www, tracking params, trailing
+    // slash) — so the oracle independently re-derives every canonical URL
+    "q85_url_dedup" ->
+      (UrlSynthAndCanonSql +
+      """SELECT canonical_url, min(doc_id)::BIGINT AS keep_id,
+        |  count(*)::BIGINT AS dup_count
+        |FROM canon GROUP BY canonical_url ORDER BY keep_id""".stripMargin),
+    "q86_domain_stats" ->
+      (UrlSynthAndCanonSql +
+      """, dom AS (SELECT regexp_extract(canonical_url,
+        |    '^https?://([^/?#]+)', 1) AS domain, canonical_url, d2.n_chars
+        |  FROM canon JOIN documents d2 USING (doc_id))
+        |SELECT domain, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT canonical_url)::BIGINT AS n_pages,
+        |  round(avg(n_chars), 2) AS avg_n_chars
+        |FROM dom GROUP BY domain ORDER BY domain""".stripMargin),
     // q81: DuckDB rebuilds the identical deterministic clustering (IVF
     // quantizer: id % 50 = 1 are the centroids, argmax ties to cid asc)
     // and the within-cluster epsilon-ball rule at the same tau

@@ -750,4 +750,104 @@ class PipelineSpec extends SparkTestBase {
         assert(dupOf < id && cid(dupOf) == cid(id))
       }
   }
+
+  // ---- backward as-of join ----
+
+  private def asofSides() = {
+    import spark.implicits._
+    // right: prices for key "a" at t=10,20,20(dup),40; key "b" at t=5
+    val right = Seq(
+      ("a", 10L, 100L, 1.0), ("a", 20L, 200L, 2.0), ("a", 20L, 201L, 2.5),
+      ("a", 40L, 400L, 4.0), ("b", 5L, 500L, 5.0)
+    ).toDF("k", "price_ts", "price_id", "price")
+      .withColumn("price_ts", $"price_ts".cast("timestamp"))
+    // left: trades at t=9 (before any), 10 (exact tie), 25, 39, 1000 (stale)
+    val left = Seq(
+      ("a", 1L, 9L), ("a", 2L, 10L), ("a", 3L, 25L), ("a", 4L, 39L),
+      ("a", 5L, 1000L), ("c", 6L, 50L)
+    ).toDF("k", "trade_id", "trade_ts")
+      .withColumn("trade_ts", $"trade_ts".cast("timestamp"))
+    (left, right)
+  }
+
+  test("asof join: backward pick, <= tie, tolerance, unmatched drop/keep") {
+    import spark.implicits._
+    val (left, right) = asofSides()
+    val inner = pipeline.AsOf.join(left, right, Seq("k"), "trade_ts", "price_ts",
+        toleranceSeconds = 30, rightTiebreak = Some("price_id"))
+      .select($"trade_id", $"price_id").as[(Long, Long)].collect().toMap
+    // trade 1 precedes all prices -> dropped; trade 2 matches the t=10 price
+    // exactly (<= not <); trade 3 takes the LATER of the t=20 duplicates by
+    // tiebreak; trade 4 skips t=40 (future) back to t=20; trade 5's only
+    // candidate is 960s stale -> tolerance drops it; trade 6 has no key.
+    assert(inner == Map(2L -> 100L, 3L -> 201L, 4L -> 201L))
+
+    val outer = pipeline.AsOf.join(left, right, Seq("k"), "trade_ts", "price_ts",
+        toleranceSeconds = 30, joinType = "left", rightTiebreak = Some("price_id"))
+    assert(outer.count() == left.count())
+    val nulls = outer.filter($"price_id".isNull)
+      .select($"trade_id").as[Long].collect().toSet
+    assert(nulls == Set(1L, 5L, 6L))
+    // all right fields come from the SAME matched row (id and value agree)
+    assert(outer.filter($"price_id" === 201L && $"price" =!= 2.5).count() == 0)
+  }
+
+  test("asof join: unbounded tolerance matches any age; collisions rejected") {
+    import spark.implicits._
+    val (left, right) = asofSides()
+    val all = pipeline.AsOf.join(left, right, Seq("k"), "trade_ts", "price_ts",
+      rightTiebreak = Some("price_id"))
+    // trade 5 now matches the newest price (t=40) despite being 960s stale
+    assert(all.filter($"trade_id" === 5L).select($"price_id").as[Long].head() == 400L)
+    val clash = left.withColumn("price", lit(0.0))
+    assertThrows[IllegalArgumentException] {
+      pipeline.AsOf.join(clash, right, Seq("k"), "trade_ts", "price_ts")
+    }
+  }
+
+  // ---- web-corpus curation ----
+
+  test("canonicalUrl: each rule collapses exactly its own noise class") {
+    import spark.implicits._
+    val cases = Seq(
+      // (raw, expected canonical)
+      ("https://Example.com/A/B", "https://example.com/a/b"),
+      ("https://example.com/a/b#section-2", "https://example.com/a/b"),
+      ("https://example.com:443/a", "https://example.com/a"),
+      ("http://example.com:80/a", "http://example.com/a"),
+      ("https://example.com:8443/a", "https://example.com:8443/a"), // real port kept
+      ("https://www.example.com/a", "https://example.com/a"),
+      ("https://wwwx.example.com/a", "https://wwwx.example.com/a"), // not a www. label
+      ("https://example.com/a/", "https://example.com/a"),
+      ("https://example.com/a?utm_source=x&q=1&fbclid=z", "https://example.com/a?q=1"),
+      ("https://example.com/a?utm_source=x", "https://example.com/a"),
+      ("https://example.com/a?b=2&a=1", "https://example.com/a?b=2&a=1"), // order kept
+      ("HTTPS://WWW.EXAMPLE.COM:443/P/?utm_campaign=c&x=1#f",
+        "https://example.com/p?x=1")
+    )
+    val out = cases.toDF("raw", "expected")
+      .withColumn("got", pipeline.Web.canonicalUrl($"raw"))
+      .filter($"got" =!= $"expected")
+      .select($"raw", $"expected", $"got").collect()
+    assert(out.isEmpty, out.mkString("\n"))
+  }
+
+  test("urlDedup collapses variants; domainStats counts pages per domain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://www.site.com/p?utm_source=a", 10L),
+      (2L, "https://site.com/p/", 20L),
+      (3L, "https://site.com/p?x=1", 30L),
+      (4L, "https://other.com/q", 40L)
+    ).toDF("doc_id", "url", "n")
+    val dd = pipeline.Web.urlDedup(df, "doc_id", "url")
+      .orderBy($"keep_id").collect()
+    assert(dd.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      ("https://site.com/p", 1L, 2L),
+      ("https://site.com/p?x=1", 3L, 1L),
+      ("https://other.com/q", 4L, 1L)))
+    val ds = pipeline.Web.domainStats(df, "url", "n").orderBy($"domain").collect()
+    assert(ds.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
+      ("other.com", 1L, 1L), ("site.com", 3L, 2L)))
+  }
 }

@@ -324,6 +324,37 @@ class PlanSpec extends SparkTestBase {
       s"q81 pairwise stage not a cid equi-join:\n$p")
   }
 
+  test("q84 as-of join: union+window form — no join operator, no candidate pairs") {
+    val p = planOf("q84_asof_join")
+    // the whole match is ONE window over the tagged union; a join operator
+    // here would mean candidate pairs materialized (the quadratic shape)
+    assert(p.contains("Window"), s"q84 lost its window form:\n$p")
+    assert(!p.contains("Join"), s"q84 materializes candidate pairs:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q84 cartesian:\n$p")
+    // q84's own plan has 2 hash exchanges: the view (user,ts) pre-collapse
+    // aggregate + the operator's single keyed exchange — pin the bare
+    // operator to exactly ONE below
+  }
+
+  test("bare as-of join: ONE hash exchange total — |l|+|r| rows, no pair blowup") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "lts", "payload")
+    val r = Seq((1L, 5L, 9.9)).toDF("k", "rts", "price")
+    val p = graft.pipeline.AsOf.join(l, r, Seq("k"), "lts", "rts")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"asof materializes candidate pairs:\n$p")
+    val hashEx = "hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"asof expected exactly 1 hash exchange, got $hashEx:\n$p")
+  }
+
+  test("q85 url dedup: map-side canonicalization + one hash aggregate, no joins") {
+    val p = planOf("q85_url_dedup")
+    assert(p.contains("HashAggregate"), s"q85 no hash aggregate:\n$p")
+    assert(!p.contains("Join"), s"q85 unexpected join:\n$p")
+    val partials = "partial_".r.findAllIn(p).size
+    assert(partials >= 1, s"q85 missing map-side partial aggregation:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries") {
     // AQE finalizes the plan only on execution
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)

@@ -54,7 +54,13 @@ object ScaleProof {
     // streaming lifecycles through the real engine (events synthesized with
     // disjoint per-copy users): interval-join state and per-batch dimension
     // joins are keyed per user, so both must scale linearly
-    "q82_stream_join", "q83_stream_enrich")
+    "q82_stream_join", "q83_stream_enrich",
+    // round-5 close-out: as-of join (one |l|+|r| exchange keyed by user —
+    // disjoint per-copy users keep per-key state constant, so time and
+    // shuffle must be ~linear); URL dedup / domain stats (hash aggregates
+    // whose post-partial shuffle is ~distinct keys — the canonical URL
+    // space is constant across copies, so shuffle must be ~FLAT at 10×)
+    "q84_asof_join", "q85_url_dedup", "q86_domain_stats")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
