@@ -56,10 +56,12 @@ object ScaleProof {
     // joins are keyed per user, so both must scale linearly
     "q82_stream_join", "q83_stream_enrich",
     // round-5 close-out: as-of join (one |l|+|r| exchange keyed by user —
-    // disjoint per-copy users keep per-key state constant, so time and
-    // shuffle must be ~linear); URL dedup / domain stats (hash aggregates
-    // whose post-partial shuffle is ~distinct keys — the canonical URL
-    // space is constant across copies, so shuffle must be ~FLAT at 10×)
+    // disjoint per-copy users keep per-key state constant, so shuffle must
+    // be ~linear); URL dedup / domain stats (hash aggregates whose
+    // post-partial shuffle is capped at map-partitions × distinct keys —
+    // the canonical URL space is constant across copies, so absolute
+    // shuffle must stay ~distinct-key-sized however large the corpus,
+    // growing only with the partition count)
     "q84_asof_join", "q85_url_dedup", "q86_domain_stats")
 
   /** q23 with scale-appropriate band width: collision probability per band
