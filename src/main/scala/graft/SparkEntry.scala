@@ -579,6 +579,36 @@ object SparkEntry {
       .orderBy($"domain")
   }
 
+  /** deterministic extraction-noise synthesis for q87: each document
+    * becomes a 7-line "page" — nav bar, content slice, SHOUTED slice,
+    * cookie banner, second content slice (empty for short docs), copyright
+    * footer, button stub — so the line filter must drop exactly the five
+    * noise classes and keep the one-or-two content lines. Replayed
+    * verbatim in the DuckDB oracle. */
+  private def syntheticPage(): Column = concat_ws("\n",
+    lit("HOME | ABOUT | CONTACT US"),
+    substring(col("text"), 1, 120),
+    upper(substring(col("text"), 121, 80)),
+    lit("Please accept cookies to continue"),
+    substring(col("text"), 201, 120),
+    lit("Copyright (c) 2024 All rights reserved"),
+    lit("OK"))
+
+  /** q87: line-level boilerplate filtering — the RefinedWeb "line-wise
+    * correction" stage that repairs extraction noise INSIDE pages before
+    * any document-level scoring. The sha256 of the cleaned text is the
+    * strong check: every kept byte and dropped line must agree. */
+  private def q87LineFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val W = graft.pipeline.Web
+    t(s, dir, "documents").withColumn("page", syntheticPage())
+      .select($"doc_id",
+        size(split($"page", "\n")).cast("long").as("n_lines"),
+        size(filter(split($"page", "\n"), W.keepLine _)).cast("long").as("n_kept"),
+        sha2(W.cleanLines($"page"), 256).as("clean_sha"))
+      .orderBy($"doc_id")
+  }
+
   private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // STREAMING TTL dedup under the oracle gate: replay the events table as
@@ -2174,6 +2204,7 @@ object SparkEntry {
     "q84_asof_join"      -> (q84AsofJoin(_, _)),
     "q85_url_dedup"      -> (q85UrlDedup(_, _)),
     "q86_domain_stats"   -> (q86DomainStats(_, _)),
+    "q87_line_filter"    -> (q87LineFilter(_, _)),
   )
 
   /** shared q85/q86 oracle prelude: re-synthesize the six messy-URL variant
@@ -2708,6 +2739,32 @@ object SparkEntry {
         |  count(DISTINCT canonical_url)::BIGINT AS n_pages,
         |  round(avg(n_chars), 2) AS avg_n_chars
         |FROM dom GROUP BY domain ORDER BY domain""".stripMargin),
+    // q87: DuckDB replays the 7-line page synthesis AND all three line
+    // rules (word count, uppercase-majority, boilerplate markers); the
+    // sha256 of the rejoined survivors pins every kept byte
+    "q87_line_filter" ->
+      """WITH pg AS (SELECT doc_id, concat_ws(chr(10),
+        |  'HOME | ABOUT | CONTACT US', substr(text, 1, 120),
+        |  upper(substr(text, 121, 80)), 'Please accept cookies to continue',
+        |  substr(text, 201, 120), 'Copyright (c) 2024 All rights reserved',
+        |  'OK') AS page FROM documents),
+        |ln AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM pg),
+        |kt AS (SELECT doc_id, len(ls) AS n_lines,
+        |  list_filter(ls, l ->
+        |    (CASE WHEN trim(regexp_replace(l, ' +', ' ', 'g')) = '' THEN 0
+        |          ELSE len(string_split(
+        |            trim(regexp_replace(l, ' +', ' ', 'g')), ' '))
+        |     END) >= 3
+        |    AND NOT (len(regexp_replace(l, '[^A-Za-z]', '', 'g')) > 0
+        |      AND 2 * len(regexp_replace(l, '[^A-Z]', '', 'g'))
+        |          > len(regexp_replace(l, '[^A-Za-z]', '', 'g')))
+        |    AND NOT regexp_matches(lower(l),
+        |      'cookie|copyright|all rights reserved|terms of (use|service)|privacy policy')
+        |  ) AS kept FROM ln)
+        |SELECT doc_id, n_lines::BIGINT AS n_lines,
+        |  len(kept)::BIGINT AS n_kept,
+        |  sha256(array_to_string(kept, chr(10))) AS clean_sha
+        |FROM kt ORDER BY doc_id""".stripMargin,
     // q81: DuckDB rebuilds the identical deterministic clustering (IVF
     // quantizer: id % 50 = 1 are the centroids, argmax ties to cid asc)
     // and the within-cluster epsilon-ball rule at the same tau

@@ -69,4 +69,34 @@ object Web {
         countDistinct(col("canonical_url")).as("n_pages"),
         round(avg(col(sizeCol)), 2).as(s"avg_$sizeCol"))
   }
+
+  /** boilerplate line markers (matched case-insensitively, partial). */
+  private val BoilerplateLine =
+    "cookie|copyright|all rights reserved|terms of (use|service)|privacy policy"
+
+  /** RefinedWeb-style LINE-level quality verdict: keep a line iff
+    *  1. it has >= 3 whitespace-separated words (kills nav stubs, buttons,
+    *     bare dates and the empty lines extraction leaves behind);
+    *  2. letters are NOT majority-uppercase (kills SHOUTED headings and
+    *     menu bars; lines with no letters are exempt from this rule);
+    *  3. it carries no boilerplate marker (cookie banners, copyright
+    *     footers, terms/privacy links).
+    * Document-level quality scores (q15/q16) rate whole pages; this is the
+    * stage BEFORE that — repairing extraction noise inside pages worth
+    * keeping. Exactly specified so an independent engine replays it. */
+  def keepLine(l: Column): Column = {
+    val norm = trim(regexp_replace(l, " +", " "))
+    val words = when(norm === "", lit(0)).otherwise(size(split(norm, " ")))
+    val letters = length(regexp_replace(l, "[^A-Za-z]", ""))
+    val uppers = length(regexp_replace(l, "[^A-Z]", ""))
+    words >= 3 &&
+      !(letters > 0 && uppers * 2 > letters) &&
+      !lower(l).rlike(BoilerplateLine)
+  }
+
+  /** the document with its rejected lines removed (surviving lines keep
+    * their order and original bytes). Pure higher-order-array Column ops —
+    * per-row map, codegen'd, no shuffle, linear at any corpus size. */
+  def cleanLines(text: Column): Column =
+    array_join(filter(split(text, "\n"), keepLine _), "\n")
 }

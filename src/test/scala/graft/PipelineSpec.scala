@@ -832,6 +832,34 @@ class PipelineSpec extends SparkTestBase {
     assert(out.isEmpty, out.mkString("\n"))
   }
 
+  test("keepLine/cleanLines: each line rule fires exactly on its noise class") {
+    import spark.implicits._
+    val cases = Seq(
+      ("a normal sentence of content", true),
+      ("OK", false),                       // < 3 words
+      ("", false),                         // empty
+      ("   ", false),                      // whitespace-only
+      ("one  two   three", true),          // multi-space collapse still 3 words
+      ("HOME | ABOUT | CONTACT US", false),// uppercase-majority letters
+      ("NASA launched a new mission today", true), // acronym ok: minority upper
+      ("123 456 789 000", true),           // no letters: exempt from case rule
+      ("Please accept cookies to continue", false),
+      ("Copyright (c) 2024 Example Inc", false),
+      ("read our privacy policy here", false),
+      ("All Rights Reserved", false),      // boilerplate beats word count
+      ("the cook booked a table", true)    // 'cook' != 'cookie'
+    )
+    val out = cases.toDF("line", "expected")
+      .withColumn("got", pipeline.Web.keepLine($"line"))
+      .filter($"got" =!= $"expected").collect()
+    assert(out.isEmpty, out.mkString("\n"))
+    // cleanLines keeps survivor order and bytes
+    val doc = "MENU | HOME\nfirst real line here\nOK\nsecond real line here"
+    val cleaned = Seq(doc).toDF("t")
+      .select(pipeline.Web.cleanLines($"t")).as[String].head()
+    assert(cleaned == "first real line here\nsecond real line here")
+  }
+
   test("urlDedup collapses variants; domainStats counts pages per domain") {
     import spark.implicits._
     val df = Seq(

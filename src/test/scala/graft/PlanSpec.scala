@@ -355,6 +355,14 @@ class PlanSpec extends SparkTestBase {
     assert(partials >= 1, s"q85 missing map-side partial aggregation:\n$p")
   }
 
+  test("q87 line filter is map-only: no aggregate, no join, one presentation sort") {
+    val p = planOf("q87_line_filter")
+    assert(!p.contains("Join"), s"q87 unexpected join:\n$p")
+    assert(!p.contains("HashAggregate"), s"q87 unexpected aggregate:\n$p")
+    // the only exchange is the final ORDER BY's range partitioning
+    assert(!p.contains("hashpartitioning"), s"q87 unexpected hash exchange:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries") {
     // AQE finalizes the plan only on execution
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)

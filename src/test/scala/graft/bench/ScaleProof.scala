@@ -62,7 +62,11 @@ object ScaleProof {
     // the canonical URL space is constant across copies, so absolute
     // shuffle must stay ~distinct-key-sized however large the corpus,
     // growing only with the partition count)
-    "q84_asof_join", "q85_url_dedup", "q86_domain_stats")
+    "q84_asof_join", "q85_url_dedup", "q86_domain_stats",
+    // line filter is a pure per-row map — its only exchange is the
+    // presentation sort, so shuffle must be ~linear in the output rows
+    // and wall ~linear in the corpus
+    "q87_line_filter")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
