@@ -609,6 +609,23 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  /** q88: corpus-wide top-25 frequent word bigrams via the Misra–Gries
+    * sketch-then-verify path — the stop-shingle / boilerplate-n-gram
+    * statistic a curation policy reads. The corpus' ~930 distinct bigrams
+    * sit far inside m=4096, so the sketch is in its guaranteed-exact
+    * regime and DuckDB's exhaustive GROUP BY must agree row-for-row;
+    * the sub-bound regime is exercised by PipelineSpec's skewed corpus. */
+  private def q88HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ws = split($"text", " ")
+    val bigrams = when(size(ws) >= 2,
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    val items = t(s, dir, "documents").select(explode(bigrams).as("bigram"))
+    graft.pipeline.HeavyHitters.topKExact(items, "bigram", k = 25, m = 4096)
+  }
+
   private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // STREAMING TTL dedup under the oracle gate: replay the events table as
@@ -2205,6 +2222,7 @@ object SparkEntry {
     "q85_url_dedup"      -> (q85UrlDedup(_, _)),
     "q86_domain_stats"   -> (q86DomainStats(_, _)),
     "q87_line_filter"    -> (q87LineFilter(_, _)),
+    "q88_heavy_hitters"  -> (q88HeavyHitters(_, _)),
   )
 
   /** shared q85/q86 oracle prelude: re-synthesize the six messy-URL variant
@@ -2765,6 +2783,15 @@ object SparkEntry {
         |  len(kept)::BIGINT AS n_kept,
         |  sha256(array_to_string(kept, chr(10))) AS clean_sha
         |FROM kt ORDER BY doc_id""".stripMargin,
+    // q88: the oracle is the EXHAUSTIVE bigram count — the sketch path
+    // must reproduce the true top-25 exactly (930 distinct << m=4096 keeps
+    // Misra–Gries in its zero-error regime; ties closed by bigram ASC)
+    "q88_heavy_hitters" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(1, len(ws)),
+        |         i -> ws[i] || ' ' || ws[i+1])) AS bigram FROM w)
+        |SELECT bigram, count(*)::BIGINT AS freq FROM bg
+        |GROUP BY bigram ORDER BY freq DESC, bigram LIMIT 25""".stripMargin,
     // q81: DuckDB rebuilds the identical deterministic clustering (IVF
     // quantizer: id % 50 = 1 are the centroids, argmax ties to cid asc)
     // and the within-cluster epsilon-ball rule at the same tau

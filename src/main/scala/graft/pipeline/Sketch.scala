@@ -91,6 +91,90 @@ object Sketch {
   }
 }
 
+/** Misra–Gries heavy-hitters summary + exact candidate verification — the
+  * frequency-sketch sibling of the KMV distinct sketch above (top-k
+  * frequent tokens/shingles/URLs is the other corpus statistic a curation
+  * policy reads: stop-shingle lists, boilerplate n-grams, hot domains).
+  *
+  * Scale shape: the naive exact top-k shuffles one row per DISTINCT item
+  * (fine until item cardinality itself is huge — corpus n-grams). The
+  * sketch pass instead folds each partition into a BOUNDED m-counter
+  * Misra–Gries summary (classic guarantee: any item with true frequency
+  * > N/(m+1) survives, and every kept count sits within N/(m+1) of truth);
+  * partials merge by counter-wise sum then subtracting the (m+1)-th
+  * largest count (the mergeable-summaries construction — the error bounds
+  * add), so the wire carries partitions × m entries, never the item
+  * cardinality. The verify pass recounts ONLY the ≤ m candidates exactly
+  * (broadcast semi-join + one hash aggregate) and takes the true top-k —
+  * exact whenever the k-th true frequency clears the N/(m+1) survival
+  * bound, and two linear scans total.
+  */
+object HeavyHitters {
+
+  /** one stream item into a bounded summary. Classic Misra–Gries: full
+    * buffer + unseen item → every counter decrements (zeros evicted) and
+    * the item is NOT inserted; each such event retires m+1 units of total
+    * count, hence the N/(m+1) bound. */
+  private[graft] def mgReduce(buf: Map[String, Long], item: String, m: Int): Map[String, Long] = {
+    if (item == null) buf
+    else buf.get(item) match {
+      case Some(c) => buf.updated(item, c + 1)
+      case None if buf.size < m => buf.updated(item, 1L)
+      case None => buf.flatMap { case (k, v) =>
+        if (v > 1) Some(k -> (v - 1)) else None }
+    }
+  }
+
+  /** mergeable-summaries merge: counter-wise sum, then subtract the
+    * (m+1)-th largest count from every counter and evict non-positives —
+    * at most m survive and the per-summary error bounds add. */
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long], m: Int): Map[String, Long] = {
+    val sum = (a.keySet ++ b.keySet).iterator
+      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    if (sum.size <= m) sum
+    else {
+      val cut = sum.valuesIterator.toArray.sorted(Ordering[Long].reverse).apply(m)
+      sum.flatMap { case (k, v) => if (v > cut) Some(k -> (v - cut)) else None }
+    }
+  }
+
+  /** Exact corpus-wide top-k frequent items via sketch-then-verify:
+    * pass 1 folds `items` into one m-counter summary (ObjectHashAggregate,
+    * partial per partition + one merge); pass 2 recounts the candidates
+    * exactly behind a broadcast semi-join and takes the top k by
+    * (freq DESC, item ASC — deterministic under ties). Output is the true
+    * top-k whenever the k-th frequency > N/(m+1); size m accordingly
+    * (m = 100·k is the usual skew-safe choice). */
+  def topKExact(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame = {
+    require(m > k, s"summary capacity m=$m must exceed k=$k")
+    val agg = udaf(new MisraGriesAgg(m), Encoders.STRING)
+    val cands = items.agg(agg(col(itemCol)).as("cands"))
+      .select(explode(col("cands")).as(itemCol))
+    items.join(broadcast(cands), Seq(itemCol), "left_semi")
+      .groupBy(col(itemCol))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col(itemCol).asc)
+      .limit(k)
+  }
+}
+
+/** The bounded Misra–Gries summary; finishes to its candidate item set
+  * (counts are sketch lower-ish estimates — the verify pass recounts). */
+class MisraGriesAgg(m: Int) extends Aggregator[String, Map[String, Long], Array[String]] {
+  require(m >= 1, "MisraGries needs m >= 1")
+  def zero: Map[String, Long] = Map.empty
+  def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
+    HeavyHitters.mgReduce(buf, item, m)
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    HeavyHitters.mgMerge(a, b, m)
+  def finish(buf: Map[String, Long]): Array[String] =
+    buf.toArray.sortBy { case (i, c) => (-c, i) }.map(_._1)
+  def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  def outputEncoder: org.apache.spark.sql.Encoder[Array[String]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
+}
+
 /** The sketch itself: k smallest distinct sha60 hashes, ascending. */
 class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k >= 2, "KMV needs k >= 2")

@@ -805,6 +805,51 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  // ---- heavy hitters (Misra–Gries sketch + exact verify) ----
+
+  test("Misra–Gries kernel: survival and error bounds hold on a skewed stream") {
+    import graft.pipeline.HeavyHitters
+    val m = 16
+    val rnd = new scala.util.Random(7)
+    // 8 heavy items (freq ~200 each) drowned in 4000 singleton-ish items
+    val stream = rnd.shuffle(
+      (0 until 8).flatMap(h => Seq.fill(200)(s"hot_$h")) ++
+      (0 until 4000).map(i => s"cold_${i % 2000}")).toList
+    val n = stream.size
+    val truth = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // single-summary fold
+    val one = stream.foldLeft(Map.empty[String, Long])(HeavyHitters.mgReduce(_, _, m))
+    // partitioned fold + pairwise merge (the distributed shape)
+    val merged = stream.grouped(500)
+      .map(_.foldLeft(Map.empty[String, Long])(HeavyHitters.mgReduce(_, _, m)))
+      .reduce(HeavyHitters.mgMerge(_, _, m))
+    for (buf <- Seq(one, merged)) {
+      assert(buf.size <= m)
+      val bound = n.toDouble / (m + 1)
+      truth.foreach { case (item, f) =>
+        if (f > bound) assert(buf.contains(item), s"$item freq=$f > $bound missing")
+      }
+      buf.foreach { case (item, c) =>
+        val f = truth(item)
+        assert(c <= f && c >= f - bound, s"$item count=$c truth=$f bound=$bound")
+      }
+    }
+  }
+
+  test("topKExact returns the true top-k when cardinality overflows the summary") {
+    import spark.implicits._
+    // 50 heavy items (freq 100) + 5000 distinct light items (freq 1):
+    // distinct = 5050 >> m = 256, but 100 > N/(m+1) = 10000/257 ≈ 39,
+    // so every heavy item must survive the sketch and the verify pass
+    // recovers its exact count
+    val data = (0 until 50).flatMap(h => Seq.fill(100)(f"hot_$h%02d")) ++
+      (0 until 5000).map(i => s"cold_$i")
+    val items = data.toDF("item").repartition(8)
+    val top = graft.pipeline.HeavyHitters.topKExact(items, "item", k = 50, m = 256)
+      .as[(String, Long)].collect()
+    assert(top.toSeq == (0 until 50).map(h => (f"hot_$h%02d", 100L)))
+  }
+
   // ---- web-corpus curation ----
 
   test("canonicalUrl: each rule collapses exactly its own noise class") {

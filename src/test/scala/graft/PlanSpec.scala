@@ -363,6 +363,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("hashpartitioning"), s"q87 unexpected hash exchange:\n$p")
   }
 
+  test("q88 heavy hitters: bounded sketch aggregate + broadcast verify, no wide join") {
+    val p = planOf("q88_heavy_hitters")
+    // pass 1 is the m-bounded Misra–Gries summary (object hash aggregate)
+    assert(p.contains("ObjectHashAggregate"), s"q88 sketch aggregate missing:\n$p")
+    // pass 2 recounts candidates behind a broadcast semi-join — the item
+    // cardinality never rides a shuffle join
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"q88 verify pass not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"q88 wide join:\n$p")
+    // top-k is TakeOrdered, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"q88 global sort:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries") {
     // AQE finalizes the plan only on execution
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)

@@ -66,7 +66,12 @@ object ScaleProof {
     // line filter is a pure per-row map — its only exchange is the
     // presentation sort, so shuffle must be ~linear in the output rows
     // and wall ~linear in the corpus
-    "q87_line_filter")
+    "q87_line_filter",
+    // heavy hitters: sketch shuffle is partitions × m entries and the
+    // verify pass one row per distinct candidate — the 10× corpus has 10×
+    // the distinct bigrams (Caesar-rotated copies) but shuffle stays
+    // bounded by m and partitions, so the ratio must stay far below 10
+    "q88_heavy_hitters")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
