@@ -523,11 +523,29 @@ object Earley {
       Some(kids.toSeq)
     }
 
-    // ---- single-parse extraction (one_parse mode): at each ambiguity site
-    // yaep picks the LAST declared alternative and the shortest leading
-    // sub-span (verified against the reference binary on x|y, p|q|r, q|p,
-    // grouped alts, two-site and span-split grammars). ----
+    // ---- single-parse extraction (one_parse mode): build_parse_tree
+    // commits to the FIRST origin-valid completion in yaep's state-set-core
+    // order (yaep_tree.c:401-470), so the pick order at an ambiguity site
+    // mirrors how completions land in a core:
+    //   1. scan-completed items — productions whose LAST symbol is a
+    //      terminal (the scanner adds them first, yaep.c:2283);
+    //   2. completion-cascaded items — productions whose last symbol is a
+    //      nonterminal that consumed input (check_leading worklist,
+    //      yaep.c:2297); among 1./2. peers, the last DECLARED alternative
+    //      comes first (prediction registers rules reversed) with the
+    //      shortest leading sub-span;
+    //   3. trailing-epsilon advances — derivations whose tail derives empty
+    //      (parent-advance items from complete_empty_nonterminals_in_rule,
+    //      yaep.c:1855, appended after all leading items).
+    // All verified against the reference binary on x|y, p|q|r, q|p, grouped
+    // alts, two-site, span-split, and 16 trailing/leading-optional and
+    // scan-vs-cascade probe grammars. ----
     val failMemo = HashSet.empty[(Int, Int, Int)]
+
+    @inline def lastIsTerm(pid: Int): Boolean = {
+      val ss = allProds(pid).syms
+      ss.nonEmpty && ss(ss.length - 1).isInstanceOf[Term]
+    }
 
     def deriveNt(nt: Int, from: Int, to: Int, refMark: Char,
                  active: HashSet[(Int, Int, Int)]): Option[DNt] = {
@@ -536,15 +554,34 @@ object Earley {
       try {
         val pids = compProd.getOrElse((nt, from, to), ArrayBuffer.empty)
         var r: Option[Seq[DNode]] = None
-        val it = pids.reverseIterator // last declared production wins
-        while (r.isEmpty && it.hasNext) {
-          val pid = it.next()
-          if (!failMemo((pid, from, to))) {
-            r = deriveSeq(allProds(pid).syms, 0, from, to, active)
-            // only cache failures that did not depend on the cycle guard:
-            // conservatively skip caching when the guard set is non-trivial
-            if (r.isEmpty && active.size <= 1) failMemo += ((pid, from, to))
+        // pass 0: scan-completed (terminal-ending; a completed production's
+        // last terminal always consumed input, no strict flag needed);
+        // pass 1: cascade (consuming nonterminal end); pass 2: any.
+        var pass = 0
+        while (r.isEmpty && pass < 3) {
+          val it = pids.reverseIterator // last declared production wins
+          while (r.isEmpty && it.hasNext) {
+            val pid = it.next()
+            pass match {
+              case 0 =>
+                if (lastIsTerm(pid) && !failMemo((pid, from, to))) {
+                  r = deriveSeq(allProds(pid).syms, 0, from, to, active, strictEnd = false)
+                  if (r.isEmpty && active.size <= 1) failMemo += ((pid, from, to))
+                }
+              case 1 =>
+                // uncached: strict failures say nothing about pass 2
+                if (!lastIsTerm(pid))
+                  r = deriveSeq(allProds(pid).syms, 0, from, to, active, strictEnd = true)
+              case _ =>
+                if (!lastIsTerm(pid) && !failMemo((pid, from, to))) {
+                  r = deriveSeq(allProds(pid).syms, 0, from, to, active, strictEnd = false)
+                  // only cache failures that did not depend on the cycle
+                  // guard: skip caching when the guard set is non-trivial
+                  if (r.isEmpty && active.size <= 1) failMemo += ((pid, from, to))
+                }
+            }
           }
+          pass += 1
         }
         r.map { kids =>
           val mark = if (refMark != 0) refMark else c.marks(nt)
@@ -554,28 +591,33 @@ object Earley {
     }
 
     def deriveSeq(syms: Array[GSym], si: Int, from: Int, to: Int,
-                  active: HashSet[(Int, Int, Int)]): Option[Seq[DNode]] = {
+                  active: HashSet[(Int, Int, Int)],
+                  strictEnd: Boolean): Option[Seq[DNode]] = {
       if (si == syms.length) return if (from == to) Some(Nil) else None
+      val last = si == syms.length - 1
       syms(si) match {
         case Term(pred, hidden, _) =>
           if (from < to && pred(input(from))) {
-            deriveSeq(syms, si + 1, from + 1, to, active).map { rest =>
+            deriveSeq(syms, si + 1, from + 1, to, active, strictEnd).map { rest =>
               if (hidden) rest
               else DText(new String(Character.toChars(input(from)))) +: rest
             }
           } else None
         case Ins(str) =>
-          deriveSeq(syms, si + 1, from, to, active).map(rest => DText(str) +: rest)
+          if (strictEnd && last) None // zero-width tail: not a leading completion
+          else deriveSeq(syms, si + 1, from, to, active, strictEnd).map(rest => DText(str) +: rest)
         case Neg(check, _) =>
-          if (check(input, from)) deriveSeq(syms, si + 1, from, to, active) else None
+          if (strictEnd && last) None // zero-width tail
+          else if (check(input, from)) deriveSeq(syms, si + 1, from, to, active, strictEnd)
+          else None
         case NtRef(id, refMark) =>
           val ends = comp.getOrElse((id, from), HashSet.empty).toSeq.sorted
           var res: Option[Seq[DNode]] = None
           val eit = ends.iterator
           while (res.isEmpty && eit.hasNext) {
             val mid = eit.next()
-            if (mid <= to) {
-              deriveSeq(syms, si + 1, mid, to, active) match {
+            if (mid <= to && !(strictEnd && last && mid == from)) {
+              deriveSeq(syms, si + 1, mid, to, active, strictEnd) match {
                 case Some(rest) =>
                   deriveNt(id, from, mid, refMark, active) match {
                     case Some(node) => res = Some(node +: rest)
