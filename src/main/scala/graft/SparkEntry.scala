@@ -626,6 +626,28 @@ object SparkEntry {
     graft.pipeline.HeavyHitters.topKExact(items, "bigram", k = 25, m = 4096)
   }
 
+  /** q89: per-language EXACT length quantiles — the distribution profile a
+    * curation policy reads before setting length cutoffs (q75's quantile
+    * FILTER consumes exactly such thresholds). Spark's `percentile` is the
+    * exact sort-based aggregate with linear interpolation at p·(n-1) —
+    * the same definition as DuckDB's quantile_cont, so the oracle is
+    * deterministic (approx sketches would not cross-engine hash-match).
+    * Scale shape: partial+final typed aggregation keyed by lang; the sort
+    * is per-group inside the aggregate buffer, never a global sort. For
+    * 100-TB corpora swap in approx_percentile (same plan shape, bounded
+    * memory) — exact here because the gate needs bit-equality. */
+  private def q89LengthQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .groupBy($"lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_chars, 0.5)"), 2).as("p50"),
+        round(expr("percentile(n_chars, 0.9)"), 2).as("p90"),
+        round(expr("percentile(n_chars, 0.99)"), 2).as("p99"))
+      .orderBy($"lang")
+  }
+
   private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // STREAMING TTL dedup under the oracle gate: replay the events table as
@@ -2223,6 +2245,7 @@ object SparkEntry {
     "q86_domain_stats"   -> (q86DomainStats(_, _)),
     "q87_line_filter"    -> (q87LineFilter(_, _)),
     "q88_heavy_hitters"  -> (q88HeavyHitters(_, _)),
+    "q89_length_quantiles" -> (q89LengthQuantiles(_, _)),
   )
 
   /** shared q85/q86 oracle prelude: re-synthesize the six messy-URL variant
@@ -2783,6 +2806,14 @@ object SparkEntry {
         |  len(kept)::BIGINT AS n_kept,
         |  sha256(array_to_string(kept, chr(10))) AS clean_sha
         |FROM kt ORDER BY doc_id""".stripMargin,
+    // q89: both engines define the exact continuous quantile identically
+    // (sort, linear interpolation at p·(n-1)), so the profile hash-matches
+    "q89_length_quantiles" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 2) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 2) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 2) AS p99
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // q88: the oracle is the EXHAUSTIVE bigram count — the sketch path
     // must reproduce the true top-25 exactly (930 distinct << m=4096 keeps
     // Misra–Gries in its zero-error regime; ties closed by bigram ASC)

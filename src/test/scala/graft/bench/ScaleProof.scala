@@ -72,7 +72,11 @@ object ScaleProof {
     // base corpus sits under the cap; the 5× and 10× corpora (Caesar-
     // rotated copies multiply distinct bigrams past m) both saturate it —
     // the proof is 5× vs 10×: corpus doubles, shuffle bytes identical
-    "q88_heavy_hitters")
+    "q88_heavy_hitters",
+    // exact quantile profile: one partial+final agg keyed by lang — the
+    // wire carries every row once (no combiner for exact percentile), so
+    // shuffle must be ~linear and the per-group buffer sort local
+    "q89_length_quantiles")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
