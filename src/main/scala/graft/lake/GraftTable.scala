@@ -576,6 +576,15 @@ class GraftTable(val spark: SparkSession, val location: String,
     io.createExclusive(s"meta/edge-$ref-v$parentV")
   }
 
+  /** Wall-clock budget a committer spends losing edge claims before it
+    * surfaces a conflict naming repairRefs(): the head not moving for this
+    * long means the winning claimant likely died between claiming and
+    * publishing. The claim is held across a publish (small metadata writes),
+    * so the budget must absorb GC pauses and loaded hosts — sized in seconds,
+    * not multiples of the happy-path publish latency. */
+  private val contentionBudgetMs: Long =
+    spark.conf.get("spark.graft.commit.contentionBudgetMs", "60000").toLong
+
   /** allocate a globally unique snapshot version: claim ids upward from the
     * optimistic next until one wins. Uncontended tables claim on the first
     * try; a lost race costs one extra create RPC per contender. */
@@ -1002,9 +1011,9 @@ class GraftTable(val spark: SparkSession, val location: String,
     }
     val addedRecords = added.map(_.record_count).sum
     val basisV = basis.map(_.version).getOrElse(0L)
-    val maxAttempts = 240 // × 25 ms ≈ 6 s of contention before giving up
-    var attempt = 0
-    while (attempt < maxAttempts) {
+    val deadline = System.currentTimeMillis() + contentionBudgetMs
+    var backoffMs = 25L
+    while (System.currentTimeMillis() < deadline) {
       val parent = currentSnapshot
       val pv = parent.map(_.version).getOrElse(0L)
       if (pv != basisV) validateRebase(basisV, parent, replacedPaths, operation)
@@ -1033,8 +1042,8 @@ class GraftTable(val spark: SparkSession, val location: String,
       val files = if (pf < 0) -1L else pf + added.size - replacedPaths.size
       if (claimEdge(refName, pv))
         return publishClaimed(parent, shards, operation, live, files, None)
-      attempt += 1
-      Thread.sleep(25)
+      Thread.sleep(backoffMs)
+      backoffMs = math.min(backoffMs * 2, 200L)
     }
     throw new CommitConflictException(
       s"$operation on ref $refName at $location kept losing the edge claim " +
@@ -1316,15 +1325,15 @@ class GraftTable(val spark: SparkSession, val location: String,
     * naming repairRefs() instead of spinning forever. */
   private def commitRetrying(operation: String)
       (build: Option[Snapshot] => (Seq[ManifestShard], Long, Long)): Snapshot = {
-    val maxAttempts = 240 // × 25 ms ≈ 6 s of contention before giving up
-    var attempt = 0
-    while (attempt < maxAttempts) {
+    val deadline = System.currentTimeMillis() + contentionBudgetMs
+    var backoffMs = 25L
+    while (System.currentTimeMillis() < deadline) {
       val parent = currentSnapshot
       val (shards, live, files) = build(parent)
       if (claimEdge(refName, parent.map(_.version).getOrElse(0L)))
         return publishClaimed(parent, shards, operation, live, files, None)
-      attempt += 1
-      Thread.sleep(25)
+      Thread.sleep(backoffMs)
+      backoffMs = math.min(backoffMs * 2, 200L)
     }
     throw new CommitConflictException(
       s"$operation on ref $refName at $location kept losing the edge claim " +
