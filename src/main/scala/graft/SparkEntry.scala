@@ -648,6 +648,33 @@ object SparkEntry {
       .orderBy($"lang")
   }
 
+  /** q90: deterministic exactly-k weighted sample per language — the
+    * "pick 20 representative docs per stratum, longer docs weighted
+    * heavier" curation step. Integer-exact WRS (min-of-w splitmix64 keys,
+    * see [[graft.pipeline.Sampling]]); the oracle re-derives every key in
+    * DuckDB HUGEINT arithmetic and must select the identical set. */
+  private def q90WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+      .withColumn("wt_in", least(lit(4L), lit(1L) + expr("n_chars div 500")))
+    graft.pipeline.Sampling
+      .weightedSample(docs, "doc_id", "lang", $"wt_in", k = 20, seed = 777L)
+      .withColumnRenamed("stratum", "lang")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"lang", $"key", $"doc_id")
+  }
+
+  /** q91: top-3 salient terms per document by the log-free tf–idf score
+    * tf/df (see [[graft.pipeline.Salience]]) — exact small-integer ratios,
+    * so the DuckDB oracle reproduces score AND rank order bit-exactly. */
+  private def q91SalientTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.pipeline.Salience
+      .salientTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id", $"rank")
+  }
+
   private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // STREAMING TTL dedup under the oracle gate: replay the events table as
@@ -2246,6 +2273,8 @@ object SparkEntry {
     "q87_line_filter"    -> (q87LineFilter(_, _)),
     "q88_heavy_hitters"  -> (q88HeavyHitters(_, _)),
     "q89_length_quantiles" -> (q89LengthQuantiles(_, _)),
+    "q90_weighted_sample" -> (q90WeightedSample(_, _)),
+    "q91_salient_terms"  -> (q91SalientTerms(_, _)),
   )
 
   /** shared q85/q86 oracle prelude: re-synthesize the six messy-URL variant
@@ -2806,6 +2835,41 @@ object SparkEntry {
         |  len(kept)::BIGINT AS n_kept,
         |  sha256(array_to_string(kept, chr(10))) AS clean_sha
         |FROM kt ORDER BY doc_id""".stripMargin,
+    // q90: the oracle re-derives every WRS key — splitmix64 via HUGEINT
+    // modular arithmetic (the q57 recipe), min over the row's wt copies —
+    // and must select the identical 20-per-stratum set, keys included
+    "q90_weighted_sample" -> {
+      val mix = duckMixInline("xor(doc_id * 1000003 + copy, 777)")
+      s"""WITH w AS (SELECT doc_id, lang,
+         |    least(4, 1 + n_chars // 500)::BIGINT AS wt FROM documents),
+         |e AS (SELECT doc_id, lang, wt, unnest(range(0, wt)) AS copy FROM w),
+         |h AS (SELECT doc_id, lang, wt,
+         |    min((($mix) >> 11)::BIGINT) AS key
+         |  FROM e GROUP BY 1, 2, 3),
+         |r AS (SELECT lang, doc_id, wt, key,
+         |    row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+         |  FROM h)
+         |SELECT lang, doc_id, wt, key FROM r WHERE rn <= 20
+         |ORDER BY lang, key, doc_id""".stripMargin
+    },
+    // q91: score = tf/df is one IEEE division of two small integers per
+    // row — both engines produce identical doubles, so the rank ORDER
+    // (unrounded score desc, term asc) agrees bit-exactly, not just the
+    // rounded display value
+    "q91_salient_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |tk AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        |       FROM tk GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |r AS (SELECT doc_id, term, tf, df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf::DOUBLE / df::DOUBLE DESC, term) AS rn
+        |  FROM tf JOIN dfx USING (term))
+        |SELECT doc_id, term, tf, df,
+        |  round(tf::DOUBLE / df::DOUBLE, 6) AS score, rn::BIGINT AS rank
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
     // q89: both engines define the exact continuous quantile identically
     // (sort, linear interpolation at p·(n-1)), so the profile hash-matches
     "q89_length_quantiles" ->

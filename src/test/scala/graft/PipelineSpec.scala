@@ -923,4 +923,52 @@ class PipelineSpec extends SparkTestBase {
     assert(ds.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == Seq(
       ("other.com", 1L, 1L), ("site.com", 3L, 2L)))
   }
+
+  test("weightedSample: exactly-k per stratum, deterministic, weight-sensitive") {
+    import spark.implicits._
+    import graft.pipeline.Sampling
+    // 200 ids in one stratum, id 7 weighted 64x everything else
+    val df = (0L until 200L).map(id => (id, "en")).toDF("doc_id", "lang")
+    val wt = when($"doc_id" === 7L, lit(64L)).otherwise(lit(1L))
+    def ids(seed: Long) =
+      Sampling.weightedSample(df, "doc_id", "lang", wt, k = 10, seed = seed)
+        .select("id").as[Long].collect().toSet
+    // exactly k rows, stable across reruns of the same seed
+    assert(ids(1L).size == 10 && ids(1L) == ids(1L))
+    // k >= stratum size degenerates to the whole stratum
+    assert(Sampling.weightedSample(df.limit(5), "doc_id", "lang", wt,
+      k = 10, seed = 1L).count() == 5)
+    // weight sensitivity: across 40 seeds the 64x row must be selected far
+    // more often than a unit row's 10/200 base rate (P[miss all 40] under
+    // even half-weighting is < 1e-9 — deterministic in the fixed seeds)
+    val hits7 = (1L to 40L).count(s => ids(s).contains(7L))
+    val hits11 = (1L to 40L).count(s => ids(s).contains(11L))
+    assert(hits7 >= 30, s"64x-weighted row selected only $hits7/40")
+    assert(hits7 > hits11, s"weighting had no effect ($hits7 vs $hits11)")
+    // two strata never mix: per-stratum counts are independent
+    val two = (0L until 100L).map(id => (id, if (id < 50) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val per = Sampling.weightedSample(two, "doc_id", "lang", lit(1L), 10, 3L)
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(per == Map("a" -> 10L, "b" -> 10L))
+  }
+
+  test("salientTerms: exact tf/df scores, rank order, k cutoff") {
+    import spark.implicits._
+    import graft.pipeline.Salience
+    val df = Seq(
+      (1L, "alpha alpha beta common"),
+      (2L, "beta gamma common"),
+      (3L, "common common gamma")).toDF("doc_id", "text")
+    val out = Salience.salientTerms(df, "doc_id", "text", k = 2)
+      .orderBy($"id", $"rank")
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSeq
+    // doc 1: alpha tf=2 df=1 -> 2.0; beta tf=1 df=2 -> 0.5; common 1/3
+    // doc 2: gamma tf=1 df=2 -> 0.5 ties beta 0.5 -> term asc breaks it
+    // doc 3: common tf=2 df=3 -> 0.666667; gamma 0.5
+    assert(out == Seq(
+      (1L, "alpha", 2L, 1L, 2.0, 1L), (1L, "beta", 1L, 2L, 0.5, 2L),
+      (2L, "beta", 1L, 2L, 0.5, 1L), (2L, "gamma", 1L, 2L, 0.5, 2L),
+      (3L, "common", 2L, 3L, 0.666667, 1L), (3L, "gamma", 1L, 2L, 0.5, 2L)))
+  }
 }

@@ -376,6 +376,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), s"q88 global sort:\n$p")
   }
 
+  test("q90 weighted sample: rank window becomes a WindowGroupLimit top-k") {
+    val p = planOf("q90_weighted_sample")
+    // InferWindowGroupLimit must rewrite rn <= k into a map-side top-k
+    // pair, so the stratum exchange carries k rows per partition — the
+    // property that keeps the sample a metadata-sized shuffle at 100 TB
+    assert(p.contains("WindowGroupLimit"), s"q90 window not group-limited:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q90 cartesian:\n$p")
+    // the keys are computed map-side in one projection — no explode
+    assert(!p.contains("Generate"), s"q90 exploded the weight copies:\n$p")
+  }
+
+  test("q91 salient terms: linear aggregates, term equi-join, per-doc top-k") {
+    val p = planOf("q91_salient_terms")
+    assert(p.contains("WindowGroupLimit"), s"q91 window not group-limited:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q91 non-equi join:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries") {
     // AQE finalizes the plan only on execution
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)
