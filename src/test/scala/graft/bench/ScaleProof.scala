@@ -76,7 +76,15 @@ object ScaleProof {
     // exact quantile profile: one partial+final agg keyed by lang — the
     // wire carries every row once (no combiner for exact percentile), so
     // shuffle must be ~linear and the per-group buffer sort local
-    "q89_length_quantiles")
+    "q89_length_quantiles",
+    // weighted sample: keys are map-side, WindowGroupLimit caps the stratum
+    // exchange at k rows per partition — shuffle must be ~FLAT (k × strata ×
+    // partitions), wall ~linear in the scan
+    "q90_weighted_sample",
+    // salient terms: (doc, term) tf agg + vocab df agg + term equi-join +
+    // per-doc group-limited window — every exchange ∝ tokens/vocab/docs,
+    // so shuffle must be ~linear
+    "q91_salient_terms")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
