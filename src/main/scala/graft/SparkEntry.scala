@@ -675,6 +675,23 @@ object SparkEntry {
       .orderBy($"doc_id", $"rank")
   }
 
+  /** q92: reference-bigram coverage — the log-free LM quality filter (see
+    * [[graft.pipeline.LmScore]]). The reference slice is the deterministic
+    * doc_id % 5 == 0 split (the "trusted corpus" a real pipeline would take
+    * from Wikipedia); every other document is scored by how much of its
+    * bigram stream that slice's vocabulary covers. Integer counts + one
+    * IEEE division per row, so DuckDB re-derives every sha60 bigram hash
+    * and must agree bit-exactly on all three columns. */
+  private def q92LmCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    graft.pipeline.LmScore
+      .bigramCoverage(docs.filter($"doc_id" % 5 =!= 0), "doc_id", "text",
+        docs.filter($"doc_id" % 5 === 0), "doc_id", "text", minRefDocs = 2)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   private def q40StreamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // STREAMING TTL dedup under the oracle gate: replay the events table as
@@ -2275,6 +2292,7 @@ object SparkEntry {
     "q89_length_quantiles" -> (q89LengthQuantiles(_, _)),
     "q90_weighted_sample" -> (q90WeightedSample(_, _)),
     "q91_salient_terms"  -> (q91SalientTerms(_, _)),
+    "q92_lm_coverage"    -> (q92LmCoverage(_, _)),
   )
 
   /** shared q85/q86 oracle prelude: re-synthesize the six messy-URL variant
@@ -2870,6 +2888,28 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df,
         |  round(tf::DOUBLE / df::DOUBLE, 6) AS score, rn::BIGINT AS rank
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // q92: DuckDB re-derives every sha60 bigram hash, rebuilds the
+    // reference vocabulary (doc frequency >= 2 over the doc_id%5=0 slice)
+    // and recomputes the integer hit/total counts; coverage is one IEEE
+    // division, so all columns hash-match (the q91 log-free discipline)
+    "q92_lm_coverage" ->
+      s"""WITH ws AS (SELECT doc_id, $duckWords AS w FROM documents),
+         |big AS (SELECT doc_id, ${duckSha60("sgl")} AS sh FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+         |    ELSE list_transform(range(1, len(w)),
+         |           i -> w[i] || ' ' || w[i+1]) END) AS sgl
+         |  FROM ws WHERE len(w) > 0)),
+         |vocab AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM big
+         |                          WHERE doc_id % 5 = 0)
+         |          GROUP BY sh HAVING count(*) >= 2),
+         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams FROM big
+         |        WHERE doc_id % 5 <> 0 GROUP BY doc_id),
+         |hit AS (SELECT doc_id, count(*)::BIGINT AS n_hits
+         |        FROM big JOIN vocab USING (sh)
+         |        WHERE doc_id % 5 <> 0 GROUP BY doc_id)
+         |SELECT t.doc_id, n_bigrams, coalesce(n_hits, 0)::BIGINT AS n_hits,
+         |  round(coalesce(n_hits, 0)::DOUBLE / n_bigrams::DOUBLE, 6) AS coverage
+         |FROM tot t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q89: both engines define the exact continuous quantile identically
     // (sort, linear interpolation at p·(n-1)), so the profile hash-matches
     "q89_length_quantiles" ->

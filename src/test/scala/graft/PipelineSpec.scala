@@ -971,4 +971,30 @@ class PipelineSpec extends SparkTestBase {
       (2L, "beta", 1L, 2L, 0.5, 1L), (2L, "gamma", 1L, 2L, 0.5, 2L),
       (3L, "common", 2L, 3L, 0.666667, 1L), (3L, "gamma", 1L, 2L, 0.5, 2L)))
   }
+
+  test("bigramCoverage: exact hit/total counts, vocab df threshold, edges") {
+    import spark.implicits._
+    import graft.pipeline.LmScore
+    // reference: "a b" appears in both ref docs (df=2, enters vocab);
+    // "b c" and "c a" in one each (df=1, excluded at minRefDocs=2).
+    val ref = Seq((10L, "a b c"), (20L, "a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c a b"),   // bigrams: ab bc ca ab -> hits ab,ab = 2/4
+      (2L, "x y z"),       // xy yz -> 0/2
+      (3L, "a b"),         // ab -> 1/1
+      (4L, "solo"),        // <2 words: one whole-text shingle, not in vocab
+      (5L, "")             // zero words: no bigrams, absent from output
+    ).toDF("doc_id", "text")
+    val out = LmScore.bigramCoverage(docs, "doc_id", "text",
+        ref, "doc_id", "text", minRefDocs = 2)
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 0L, 0.0),
+      (3L, 1L, 1L, 1.0), (4L, 1L, 0L, 0.0)))
+    // at minRefDocs=1 "b c" (ref df=1) joins the vocab; "c a" never occurs
+    // in the reference, so doc 1 scores 3/4
+    val loose = LmScore.bigramCoverage(docs, "doc_id", "text",
+        ref, "doc_id", "text", minRefDocs = 1)
+      .orderBy($"id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(loose.head == (1L, 4L, 3L, 0.75))
+  }
 }

@@ -394,6 +394,14 @@ class PlanSpec extends SparkTestBase {
       s"q91 non-equi join:\n$p")
   }
 
+  test("q92 lm coverage: linear aggregates and equi-joins only, no window") {
+    val p = planOf("q92_lm_coverage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"q92 non-equi join:\n$p")
+    assert(!p.contains("Window"), s"q92 unexpected window:\n$p")
+    assert(p.contains("HashAggregate"), s"q92 no hash aggregate:\n$p")
+  }
+
   test("whole-stage codegen covers the relational queries") {
     // AQE finalizes the plan only on execution
     val df = SparkEntry.queries("q1_agg")(spark, sfDir)

@@ -84,7 +84,12 @@ object ScaleProof {
     // salient terms: (doc, term) tf agg + vocab df agg + term equi-join +
     // per-doc group-limited window — every exchange ∝ tokens/vocab/docs,
     // so shuffle must be ~linear
-    "q91_salient_terms")
+    "q91_salient_terms",
+    // lm coverage: bigram-hash explode + reference-vocab agg + hash-only
+    // equi-join + per-doc count agg — every exchange ∝ bigrams/vocab/docs,
+    // so shuffle must be ~linear (Caesar-rotated copies multiply the
+    // vocabulary linearly too — no stop-bigram blowup)
+    "q92_lm_coverage")
 
   /** q23 with scale-appropriate band width: collision probability per band
     * is 2^-planes, so candidate volume stays linear only when planes grows
