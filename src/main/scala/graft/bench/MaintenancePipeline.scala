@@ -24,14 +24,23 @@ object MaintenancePipeline {
     val rows = if (args.length > 1) args(1).toInt else 20000
     val cores = if (args.length > 2) args(2) else sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
 
-    val spark = SparkSession.builder()
-      .master(s"local[$cores]")
+    // under spark-submit (spark.master set, e.g. a multi-JVM local-cluster
+    // for the N→4N pairs) keep the submitted master; standalone sbt runs
+    // get local[cores]
+    val base = SparkSession.builder()
       .appName("graft-maintenance")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (sys.props.contains("spark.master")) base
+                 else base.master(s"local[$cores]")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // multi-JVM workers register asynchronously — wait so phase 0 doesn't
+    // run on the driver's 2 default slots
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (sys.props.contains("spark.master") &&
+           spark.sparkContext.defaultParallelism < cores.toInt &&
+           System.nanoTime() < deadline) Thread.sleep(200)
 
     val metrics = run(spark, tableDir, rows)
     val qs = metrics.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -39,14 +48,27 @@ object MaintenancePipeline {
     spark.stop()
   }
 
-  /** Runs the full pipeline; returns (phase -> seconds) + throughput rows. */
+  /** Runs the full pipeline; returns (phase -> seconds) + throughput rows.
+    * Each phase also reports task-CPU seconds (`<phase>_cpu`): wall vs cpu
+    * tells apart CPU-bound phases (cpu ≈ wall × cores — these must scale
+    * N→4N) from storage-bound ones (cpu ≪ wall × cores — bounded by disk
+    * bandwidth, which a single box SHARES across both parallelism levels
+    * while a real 4× cluster multiplies it with the nodes). */
   def run(spark: SparkSession, tableDir: String, rows: Int): Seq[(String, Double)] = {
     import spark.implicits._
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
+    })
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def timed[T](name: String)(body: => T): T = {
+      cpuNs.set(0)
       val t0 = System.nanoTime()
       val r = body
       out += name -> (System.nanoTime() - t0) / 1e9
+      Thread.sleep(100) // listener drain
+      out += s"${name}_cpu" -> cpuNs.get() / 1e9
       r
     }
 
