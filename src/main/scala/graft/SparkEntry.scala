@@ -2876,7 +2876,7 @@ object SparkEntry {
     // rounded display value
     "q91_salient_terms" ->
       """WITH toks AS (SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS term FROM documents),
+        |    unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents),
         |tk AS (SELECT doc_id, term FROM toks WHERE len(term) > 0),
         |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
         |       FROM tk GROUP BY 1, 2),
@@ -2902,13 +2902,17 @@ object SparkEntry {
          |vocab AS (SELECT sh FROM (SELECT DISTINCT doc_id, sh FROM big
          |                          WHERE doc_id % 5 = 0)
          |          GROUP BY sh HAVING count(*) >= 2),
-         |tot AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams FROM big
-         |        WHERE doc_id % 5 <> 0 GROUP BY doc_id),
+         |tot AS (SELECT doc_id, (CASE WHEN len(w) = 0 THEN 0
+         |          WHEN len(w) = 1 THEN 1 ELSE len(w) - 1 END)::BIGINT
+         |          AS n_bigrams
+         |        FROM ws WHERE doc_id % 5 <> 0),
          |hit AS (SELECT doc_id, count(*)::BIGINT AS n_hits
          |        FROM big JOIN vocab USING (sh)
          |        WHERE doc_id % 5 <> 0 GROUP BY doc_id)
          |SELECT t.doc_id, n_bigrams, coalesce(n_hits, 0)::BIGINT AS n_hits,
-         |  round(coalesce(n_hits, 0)::DOUBLE / n_bigrams::DOUBLE, 6) AS coverage
+         |  CASE WHEN n_bigrams = 0 THEN 0.0 ELSE
+         |    round(coalesce(n_hits, 0)::DOUBLE / n_bigrams::DOUBLE, 6)
+         |  END AS coverage
          |FROM tot t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
     // q89: both engines define the exact continuous quantile identically
     // (sort, linear interpolation at p·(n-1)), so the profile hash-matches

@@ -91,7 +91,15 @@ object Ann {
   /** Query a PRE-BUILT index from ivfAssign: rank the query against the
     * distinct centroid set (derived from the index — no corpus scan),
     * then scan only the nProbe nearest inverted lists. The per-query cost
-    * is sublinear in the corpus once the index DataFrame is persisted. */
+    * is sublinear in the corpus once the index DataFrame is persisted.
+    *
+    * Probe-set nuance vs [[ivfTopK]]: when two quantizer rows carry
+    * IDENTICAL vectors, the cosine tie makes every assignment prefer the
+    * smaller cid, so the larger cid's inverted list is empty and its row
+    * is assigned cid = the smaller one — it drops out of the probe ranking
+    * here (id == cid finds no row) while ivfTopK still ranks it. Both
+    * probe orders are deterministic; this one skips only a provably empty
+    * list, so recall is never lower than ivfTopK's on the same nProbe. */
   def ivfTopKAssigned(index: DataFrame, idCol: String,
                       query: Array[Float], k: Int, nProbe: Int = 4): DataFrame = {
     val q = typedLit(query.toSeq)

@@ -66,7 +66,10 @@ object AsOf {
         col(leftTs).as(TS), lit(1).as(SIDE), lit(null).cast(tieType).as(TIE),
         lit(null).cast(rsType).as(RS)) ++
       leftCols.filterNot(keys.contains).map(col): _*)
-    val r2 = right.select(
+    // a NULL right timestamp is not <= anything — and NULLS FIRST ordering
+    // would otherwise park it at the partition head as a universal
+    // fallback match for every left row
+    val r2 = right.filter(col(rightTs).isNotNull).select(
       keys.map(col) ++ Seq(
         col(rightTs).as(TS), lit(0).as(SIDE),
         rightTiebreak.map(col).getOrElse(lit(null).cast(LongType)).as(TIE),

@@ -122,8 +122,12 @@ object Curation {
       .withColumn("tokens", tokens.cast("long"))
       .withColumn("__h", TextFunctions.mix64(col(idCol).cast("long")))
       // arithmetic shift keeps bucket order == signed key order; +B/2
-      // maps [-B/2, B/2) onto [0, B)
-      .withColumn("__b", (shiftright(col("__h"), shift) + buckets / 2).cast("int"))
+      // maps [-B/2, B/2) onto [0, B). buckets=1 needs the constant: a
+      // 64-bit shift count is masked to 0 by the JVM/Spark, which would
+      // leave the raw hash (truncated to int) as the "bucket"
+      .withColumn("__b",
+        if (buckets == 1) lit(0)
+        else (shiftright(col("__h"), shift) + buckets / 2).cast("int"))
     val perBucket = base
       .groupBy(col(langCol).as("__l"), col("__b").as("__bb"))
       .agg(sum("tokens").as("__bt"))
@@ -136,8 +140,10 @@ object Curation {
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     base
+      // null-safe on the stratum: groupBy keeps a NULL-language group, and
+      // a === join would silently drop those rows from the sample/packing
       .join(broadcast(offsets),
-        col(langCol) === col("__l") && col("__b") === col("__bb"))
+        col(langCol) <=> col("__l") && col("__b") === col("__bb"))
       .withColumn("cum_before",
         col("__off") + coalesce(sum(col("tokens")).over(withinBucket), lit(0L)))
       .drop("__l", "__bb", "__off", "__b", "__h")
@@ -181,7 +187,8 @@ object Curation {
       // rows to drop: floor(q * n) in exact integer arithmetic
       .withColumn("__drop", expr(s"(__n * $qNumer) DIV $qDenom"))
     val bucketed = base
-      .join(broadcast(ranges), col(strataCol) === col("__s"))
+      // null-safe: a NULL stratum is its own quantile group, not a drop
+      .join(broadcast(ranges), col(strataCol) <=> col("__s"))
       .withColumn("__b", expr("(score - __lo) DIV __w"))
     // pass 2: per-(stratum, bucket) counts → starting offsets (tiny frame)
     val perBucket = bucketed.groupBy(col(strataCol).as("__s2"), col("__b").as("__bb"))
@@ -195,7 +202,7 @@ object Curation {
       .orderBy(col("score"), col(idCol))
     bucketed
       .join(broadcast(offsets),
-        col(strataCol) === col("__s2") && col("__b") === col("__bb"))
+        col(strataCol) <=> col("__s2") && col("__b") === col("__bb"))
       .withColumn("rank", col("__off") + row_number().over(withinBucket))
       .filter(col("rank") > col("__drop"))
       .drop("__s", "__lo", "__hi", "__n", "__w", "__drop", "__b", "__s2", "__bb", "__off")

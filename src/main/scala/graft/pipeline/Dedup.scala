@@ -18,7 +18,9 @@ object Dedup {
     df.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
-  /** latest-wins variant via window (keeps whole rows). */
+  /** first-wins variant via window (keeps the whole SMALLEST-id row of each
+    * duplicate set — the same keep rule as [[exact]]; pass a recency rank as
+    * idCol, negated, if latest-wins is wanted). */
   def exactKeepRows(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol).asc)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
@@ -246,8 +248,12 @@ object Dedup {
     * (localCheckpoint) so plans stay flat however many rounds run.
     *
     * Returns one row per id in `df`: (member_id, group_id) where group_id is
-    * the smallest id reachable through the pair graph (singletons map to
-    * themselves). */
+    * the smallest DF id reachable through the pair graph (singletons map to
+    * themselves). Pairs may mention ids outside df's id set (a superset
+    * corpus): those ids conduct connectivity but are not label candidates
+    * and do not appear in the output — unlike [[nearDupGroupsStar]], whose
+    * label domain is df ∪ pairs, so the two can pick different (equally
+    * deterministic) representatives for such graphs. */
   def nearDupGroups(df: DataFrame, idCol: String, pairs: DataFrame,
                     maxIter: Int = 25,
                     checkpointDir: Option[String] = None): DataFrame = {

@@ -40,13 +40,21 @@ object LmScore {
     *                   least this many DISTINCT reference documents (doc
     *                   frequency, not raw count — one spammy reference doc
     *                   cannot mint vocabulary).
-    * @return one row per doc: (id, n_bigrams, n_hits, coverage) with
-    *         coverage = round(n_hits / n_bigrams, 6).
+    * @return one row per input row: (id, n_bigrams, n_hits, coverage) with
+    *         coverage = round(n_hits / n_bigrams, 6). Empty/whitespace-only/
+    *         null text scores (0, 0, 0.0) — a document with no bigram stream
+    *         has zero coverage, it does not vanish from the output (a
+    *         downstream keep-filter must SEE it to reject it).
     */
   def bigramCoverage(docs: DataFrame, idCol: String, textCol: String,
                      ref: DataFrame, refIdCol: String, refTextCol: String,
                      minRefDocs: Int = 2): DataFrame = {
     require(minRefDocs >= 1, "minRefDocs must be >= 1")
+    // the total needs no explode or aggregate: each doc is one row and its
+    // bigram count is the shingle-array length (null text → empty array)
+    val tot = docs.select(col(idCol).cast("long").as("id"),
+      size(TextFunctions.shingle_hashes(coalesce(col(textCol), lit("")), lit(2)))
+        .cast("long").as("n_bigrams"))
     // duplicates kept: coverage weighs each POSITION of the bigram stream,
     // exactly like a unigram-backoff LM weighs each token position.
     val ex = docs.select(col(idCol).cast("long").as("id"),
@@ -60,11 +68,11 @@ object LmScore {
       .select("sh")
     val perDoc = ex.join(vocab, Seq("sh"), "left_semi")
       .groupBy("id").agg(count(lit(1)).as("n_hits"))
-    ex.groupBy("id").agg(count(lit(1)).as("n_bigrams"))
-      .join(perDoc, Seq("id"), "left_outer")
+    tot.join(perDoc, Seq("id"), "left_outer")
       .select(col("id"), col("n_bigrams"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-          col("n_bigrams").cast("double"), 6).as("coverage"))
+        when(col("n_bigrams") === 0L, lit(0.0)).otherwise(
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_bigrams").cast("double"), 6)).as("coverage"))
   }
 }

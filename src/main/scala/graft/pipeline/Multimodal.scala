@@ -80,10 +80,12 @@ object Multimodal {
   /** frame sampling plan: explode every ceil(n_frames / k)-th frame index —
     * the shuffle-free plumbing a video pipeline needs before decode. */
   def sampleFrames(df: DataFrame, k: Int): DataFrame = {
+    // ceil, not floor: a floor step under-strides (n=15, k=8 → step 1 → all
+    // 15 frames) and can emit up to 2k-1 samples; ceil guarantees ≤ k
     df.filter(col("kind") === "video")
       .withColumn("frame_idx",
         explode(sequence(lit(0), col("meta.n_frames") - 1,
-          greatest(lit(1), (col("meta.n_frames") / k).cast("int")))))
+          greatest(lit(1), ceil(col("meta.n_frames") / k).cast("int")))))
   }
 
   /** The full REAL frame pipeline: sample frame indices, decode exactly
@@ -394,7 +396,7 @@ object MediaCodec {
       try {
         val n = r.getNumImages(true)
         if (n <= 0) return new Array[Float](dim)
-        val step = math.max(1, n / 8)
+        val step = math.max(1, (n + 7) / 8) // ceil: ≤ 8 frames decoded, as documented
         val hist = new Array[Long](dim)
         var total = 0L
         var f = 0

@@ -82,7 +82,7 @@ object Salience {
                    k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val toks = df.select(col(idCol).as("id"),
-        explode(split(col(textCol), " ")).as("term"))
+        explode(split(col(textCol), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

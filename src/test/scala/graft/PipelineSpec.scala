@@ -130,6 +130,29 @@ class PipelineSpec extends SparkTestBase {
     assert(naive.nonEmpty)
   }
 
+  test("prefix-sum curation: NULL strata kept, buckets=1 degenerate") {
+    import spark.implicits._
+    val df = Seq((1L, "en", 10L), (2L, null.asInstanceOf[String], 10L),
+      (3L, null.asInstanceOf[String], 10L), (4L, "en", 10L))
+      .toDF("doc_id", "lang", "tk")
+    // NULL is its own stratum, not a silent drop (the === join would lose it)
+    val kept = Curation.tokenBudgetSample(df, "doc_id", "lang", $"tk",
+      budgetPerLang = 100L, buckets = 8)
+    assert(kept.count() == 4)
+    assert(kept.filter($"lang".isNull).count() == 2)
+    val q = Curation.dropBottomQuantile(df, "doc_id", "lang", $"tk", 0L, 1L, buckets = 8)
+    assert(q.count() == 4, "q=0 must drop nothing, including NULL strata")
+    // buckets=1: the 64-bit shift is masked to 0 by the JVM — the constant
+    // bucket keeps cum_before exact
+    val one = Curation.tokenBudgetSample(docs, "doc_id", "lang",
+        (length($"text")).cast("long"), budgetPerLang = 400000L, buckets = 1)
+      .select($"doc_id", $"cum_before").collect().map(_.toSeq).sortBy(_.toString)
+    val ref = Curation.tokenBudgetSampleNaive(docs, "doc_id", "lang",
+        (length($"text")).cast("long"), budgetPerLang = 400000L)
+      .select($"doc_id", $"cum_before").collect().map(_.toSeq).sortBy(_.toString)
+    assert(one.toSeq == ref.toSeq)
+  }
+
   test("token-budget sample: greedy budget semantics per stratum") {
     import spark.implicits._
     val toks = (length($"text") - length(regexp_replace($"text", " ", "")) + 1).cast("long")
@@ -363,7 +386,7 @@ class PipelineSpec extends SparkTestBase {
     assert(frames.count() > 0)
     val perVideo = frames.groupBy($"media_id").agg(count(lit(1)).as("n"))
       .agg(max($"n")).head().getLong(0)
-    assert(perVideo <= 8, s"sampled too many frames: $perVideo")
+    assert(perVideo <= 4, s"sampled too many frames (k=4): $perVideo")
     // feature extraction keeps batch shape: one row per media, fixed width
     val feats = Multimodal.features(media, dim = 8)
     assert(feats.count() == 100)
@@ -805,6 +828,23 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("asof join: NULL right timestamps never match (no universal fallback)") {
+    import spark.implicits._
+    val (left, right) = asofSides()
+    // a null-ts price would sort NULLS FIRST at the partition head and,
+    // with unbounded tolerance, silently match every otherwise-unmatched
+    // left row — it must behave as if absent instead
+    val withNull = right.unionByName(Seq(("a", 999L, 9.9))
+      .toDF("k", "price_id", "price")
+      .withColumn("price_ts", lit(null).cast("timestamp"))
+      .select("k", "price_ts", "price_id", "price"))
+    val all = pipeline.AsOf.join(left, withNull, Seq("k"), "trade_ts", "price_ts",
+      rightTiebreak = Some("price_id"))
+    // trade 1 (t=9, before every real price) must stay unmatched
+    assert(all.filter($"trade_id" === 1L).count() == 0)
+    assert(all.filter($"price_id" === 999L).count() == 0)
+  }
+
   // ---- heavy hitters (Misra–Gries sketch + exact verify) ----
 
   test("Misra–Gries kernel: survival and error bounds hold on a skewed stream") {
@@ -983,13 +1023,15 @@ class PipelineSpec extends SparkTestBase {
       (2L, "x y z"),       // xy yz -> 0/2
       (3L, "a b"),         // ab -> 1/1
       (4L, "solo"),        // <2 words: one whole-text shingle, not in vocab
-      (5L, "")             // zero words: no bigrams, absent from output
+      (5L, ""),            // zero words: no bigram stream — scores (0,0,0.0)
+      (6L, null)           // null text: same
     ).toDF("doc_id", "text")
     val out = LmScore.bigramCoverage(docs, "doc_id", "text",
         ref, "doc_id", "text", minRefDocs = 2)
       .orderBy($"id").as[(Long, Long, Long, Double)].collect().toSeq
     assert(out == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 0L, 0.0),
-      (3L, 1L, 1L, 1.0), (4L, 1L, 0L, 0.0)))
+      (3L, 1L, 1L, 1.0), (4L, 1L, 0L, 0.0), (5L, 0L, 0L, 0.0),
+      (6L, 0L, 0L, 0.0)))
     // at minRefDocs=1 "b c" (ref df=1) joins the vocab; "c a" never occurs
     // in the reference, so doc 1 scores 3/4
     val loose = LmScore.bigramCoverage(docs, "doc_id", "text",
