@@ -147,13 +147,15 @@ object BloomIndex {
     val rowFilter = col(column) === value
     // total from the snapshot's arithmetic file count — zero planning jobs
     // (count() only for pre-field tables)
-    if (table.hasEqDeletes(snap)) {
+    if (table.hasMorDeletes(snap)) {
+      // BOTH pending delete flavors apply, like prunedScan: an eq-only
+      // branch here returned rows already retracted by posdel shards
+      // (MoR UPDATE's pre-image, positional DELETEs)
       val m = table.manifestWithSeq(snap)
       val total = if (snap.fileCount >= 0) snap.fileCount.toInt else m.count().toInt
       val kept = pruned(m).select($"file_path", $"add_seq")
         .as[(String, Long)].collect().toSeq
-      (table.withEqDeletesApplied(snap, table.readFilesWithSeq(kept))
-        .filter(rowFilter), total, kept.size)
+      (table.morScan(snap, kept).filter(rowFilter), total, kept.size)
     } else {
       val m = table.manifest(snap)
       val total = if (snap.fileCount >= 0) snap.fileCount.toInt else m.count().toInt

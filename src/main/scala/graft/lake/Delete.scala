@@ -85,25 +85,41 @@ object Delete {
   def fullMatchPredicate(filters: Array[Filter]): Column =
     filters.map(f => coalesce(full(f), lit(false))).foldLeft(lit(true))(_ && _)
 
+  /** provably no nulls in `c` — required by EVERY stats-based full-match
+    * proof on c: min/max/collect_set skip nulls, so a file can satisfy e.g.
+    * min_repo == max_repo == 'r' and STILL hold a repo=null row, for which
+    * the predicate is NULL and SQL DELETE must keep it. Null (pre-field
+    * manifest) folds to false via the caller's coalesce → CoW path. */
+  private def nullFree(c: String): Column = col(s"nulls_$c") === 0L
+
   private def full(f: Filter): Column = f match {
-    case EqualTo("repo", v: String) => col("min_repo") === v && col("max_repo") === v
-    case EqualTo("path", v: String) => col("min_path") === v && col("max_path") === v
+    case EqualTo("repo", v: String) =>
+      col("min_repo") === v && col("max_repo") === v && nullFree("repo")
+    case EqualTo("path", v: String) =>
+      col("min_path") === v && col("max_path") === v && nullFree("path")
     case EqualTo("lang", v: String) =>
-      size(col("langs")) === 1 && array_contains(col("langs"), v)
-    case GreaterThan("repo", v: String) => col("min_repo") > v
-    case GreaterThanOrEqual("repo", v: String) => col("min_repo") >= v
-    case LessThan("repo", v: String) => col("max_repo") < v
-    case LessThanOrEqual("repo", v: String) => col("max_repo") <= v
-    case GreaterThan("path", v: String) => col("min_path") > v
-    case GreaterThanOrEqual("path", v: String) => col("min_path") >= v
-    case LessThan("path", v: String) => col("max_path") < v
-    case LessThanOrEqual("path", v: String) => col("max_path") <= v
+      size(col("langs")) === 1 && array_contains(col("langs"), v) && nullFree("lang")
+    case GreaterThan("repo", v: String) => col("min_repo") > v && nullFree("repo")
+    case GreaterThanOrEqual("repo", v: String) => col("min_repo") >= v && nullFree("repo")
+    case LessThan("repo", v: String) => col("max_repo") < v && nullFree("repo")
+    case LessThanOrEqual("repo", v: String) => col("max_repo") <= v && nullFree("repo")
+    case GreaterThan("path", v: String) => col("min_path") > v && nullFree("path")
+    case GreaterThanOrEqual("path", v: String) => col("min_path") >= v && nullFree("path")
+    case LessThan("path", v: String) => col("max_path") < v && nullFree("path")
+    case LessThanOrEqual("path", v: String) => col("max_path") <= v && nullFree("path")
+    // a null test full-matches when the null count accounts for every row
+    // (IsNull) or no row (IsNotNull) — the one proof shape stats CAN make
+    // about nulls
+    case IsNull(c) if c == "repo" || c == "path" || c == "lang" =>
+      col(s"nulls_$c") === col("record_count")
+    case IsNotNull(c) if c == "repo" || c == "path" || c == "lang" =>
+      nullFree(c)
     // a file whose BOTH endpoints share the prefix contains only prefixed
     // strings (any row outside the prefix would order outside [min, max])
     case StringStartsWith("repo", p: String) =>
-      col("min_repo").startsWith(p) && col("max_repo").startsWith(p)
+      col("min_repo").startsWith(p) && col("max_repo").startsWith(p) && nullFree("repo")
     case StringStartsWith("path", p: String) =>
-      col("min_path").startsWith(p) && col("max_path").startsWith(p)
+      col("min_path").startsWith(p) && col("max_path").startsWith(p) && nullFree("path")
     case In("repo", vs) =>
       vs.toSeq.collect { case s: String => full(EqualTo("repo", s)) }
         .foldLeft(lit(false))(_ || _)
@@ -144,7 +160,7 @@ object Delete {
         // keep rows where the predicate is NOT TRUE (false or null)
         val kept = table.readFiles(partial.map(_._1).toSeq)
           .filter(!coalesce(rowPredicate(filters), lit(false)))
-        table.writeDataFiles(kept, "delete-cow")
+        table.writeDataFilesRouted(kept, "delete-cow")
       }
     val removedRecords = cand.map(_._2).sum
     val deleted = removedRecords - added.map(_.record_count).sum

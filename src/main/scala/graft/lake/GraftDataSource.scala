@@ -782,6 +782,13 @@ object GraftScan {
       }.foldLeft(lit(false))(_ || _)
     case StringStartsWith("repo", p: String) => startsWithCol("repo", p)
     case StringStartsWith("path", p: String) => startsWithCol("path", p)
+    // null-count pruning: a null-free file can't satisfy IS NULL, an
+    // all-null file can't satisfy IS NOT NULL (nulls_* null = pre-field
+    // manifest → keep, pruning is never optimistic)
+    case IsNull(c) if c == "repo" || c == "path" || c == "lang" =>
+      keepIfUnknown(col(s"nulls_$c") > 0L)
+    case IsNotNull(c) if c == "repo" || c == "path" || c == "lang" =>
+      keepIfUnknown(col(s"nulls_$c") < col("record_count"))
     case And(l, r) => toCol(l) && toCol(r)
     case Or(l, r) => toCol(l) || toCol(r)
     case _ => lit(true)
@@ -998,6 +1005,10 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true,
                          pushed: Array[Filter] = Array.empty)
   extends PartitionReaderFactory {
   private val columns = required.fieldNames
+  // session Hadoop overrides captured at plan time; installed executor-side
+  // when a task builds its reader so the static delete-shard loaders (which
+  // cannot receive a bag) see them too (LakeConf scaladoc)
+  private val confBag = LakeConf.capture()
 
   /** per-partition, but uniform per scan: a scan either planned with
     * pending MoR deletes (every partition carries them → row path, which
@@ -1011,11 +1022,12 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true,
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    LakeConf.install(confBag)
     val inner = partition match {
       case p: GraftInputPartition =>
-        new GraftColumnarPartitionReader(p.absPath, required, pushed)
+        new GraftColumnarPartitionReader(p.absPath, required, pushed, confBag)
       case b: GraftBucketedPartition =>
-        GraftChainedReader.columnar(b.absPaths, required, pushed)
+        GraftChainedReader.columnar(b.absPaths, required, pushed, confBag)
     }
     limit.fold(inner)(GraftLimitReaders.columnar(inner, _))
   }
@@ -1024,15 +1036,16 @@ class GraftReaderFactory(required: StructType, columnar: Boolean = true,
     required.fields.map(f => f.name -> f.dataType).toMap
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    LakeConf.install(confBag)
     val inner = partition match {
       case p: GraftInputPartition =>
         if (p.eqDeletes.isEmpty && p.posDeletes.isEmpty)
-          new GraftPartitionReader(p.absPath, columns, fieldTypes)
+          new GraftPartitionReader(p.absPath, columns, fieldTypes, confBag)
         else
           new GraftMorFilteringReader(p.absPath, columns, p.addSeq, p.eqDeletes,
-            fieldTypes, p.posDeletes)
+            fieldTypes, p.posDeletes, confBag)
       case b: GraftBucketedPartition =>
-        GraftChainedReader.rows(b.absPaths, columns, fieldTypes)
+        GraftChainedReader.rows(b.absPaths, columns, fieldTypes, confBag)
     }
     limit.fold(inner)(GraftLimitReaders.rows(inner, _))
   }
@@ -1145,13 +1158,15 @@ object GraftLimitReaders {
   * only when its predecessor is exhausted, so memory stays one-file-bounded. */
 object GraftChainedReader {
   def columnar(paths: Seq[String], required: StructType,
-               pushed: Array[Filter] = Array.empty)
+               pushed: Array[Filter] = Array.empty,
+               confBag: Array[(String, String)] = Array.empty)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    chain(paths, p => new GraftColumnarPartitionReader(p, required, pushed))
+    chain(paths, p => new GraftColumnarPartitionReader(p, required, pushed, confBag))
 
   def rows(paths: Seq[String], columns: Array[String],
-           types: Map[String, DataType] = Map.empty): PartitionReader[InternalRow] =
-    chain(paths, p => new GraftPartitionReader(p, columns, types))
+           types: Map[String, DataType] = Map.empty,
+           confBag: Array[(String, String)] = Array.empty): PartitionReader[InternalRow] =
+    chain(paths, p => new GraftPartitionReader(p, columns, types, confBag))
 
   private def chain[T](paths: Seq[String],
                        open: String => PartitionReader[T]): PartitionReader[T] =
@@ -1179,7 +1194,8 @@ object GraftChainedReader {
   * own footer (order preserved); absent columns become constant null
   * vectors so schema evolution never fails the batch path. */
 class GraftColumnarPartitionReader(absPath: String, required: StructType,
-                                   pushed: Array[Filter] = Array.empty)
+                                   pushed: Array[Filter] = Array.empty,
+                                   confBag: Array[(String, String)] = Array.empty)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
@@ -1203,7 +1219,7 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType,
   // one ParquetFileReader serves the footer probe AND the page reads (the
   // previous shape opened the footer twice: once to project, once to read)
   private val pfr: org.apache.parquet.hadoop.ParquetFileReader = {
-    val conf = new Configuration()
+    val conf = LakeConf.restore(confBag)
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new org.apache.hadoop.fs.Path(absPath), conf)
     val b = org.apache.parquet.HadoopReadOptions.builder(conf)
@@ -1309,7 +1325,8 @@ class GraftColumnarPartitionReader(absPath: String, required: StructType,
 }
 
 class GraftPartitionReader(absPath: String, columns: Array[String],
-                           types: Map[String, DataType] = Map.empty)
+                           types: Map[String, DataType] = Map.empty,
+                           confBag: Array[(String, String)] = Array.empty)
   extends PartitionReader[InternalRow] {
   import org.apache.parquet.hadoop.ParquetReader
   import org.apache.parquet.hadoop.example.GroupReadSupport
@@ -1322,7 +1339,7 @@ class GraftPartitionReader(absPath: String, columns: Array[String],
     types.getOrElse(c, if (c == "z") LongType else StringType)
   }
 
-  private val conf = new Configuration()
+  private val conf = LakeConf.restore(confBag)
   locally {
     // projection pushdown: request only the needed columns, with each
     // field's type/repetition taken from the FILE's own footer — files
@@ -1392,14 +1409,15 @@ class GraftPartitionReader(absPath: String, columns: Array[String],
 class GraftMorFilteringReader(absPath: String, outColumns: Array[String],
                               addSeq: Long, eqDeletes: Seq[String],
                               types: Map[String, DataType] = Map.empty,
-                              posDeletes: Seq[String] = Nil)
+                              posDeletes: Seq[String] = Nil,
+                              confBag: Array[(String, String)] = Array.empty)
   extends PartitionReader[InternalRow] {
   // equality probing needs the key columns; a posdel-only scan must NOT
   // widen its read set for keys it will never compare
   private val keyCols =
     if (eqDeletes.isEmpty) Array.empty[String] else Array("repo", "path", "commit")
   private val readCols = (outColumns ++ keyCols).distinct
-  private val inner = new GraftPartitionReader(absPath, readCols, types)
+  private val inner = new GraftPartitionReader(absPath, readCols, types, confBag)
   private val identity = readCols.sameElements(outColumns)
   private val outIdx = outColumns.map(c => readCols.indexOf(c))
   private val keyIdx = keyCols.map(c => readCols.indexOf(c))
@@ -1490,7 +1508,7 @@ object GraftPosDeletes {
   private def load(shardDirs: Seq[String])
       : java.util.HashMap[String, java.util.HashSet[java.lang.Long]] = {
     val m = new java.util.HashMap[String, java.util.HashSet[java.lang.Long]]()
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = LakeConf.installedConf()
     for (dir <- shardDirs) {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)
@@ -1539,7 +1557,7 @@ object GraftEqDeletes {
 
   private def load(shardDirs: Seq[String]): java.util.HashMap[String, java.lang.Long] = {
     val m = new java.util.HashMap[String, java.lang.Long]()
-    val conf = new org.apache.hadoop.conf.Configuration()
+    val conf = LakeConf.installedConf()
     for (dir <- shardDirs) {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(conf)

@@ -223,10 +223,12 @@ class GraftReplaceDataWrite(location: String, op: GraftRowLevelOperation,
 class GraftCowWriterFactory(location: String, batch: String,
                             schema: StructType, extras: Seq[StructField])
   extends DataWriterFactory {
+  // session Hadoop overrides captured at plan time (LakeConf scaladoc)
+  private val confBag = LakeConf.capture()
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
     val rel = f"data/$batch/part-$partitionId%05d-$taskId-" +
       UUID.randomUUID().toString.take(8) + ".parquet"
-    new GraftCowDataWriter(location, rel, schema, extras)
+    new GraftCowDataWriter(location, rel, schema, extras, confBag)
   }
 }
 
@@ -235,7 +237,8 @@ class GraftCowWriterFactory(location: String, batch: String,
   * through the rewrite) with z always recomputed via the batch kernels —
   * the same contract Maintenance.mergeInto's writeDataFiles applies. */
 class GraftCowDataWriter(location: String, relPath: String,
-                         inputSchema: StructType, extras: Seq[StructField])
+                         inputSchema: StructType, extras: Seq[StructField],
+                         confBag: Array[(String, String)] = Array.empty)
   extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
@@ -248,7 +251,7 @@ class GraftCowDataWriter(location: String, relPath: String,
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{Path => HPath}
 
-  private val conf = new Configuration()
+  private val conf = LakeConf.restore(confBag)
   private val absPath = new HPath(new HPath(location), relPath)
 
   private val lower = inputSchema.fieldNames.zipWithIndex
@@ -441,9 +444,11 @@ class GraftDeltaWrite(location: String, op: GraftDeltaOperation,
 class GraftDeltaWriterFactory(location: String, batch: String,
                               schema: StructType, extras: Seq[StructField])
   extends DeltaWriterFactory {
+  // session Hadoop overrides captured at plan time (LakeConf scaladoc)
+  private val confBag = LakeConf.capture()
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] = {
     val suffix = f"part-$partitionId%05d-$taskId-" + UUID.randomUUID().toString.take(8)
-    new GraftDeltaDataWriter(location, batch, suffix, schema, extras)
+    new GraftDeltaDataWriter(location, batch, suffix, schema, extras, confBag)
   }
 }
 
@@ -453,7 +458,8 @@ class GraftDeltaWriterFactory(location: String, batch: String,
   * uid-named, referenced only via the commit message, so zombie attempts
   * are never swept into the table. */
 class GraftDeltaDataWriter(location: String, batch: String, suffix: String,
-                           inputSchema: StructType, extras: Seq[StructField])
+                           inputSchema: StructType, extras: Seq[StructField],
+                           confBag: Array[(String, String)] = Array.empty)
   extends DeltaWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
@@ -468,7 +474,7 @@ class GraftDeltaDataWriter(location: String, batch: String, suffix: String,
 
   private val dataRel = s"data/$batch/$suffix.parquet"
   private val posRel = s"meta/manifest-posdel-$batch-$suffix.parquet"
-  private val inserts = new GraftCowDataWriter(location, dataRel, inputSchema, extras)
+  private val inserts = new GraftCowDataWriter(location, dataRel, inputSchema, extras, confBag)
 
   private val posType = Types.buildMessage()
     .addField(Types.optional(PrimitiveTypeName.BINARY)
@@ -476,7 +482,7 @@ class GraftDeltaDataWriter(location: String, batch: String, suffix: String,
     .addField(Types.optional(PrimitiveTypeName.INT64).named("pos"))
     .named("spark_schema")
   private val posFactory = new SimpleGroupFactory(posType)
-  private val conf = new Configuration()
+  private val conf = LakeConf.restore(confBag)
   private val posAbs = new HPath(new HPath(location), posRel)
   private var posWriter: ParquetWriter[org.apache.parquet.example.data.Group] = _
   private var deleted = 0L

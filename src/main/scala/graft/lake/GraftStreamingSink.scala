@@ -78,11 +78,15 @@ case class GraftStreamCommit(relPaths: Seq[String]) extends WriterCommitMessage
 
 class GraftStreamWriterFactory(location: String, queryId: String, inputSchema: StructType)
   extends StreamingDataWriterFactory {
+  // session Hadoop overrides, captured driver-side at factory construction
+  // and serialized with it — the task-side writer's bare Configuration would
+  // ignore spark.hadoop.* (s3a credentials) otherwise (LakeConf scaladoc)
+  private val confBag = LakeConf.capture()
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     val q8 = queryId.replace("-", "").take(8)
     val rel = f"data/b-stream-$q8-e$epochId/part-$partitionId%05d-$taskId-" +
       java.util.UUID.randomUUID().toString.take(8) + ".parquet"
-    new GraftStreamDataWriter(location, rel, inputSchema)
+    new GraftStreamDataWriter(location, rel, inputSchema, confBag)
   }
 }
 
@@ -94,7 +98,8 @@ class GraftStreamWriterFactory(location: String, queryId: String, inputSchema: S
   * ZOrderInterleave.interleave), so streamed and batch-appended rows get
   * identical clustering values. The file is only created on the first row —
   * empty partitions commit nothing. */
-class GraftStreamDataWriter(location: String, relPath: String, inputSchema: StructType)
+class GraftStreamDataWriter(location: String, relPath: String, inputSchema: StructType,
+                            confBag: Array[(String, String)] = Array.empty)
   extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.ParquetWriter
@@ -107,7 +112,7 @@ class GraftStreamDataWriter(location: String, relPath: String, inputSchema: Stru
   import org.apache.hadoop.conf.Configuration
   import org.apache.hadoop.fs.{Path => HPath}
 
-  private val conf = new Configuration()
+  private val conf = LakeConf.restore(confBag)
   private val absPath = new HPath(new HPath(location), relPath)
 
   // case-insensitive input index per graft column (-1 = absent or wrong type)

@@ -89,6 +89,15 @@ final case class ManifestEntry(file_path: String, partition: String,
                                langs: Seq[String], min_z: Long, max_z: Long,
                                min_rh: Long, max_rh: Long, // xxhash64(repo) bounds
                                digest: Long, // xor of per-row content hashes
+                               // per-column null counts: min/max/collect_set
+                               // SKIP nulls, so a full-match proof from those
+                               // stats alone would silently delete null rows
+                               // a SQL DELETE must keep (WHERE cond IS TRUE).
+                               // None (pre-field manifests) = unknown → the
+                               // metadata-drop tier conservatively declines.
+                               nulls_repo: Option[Long] = None,
+                               nulls_path: Option[Long] = None,
+                               nulls_lang: Option[Long] = None,
                                // storage bucket this file is PURE to (None =
                                // unbucketed / written before bucketing) — the
                                // layout invariant storage-partitioned joins
@@ -171,12 +180,19 @@ class GraftTable(val spark: SparkSession, val location: String,
     if (io.exists("meta/version-hint.text"))
       io.readString("meta/version-hint.text").trim.toLong
     else
+      // recovery path (lost hint): resolve the highest snapshot ON MAIN'S
+      // LINE — Snapshot.ref exists exactly for this. A bare max over ALL
+      // snapshot files would resolve a branched table's main head to an
+      // unpublished branch snapshot, serving branch data to main readers
+      // and implicitly merging the branch on the next commit.
       io.list("meta")
         .flatMap { n =>
           if (n.matches("snapshot-v\\d+\\.json"))
             Some(n.stripPrefix("snapshot-v").stripSuffix(".json").toLong)
           else None
-        }.maxOption.getOrElse(0L)
+        }.sorted(Ordering[Long].reverse)
+        .find(v => snapshot(v).exists(_.ref == "main"))
+        .getOrElse(0L)
   }
 
   /** Allocate the next snapshot version. Linear tables (no branch refs ever
@@ -524,6 +540,10 @@ class GraftTable(val spark: SparkSession, val location: String,
     val head = branches.getOrElse(name,
       throw new IllegalArgumentException(s"no such branch $name"))
     val mv = mainVersion
+    // no-op publish (branch never committed past its fork point): claiming
+    // edge-main-v<mv> here would CONSUME the edge without any snapshot ever
+    // extending it, wedging every later main commit until repairRefs
+    if (head == mv) return head
     require(mv == 0 || ancestorsOf(head).contains(mv),
       s"branch $name (head v$head) does not descend from main v$mv — " +
       "non-fast-forward publish refused")
@@ -788,6 +808,23 @@ class GraftTable(val spark: SparkSession, val location: String,
     entriesFor(written, tag, io.listWithSizes(outRel), bucketBy)
   }
 
+  /** writeDataFiles PRESERVING the table's bucket layout: when a bucket spec
+    * exists, the rows are re-routed through [[Bucketing.route]] and written
+    * as bucket-pure files (stats-verified like append's path), so a rewrite
+    * keeps the storage-partitioned-join layout the table paid a full
+    * bucketize for. Every row-preserving or copy-on-write rewrite (compact,
+    * apply-deletes, CoW delete/update/merge, WAP writes) must write through
+    * HERE — a bare writeDataFiles would emit bucket=None entries that
+    * silently degrade every later join back to full shuffles while
+    * bucket-spec.json still claims the layout (and appends keep paying the
+    * routing shuffle to preserve a layout that no longer exists). */
+  def writeDataFilesRouted(df: DataFrame, tag: String): Seq[ManifestEntry] =
+    bucketSpec match {
+      case Some((c, n)) =>
+        writeDataFiles(Bucketing.route(df, c, n, bucketSorted), tag, Some((c, n)))
+      case None => writeDataFiles(df, tag)
+    }
+
   /** Manifest entries for data files that ALREADY exist under the table root
     * (written by an external task-side writer, e.g. the streaming sink):
     * the same single distributed stats pass writeDataFiles runs, over
@@ -820,7 +857,10 @@ class GraftTable(val spark: SparkSession, val location: String,
            collect_set($"lang").as("langs"),
            min($"z").as("min_z"), max($"z").as("max_z"),
            min(xxhash64($"repo")).as("min_rh"), max(xxhash64($"repo")).as("max_rh"),
-           expr("bit_xor(h)").as("digest")) ++ bucketAggs): _*)
+           expr("bit_xor(h)").as("digest"),
+           count(when($"repo".isNull, 1)).as("nulls_repo"),
+           count(when($"path".isNull, 1)).as("nulls_path"),
+           count(when($"lang".isNull, 1)).as("nulls_lang")) ++ bucketAggs): _*)
       .collect()
 
     // the caller's directory listing supplies all byte sizes (no per-file
@@ -831,7 +871,7 @@ class GraftTable(val spark: SparkSession, val location: String,
       val rel = io.relativize(r.getString(0))
       val name = rel.substring(rel.lastIndexOf('/') + 1)
       val bucket = bucketBy.map { _ =>
-        val (bmin, bmax) = (r.getInt(12), r.getInt(13))
+        val (bmin, bmax) = (r.getInt(15), r.getInt(16))
         require(bmin == bmax,
           s"bucketed write produced an impure file $rel (buckets $bmin..$bmax)")
         bmin
@@ -839,7 +879,8 @@ class GraftTable(val spark: SparkSession, val location: String,
       ManifestEntry(rel, tag, r.getLong(1), sizes.getOrElse(name, io.size(rel)),
         r.getString(2), r.getString(3), r.getString(4), r.getString(5),
         r.getSeq[String](6), r.getLong(7), r.getLong(8), r.getLong(9), r.getLong(10),
-        r.getLong(11), bucket)
+        r.getLong(11), Some(r.getLong(12)), Some(r.getLong(13)), Some(r.getLong(14)),
+        bucket)
     }
   }
 
@@ -1373,11 +1414,21 @@ class GraftTable(val spark: SparkSession, val location: String,
         io.writeAtomic("meta/version-hint.text", newVersion.toString)
     }
     // once branch refs exist, maintain the high-water mark nextVersion
-    // allocates above; racing writers may briefly write it out of order —
-    // harmless, because version claims (not the hwm) are what guarantee
-    // non-reuse, and nextVersion also maxes over listed snapshots
-    if (refsExist)
-      io.writeAtomic("meta/max-version.text", newVersion.toString)
+    // allocates above. The write is READ-MAX (never regress an already
+    // published higher version): expireSnapshots reaps version claims below
+    // max(hwm, main), which is only sound if the hwm is monotone — a racing
+    // lower-version writer blindly overwriting a higher hwm would reopen
+    // reaped ids to reallocation. The read-max pair is not atomic; the
+    // residual window needs a lower-version publish to interleave INSIDE a
+    // higher one's read-write gap AND an expire to run before the next
+    // publish repairs the mark — claims themselves still serialize every
+    // allocation, so this narrows exposure rather than carrying correctness.
+    if (refsExist) {
+      val prev = if (io.exists("meta/max-version.text"))
+        io.readString("meta/max-version.text").trim.toLong else 0L
+      if (newVersion > prev)
+        io.writeAtomic("meta/max-version.text", newVersion.toString)
+    }
     snap
   }
 
@@ -1447,11 +1498,7 @@ class GraftTable(val spark: SparkSession, val location: String,
     // a bucketed table keeps its layout across appends: rows are routed so
     // every new file stays bucket-pure (one extra shuffle per append — the
     // price every bucketed table format pays to preserve shuffle-free joins)
-    val added = bucketSpec match {
-      case Some((c, n)) =>
-        writeDataFiles(Bucketing.route(df, c, n, bucketSorted), "append", Some((c, n)))
-      case None => writeDataFiles(df, "append")
-    }
+    val added = writeDataFilesRouted(df, "append")
     commit(added, Set.empty, "append")
   }
 
@@ -1478,6 +1525,22 @@ class GraftTable(val spark: SparkSession, val location: String,
     Set("compact", "cluster_hilbert", "cluster_zorder", "cluster_bucket",
         "manifest_rewrite", "apply-deletes", "compact-deletes")
 
+  /** does `op` leave the live row set untouched? Beyond the file-rewrite
+    * set, the metadata-only schema commits qualify: evolve-schema and
+    * drop-column change zero rows (incremental/changelog reads project with
+    * the CURRENT schema anyway, so crossing one is invisible). */
+  private def rowsetPreserving(op: String): Boolean =
+    rowsetPreservingOps(op) || op == "evolve-schema" ||
+      op.startsWith("drop-column-")
+
+  /** is `op` a pure append? Covers the batch append, the streaming sink's
+    * per-epoch commits ("stream-append query=… epoch=…") and WAP publishes —
+    * all of them add files without touching existing rows, so an append
+    * changelog expresses them exactly. */
+  private def appendLikeOp(op: String): Boolean =
+    op == "append" || op.startsWith("stream-append") ||
+      op.startsWith("publish-wap")
+
   /** The APPEND-ONLY CHANGELOG: manifest entries for rows appended in
     * (fromV, toV] — the Iceberg-style incremental scan that lets a
     * downstream pipeline process only what arrived since its last run
@@ -1496,6 +1559,13 @@ class GraftTable(val spark: SparkSession, val location: String,
     eqDeleteShards(s).map(_.path).filterNot(parentEq)
   }
 
+  /** the posdel shards snapshot `s` itself added (same shard-set diff). */
+  private def newPosDeleteShards(s: Snapshot): Seq[String] = {
+    val parentPos = snapshot(s.parent)
+      .map(p => posDeleteShards(p).map(_.path).toSet).getOrElse(Set.empty[String])
+    posDeleteShards(s).map(_.path).filterNot(parentPos)
+  }
+
   def incrementalEntries(fromV: Long, toV: Long): DataFrame = {
     require(fromV >= 0 && fromV <= toV,
       s"incremental range (v$fromV, v$toV] is not a valid version interval")
@@ -1505,12 +1575,13 @@ class GraftTable(val spark: SparkSession, val location: String,
       val s = snapshot(v).getOrElse(throw new IllegalArgumentException(
         s"snapshot v$v is missing (expired?) — incremental read (v$fromV, v$toV] cannot be reconstructed"))
       s.operation match {
-        case "append" => addPaths = addedShardPaths(s).toList ::: addPaths
+        case op if appendLikeOp(op) =>
+          addPaths = addedShardPaths(s).toList ::: addPaths
         case op if op.startsWith("mor-upsert") && newEqDeleteShards(s).isEmpty =>
           // a pure-insert upsert commit IS an append (the shard pruning in
           // upsertBatch leaves no delete state when nothing matched)
           addPaths = addedShardPaths(s).toList ::: addPaths
-        case op if rowsetPreservingOps(op) => // no row change: skip
+        case op if rowsetPreserving(op) => // no row change: skip
         case op => throw new IllegalArgumentException(
           s"incremental read crosses snapshot v$v (operation=$op): an " +
           "appends-only changelog cannot express row rewrites — full refresh required")
@@ -1536,11 +1607,13 @@ class GraftTable(val spark: SparkSession, val location: String,
     * 100-TB snapshots. Appends (incl. WAP publishes) become `insert` rows;
     * a merge-on-read delete becomes `delete` rows read STRAIGHT FROM ITS
     * EQDEL KEY SHARD (key columns only — lang/content are null, the delete
-    * never knew them; the key identifies the retracted row). File rewrites
-    * (compact/cluster/manifest-rewrite/apply-deletes) change no rows and
-    * contribute nothing. Copy-on-write row changes (merge/update/CoW
-    * delete) cannot be expressed from their commits' metadata — refused
-    * loudly, never silently partial. */
+    * never knew them; the key identifies the retracted row). A merge-on-read
+    * UPDATE / MERGE becomes delete+insert pairs from its one snapshot (the
+    * posdel shard recovers the full pre-image rows; the add shard carries
+    * the post-images). File rewrites (compact/cluster/manifest-rewrite/
+    * apply-deletes) change no rows and contribute nothing. Copy-on-write
+    * row changes (merge/update/CoW delete) cannot be expressed from their
+    * commits' metadata — refused loudly, never silently partial. */
   def changelogScan(fromV: Long, toV: Long = -1L): DataFrame = {
     val to = if (toV < 0) currentVersion else toV
     require(fromV >= 0 && fromV <= to,
@@ -1553,15 +1626,19 @@ class GraftTable(val spark: SparkSession, val location: String,
       val s = snapshot(v).getOrElse(throw new IllegalArgumentException(
         s"snapshot v$v is missing (expired?) — changelog (v$fromV, v$to] cannot be reconstructed"))
       s.operation match {
-        case "append" => inserts ::= (v, addedShardPaths(s))
-        case op if op.startsWith("publish-wap") => inserts ::= (v, addedShardPaths(s))
+        case op if appendLikeOp(op) => inserts ::= (v, addedShardPaths(s))
         case "mor-posdelete" | "sql-mor-delete" =>
           // a pure positional delete (the SQL delta DELETE commits the same
           // shape): the posdel shard THIS commit added (shard-set diff)
-          val parentPos = snapshot(s.parent)
-            .map(p => posDeleteShards(p).map(_.path).toSet).getOrElse(Set.empty)
-          posDeletes :::= posDeleteShards(s).map(_.path).filterNot(parentPos)
-            .map(p => (v, p)).toList
+          posDeletes :::= newPosDeleteShards(s).map(p => (v, p)).toList
+        case "mor-update" | "mor-merge" | "sql-mor-update" | "sql-mor-merge" =>
+          // a merge-on-read row change IS expressible, unlike its CoW twin:
+          // one snapshot carries the pre-images' posdel shard (full deleted
+          // rows recoverable from the retained old files) and the
+          // post-images' add shard — emitted as delete+insert pairs, the
+          // Iceberg-changelog convention for updates
+          inserts ::= (v, addedShardPaths(s))
+          posDeletes :::= newPosDeleteShards(s).map(p => (v, p)).toList
         case "mor-delete" =>
           // the eqdel shard THIS commit added: its shard set minus the
           // parent's (shards are uid-named; the diff is name-agnostic)
@@ -1573,7 +1650,7 @@ class GraftTable(val spark: SparkSession, val location: String,
           // consumers see the retraction and its replacement atomically
           inserts ::= (v, addedShardPaths(s))
           deletes :::= newEqDeleteShards(s).map(p => (v, p)).toList
-        case op if rowsetPreservingOps(op) => // no row change
+        case op if rowsetPreserving(op) => // no row change
         case op => throw new IllegalArgumentException(
           s"changelog crosses snapshot v$v (operation=$op): a copy-on-write " +
           "row change is not reconstructible from commit metadata — full refresh required")
@@ -1660,13 +1737,19 @@ class GraftTable(val spark: SparkSession, val location: String,
 
     // manifest shards still referenced by kept snapshots must survive
     val keptShards = kept.flatMap(manifestShards).map(_.path).toSet
-    // version claims are reaped only STRICTLY BELOW the allocation floor
-    // (hwm may briefly dip under racing writers — a claim at/above it must
-    // survive, or the id could be reallocated under a pinned reader)
+    // version claims are reaped only STRICTLY BELOW the allocation floor —
+    // the smallest version nextVersion could ever hand out again. That floor
+    // is max(hwm, main hint) + 1 and NOTHING ELSE: branch heads must NOT
+    // raise it (nextVersion never reads them, so a lagging hwm below a
+    // branch head would let allocateVersion re-win a reaped claim and
+    // publish a fresh snapshot under a reused id — exactly what claims
+    // exist to prevent). Reaping v <= max(hwm, main) is safe because both
+    // are monotone: the hint only advances via edge claims, and the hwm
+    // write is read-max (publishClaimed).
     val claimFloor = {
       val hwm = if (io.exists("meta/max-version.text"))
         io.readString("meta/max-version.text").trim.toLong else 0L
-      Seq(hwm, mainVersion, branches.values.maxOption.getOrElse(0L)).max
+      Seq(hwm, mainVersion).max + 1
     }
     expired.foreach { s =>
       manifestShards(s).map(_.path).filterNot(keptShards.contains).foreach(io.delete)
@@ -1813,7 +1896,7 @@ class GraftTable(val spark: SparkSession, val location: String,
   def stageAppend(df: DataFrame): String = {
     init()
     val id = UUID.randomUUID().toString.take(12)
-    val entries = writeDataFiles(df, s"wap-$id")
+    val entries = writeDataFilesRouted(df, s"wap-$id")
     MetaIO.writeEntries(io, s"meta/staged-add-$id.parquet", entries)
     io.writeString(s"meta/staged-$id.json",
       s"""{"staged": "$id", "recordCount": ${entries.map(_.record_count).sum},

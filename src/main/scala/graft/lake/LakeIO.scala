@@ -16,9 +16,75 @@ import java.nio.charset.StandardCharsets
   * single-writer maintenance pipeline only relies on readers never seeing a
   * torn version-hint.
   */
+/** Hadoop-Configuration seam. A bare `new Configuration()` sees only
+  * classpath defaults (core-site.xml) and silently ignores everything set
+  * through the standard `spark.hadoop.*` mechanism — s3a credentials,
+  * endpoints, timeouts — so metadata IO would fail against the very bucket
+  * Spark's own reads of the same table work on. Driver-side code takes the
+  * session's conf; executor-side classes receive `capture()`'s override bag
+  * (serialized with the factory that created them at plan time) and rebuild
+  * via `restore`. */
+object LakeConf {
+  /** the active/default session's Hadoop conf, else classpath defaults. */
+  def current(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** the session's overrides vs classpath defaults — small and
+    * Serializable, safe to embed in DSv2 factories and task closures.
+    * Empty when no session is reachable (executor-side construction). */
+  def capture(): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    val base = new Configuration()
+    current().iterator().asScala
+      .map(e => e.getKey -> e.getValue)
+      .filter { case (k, v) => base.getRaw(k) != v }
+      .toArray
+  }
+
+  /** defaults + a captured override bag. */
+  def restore(bag: Array[(String, String)]): Configuration = {
+    val c = new Configuration()
+    bag.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  // executor-side fallback for static helpers that cannot receive a bag
+  // (GraftEqDeletes/GraftPosDeletes caches, LakeIO.of): DSv2 factories
+  // install their plan-captured bag when a task first builds a reader or
+  // writer, so later shard loads on the same executor see the overrides
+  @volatile private var installedBag: Array[(String, String)] = Array.empty
+
+  def install(bag: Array[(String, String)]): Unit =
+    if (bag.nonEmpty) installedBag = bag
+
+  /** session conf when reachable (driver / local mode), else defaults plus
+    * whatever bag a factory installed on this executor. */
+  def installedConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(restore(installedBag))
+
+  private[lake] def installedBagSnapshot: Array[(String, String)] = installedBag
+}
+
 final class LakeIO(val root: String) extends Serializable {
 
-  @transient private lazy val conf = new Configuration()
+  // captured at construction (a driver-side `new LakeIO` embeds the session
+  // overrides and carries them into any closure this instance is serialized
+  // into); executor-side LakeIO.of construction captures nothing and falls
+  // back to classpath defaults
+  private val confBag: Array[(String, String)] = LakeConf.capture()
+
+  @transient private lazy val conf =
+    if (confBag.nonEmpty) LakeConf.restore(confBag)
+    else LakeConf.restore(LakeConf.installedBagSnapshot)
+
+  /** the seam's conf for sibling metadata writers (MetaIO). */
+  private[lake] def hadoopConf: Configuration = conf
   @transient private lazy val rootPath = {
     val p = new HPath(root)
     if (p.isAbsoluteAndSchemeAuthorityNull) new HPath("file://" + root) else p

@@ -52,8 +52,15 @@ object Maintenance {
     val bins = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val smallPaths = small.select("file_path").as[String].collect().toSeq
     val df = table.readFiles(smallPaths)
-    val packed = df.repartitionByRange(bins, col("z")).sortWithinPartitions("z")
-    val added = table.writeDataFiles(packed, "compact")
+    // a bucketized table compacts WITHIN the bucket layout (route, one
+    // bucket-pure output per non-empty bucket) — packing across buckets
+    // would destroy the purity invariant storage-partitioned joins ride on
+    val added = table.bucketSpec match {
+      case Some(_) => table.writeDataFilesRouted(df, "compact")
+      case None =>
+        val packed = df.repartitionByRange(bins, col("z")).sortWithinPartitions("z")
+        table.writeDataFiles(packed, "compact")
+    }
     // validated rebase: interleaved ingest no longer forces a re-plan —
     // the rewrite rebases over compatible commits, conflicts only when a
     // concurrent commit touched one of the replaced files (GraftTable
@@ -88,7 +95,13 @@ object Maintenance {
 
   /** Z-order (or Hilbert) clustering of the whole table: compute the cluster
     * key, salted range repartition (skew: a few giant repos), sort within
-    * partitions, rewrite all files. */
+    * partitions, rewrite all files.
+    *
+    * On a BUCKETIZED table, z-clustering REPLACES the bucket layout (the two
+    * layouts are mutually exclusive: range-on-z vs hash-on-key) — the bucket
+    * spec is dropped so the cost is visible: appends stop paying the routing
+    * shuffle and joins plan as ordinary shuffles instead of trusting a
+    * layout that no longer exists. Re-run bucketize to get it back. */
   def cluster(table: GraftTable, jobId: String, useHilbert: Boolean = false,
               numFiles: Int = 0, saltBuckets: Int = 8): Long = {
     val spark = table.spark
@@ -116,9 +129,14 @@ object Maintenance {
             else math.max(4, table.spark.sparkContext.defaultParallelism)
     // deterministic salt from the path hash spreads a single giant repo
     // across range partitions without rand() (SURVEY.md §4.3 item 4)
-    val salted = keyed.withColumn("_salt", pmod(xxhash64(col("path")), lit(8L)))
+    val salted = keyed.withColumn("_salt",
+      pmod(xxhash64(col("path")), lit(saltBuckets.toLong)))
     val clustered = salted.repartitionByRange(n, col("z"), col("_salt"))
       .sortWithinPartitions("z").drop("_salt")
+    // z-clustering replaces a bucket layout — drop the spec BEFORE the
+    // rewrite commits (scans already degrade on bucket=None entries; the
+    // spec staying behind would only make appends keep routing for nothing)
+    table.io.delete("meta/bucket-spec.json")
     val added = table.writeDataFiles(clustered, "cluster")
     // the rewrite replaces the whole live set: removed records = parent
     // total. Validated rebase: rows appended while the clustering ran stay
@@ -174,9 +192,14 @@ object Maintenance {
         val bytes = batch.iterator.map(_._2).sum
         val recs = batch.iterator.map(_._3).sum
         val bins = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        val packed = table.readFiles(paths)
-          .repartitionByRange(bins, col("z")).sortWithinPartitions("z")
-        val added = table.writeDataFiles(packed, s"compact-b$b")
+        val added = table.bucketSpec match {
+          case Some(_) =>
+            table.writeDataFilesRouted(table.readFiles(paths), s"compact-b$b")
+          case None =>
+            val packed = table.readFiles(paths)
+              .repartitionByRange(bins, col("z")).sortWithinPartitions("z")
+            table.writeDataFiles(packed, s"compact-b$b")
+        }
         // basis re-read per batch: our own prior batches never enter the
         // rebase walk; only commits racing THIS batch's write window do
         table.commitRewrite(table.currentSnapshot, added, paths.toSet,
@@ -204,6 +227,8 @@ object Maintenance {
     val ordered = table.manifest(snapOpt.get)
       .orderBy(col("partition"), col("min_z"))
       .select("file_path", "file_bytes", "record_count")
+    // same layout-replacement contract as cluster(): drop the bucket spec
+    table.io.delete("meta/bucket-spec.json")
     var rows = 0L; var peak = 0; var total = 0L; var b = 0
     streamBatches(ordered, batchFiles).foreach { batch =>
       peak = math.max(peak, batch.size); total += batch.size
@@ -264,7 +289,7 @@ object Maintenance {
     val source0 = table.conform(source)
 
     if (table.currentSnapshot.isEmpty) {
-      val added = table.writeDataFiles(source0.select(dataCols.map(col): _*), "merge-insert")
+      val added = table.writeDataFilesRouted(source0.select(dataCols.map(col): _*), "merge-insert")
       table.commit(added, Set.empty, "merge")
       Lineage.record(table, jobId, phase, Seq.empty, added)
       return MergeResult(0, added.map(_.record_count).sum, 0)
@@ -310,10 +335,10 @@ object Maintenance {
           .select(dataCols.map(col): _*)
           .join(hinted(srcKeys), keys, "left_anti")
           .unionByName(updates)
-        table.writeDataFiles(rewritten, "merge-cow")
+        table.writeDataFilesRouted(rewritten, "merge-cow")
       }
     // the insert count falls out of the write's own stats pass — no pre-count
-    val addedInsert = table.writeDataFiles(inserts, "merge-insert")
+    val addedInsert = table.writeDataFilesRouted(inserts, "merge-insert")
     val insertedCount = addedInsert.map(_.record_count).sum
 
     table.commit(addedRewrite ++ addedInsert, affectedRel, "merge",

@@ -39,6 +39,9 @@ object MetaIO {
       |  optional int64 min_rh;
       |  optional int64 max_rh;
       |  optional int64 digest;
+      |  optional int64 nulls_repo;
+      |  optional int64 nulls_path;
+      |  optional int64 nulls_lang;
       |  optional int32 bucket;
       |}""".stripMargin)
 
@@ -71,7 +74,9 @@ object MetaIO {
       |}""".stripMargin)
 
   private def writer(io: LakeIO, rel: String, schema: MessageType): ParquetWriter[Group] = {
-    val conf = new Configuration()
+    // copy of the seam's conf: setSchema mutates it, and the session's
+    // spark.hadoop.* overrides must reach object-store writes (LakeConf)
+    val conf = new Configuration(io.hadoopConf)
     GroupWriteSupport.setSchema(schema, conf)
     io.delete(rel) // overwrite semantics, matching Spark's mode("overwrite")
     ExampleParquetWriter.builder(HadoopOutputFile.fromPath(io.abs(rel), conf))
@@ -118,6 +123,9 @@ object MetaIO {
       g.append("min_z", e.min_z).append("max_z", e.max_z)
         .append("min_rh", e.min_rh).append("max_rh", e.max_rh)
         .append("digest", e.digest)
+      e.nulls_repo.foreach(v => g.append("nulls_repo", v))
+      e.nulls_path.foreach(v => g.append("nulls_path", v))
+      e.nulls_lang.foreach(v => g.append("nulls_lang", v))
       e.bucket.foreach(b => g.append("bucket", b))
       w.write(g)
     } finally w.close()
@@ -161,7 +169,7 @@ object MetaIO {
           .map(n => s"$rel/$n")
       else Seq(rel)
     val out = ArrayBuffer.empty[Group]
-    val conf = new Configuration()
+    val conf = new Configuration(io.hadoopConf)
     files.foreach { f =>
       val r = ParquetReader
         .builder(new GroupReadSupport(), io.abs(f))

@@ -45,7 +45,11 @@ object MorDelete {
       .filter(GraftScan.manifestPredicate(filters))
       .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
     if (kept.isEmpty) return 0L
-    val live = table.withEqDeletesApplied(snap, table.readFilesWithSeq(kept))
+    // the live view must apply BOTH pending delete flavors: eqdels only
+    // would re-match rows already position-deleted, land their keys in the
+    // new eqdel shard and double-subtract them from recordCount (morScan
+    // carries add_seq through for the eq sequence rule, drops helpers)
+    val live = table.morScan(snap, kept)
     deleteMatching(table,
       live.filter(coalesce(Delete.rowPredicate(filters), lit(false))))
   }
@@ -161,7 +165,7 @@ object MorDelete {
       if (snap.fileCount >= 0) (snap.fileCount - affected.size).toInt else -1
     val added =
       if (affected.isEmpty) Seq.empty[ManifestEntry]
-      else table.writeDataFiles(table.morScan(snap, affected), "apply-deletes")
+      else table.writeDataFilesRouted(table.morScan(snap, affected), "apply-deletes")
     table.commitApplyDeletes(snap, added, affected.map(_._1).toSet)
     ApplyResult(affected.size, untouched, eqShards.size + posShards.size)
   }

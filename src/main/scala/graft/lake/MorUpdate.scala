@@ -82,7 +82,7 @@ object MorUpdate {
           case None    => col(c)
         }
       }
-      val added = table.writeDataFiles(
+      val added = table.writeDataFilesRouted(
         matching.select(projected.toIndexedSeq: _*), "mor-update")
       val updatedRows = added.map(_.record_count).sum
       if (updatedRows == 0L) {
@@ -111,7 +111,7 @@ object MorUpdate {
 
     val snapOpt = table.currentSnapshot
     if (snapOpt.isEmpty) {
-      val added = table.writeDataFiles(source0, "mor-merge")
+      val added = table.writeDataFilesRouted(source0, "mor-merge")
       table.commit(added, Set.empty, "append")
       return MorMergeResult(0, added.map(_.record_count).sum, added.size)
     }
@@ -133,7 +133,7 @@ object MorUpdate {
         val matchedKeys = matched.select(keys.map(col): _*).distinct()
         val updates = src.join(hinted(matchedKeys), keys, "left_semi")
         val inserts = src.join(hinted(matchedKeys), keys, "left_anti")
-        val added = table.writeDataFiles(updates.unionByName(inserts), "mor-merge")
+        val added = table.writeDataFilesRouted(updates.unionByName(inserts), "mor-merge")
         val posRel = if (matched.isEmpty) None else writeAddresses(table, matched)
         val updatedRows = matched.count()
         val insertedRows = added.map(_.record_count).sum - updates.count()
@@ -191,7 +191,7 @@ object MorUpdate {
             .write.mode("overwrite").parquet(table.io.abs(rel).toString)
           Some(rel)
         }
-      val added = table.writeDataFiles(batch, "upsert")
+      val added = table.writeDataFilesRouted(batch, "upsert")
       if (added.isEmpty && shardRel.isEmpty)
         return UpsertResult(0L, 0L, basis.map(_.version).getOrElse(0L))
       val snap = table.commitUpsert(added, shardRel, retracted, basis, operation)

@@ -68,7 +68,7 @@ object Update {
         case None    => col(c)
       }
     }
-    val added = table.writeDataFiles(src.select(projected.toIndexedSeq: _*), "update-cow")
+    val added = table.writeDataFilesRouted(src.select(projected.toIndexedSeq: _*), "update-cow")
     table.commit(added, cand.map(_._1).toSet, "update", cand.map(_._2).sum,
       basis = Some(snap))
     UpdateResult(cand.length, total - cand.length, updatedRows)

@@ -140,14 +140,20 @@ class MorUpdateSpec extends SparkTestBase {
     assert(t.scan().count() == 40)
   }
 
-  test("incremental and changelog reads refuse to cross a MoR row change") {
+  test("incremental refuses a MoR row change; changelog expresses it as pairs") {
     val t = freshTable("graft-moru-cdc")
     t.append(synthDf(80))
     val v1 = t.currentVersion
     MorUpdate.updateWhereMor(t, lit(true), Map("lang" -> lit("x")))
+    // the APPEND-ONLY changelog still cannot express a row rewrite
     val e1 = intercept[IllegalArgumentException] { t.incrementalScan(v1).count() }
     assert(e1.getMessage.contains("full refresh required"))
-    val e2 = intercept[IllegalArgumentException] { t.changelogScan(v1).count() }
-    assert(e2.getMessage.contains("full refresh required"))
+    // the full changelog CAN: the one snapshot carries the pre-images'
+    // posdel shard (full rows recoverable) and the post-images' add shard
+    val cdf = t.changelogScan(v1)
+    assert(cdf.filter(col("_change_type") === "delete").count() == 80)
+    val post = cdf.filter(col("_change_type") === "insert")
+    assert(post.count() == 80)
+    assert(post.filter(col("lang") === "x").count() == 80)
   }
 }
