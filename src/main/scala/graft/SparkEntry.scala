@@ -3324,7 +3324,7 @@ object SparkEntry {
          | CASE WHEN ${re("v_float", CoreTypes.FloatRe)} THEN TRY_CAST(v_float AS DOUBLE) END AS val_f64,
          | v_email AS raw_email, ${re("v_email", CoreTypes.EmailRe)} AS ok_email,
          | v_ip AS raw_ip, ${re("v_ip", CoreTypes.Ipv4Re)} AS ok_ip,
-         | NULL::VARCHAR AS raw_miss, NULL::BOOLEAN AS ok_miss, NULL::BIGINT AS val_miss
+         | NULL::VARCHAR AS raw_miss, FALSE AS ok_miss, NULL::BIGINT AS val_miss
          |FROM d ORDER BY doc_id""".stripMargin
     },
     "q36_sessionize" ->

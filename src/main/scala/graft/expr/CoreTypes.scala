@@ -26,22 +26,26 @@ import org.apache.spark.sql.functions._
   */
 object CoreTypes {
 
-  val EmailRe = "^[^@\\s]+@[^@\\s]+\\.[^@\\s]+$"
-  val UriRe = "^[A-Za-z][A-Za-z0-9+.-]*:[^\\s]*$"
-  val UrlRe = "^(https?|ftp)://[^\\s/]+[^\\s]*$"
+  // anchored with \z, not $: Java's $ also matches BEFORE a trailing
+  // newline, so "1\n" would validate in Spark while DuckDB's RE2 $ (end of
+  // text) rejects it — \z means absolute end of input in BOTH engines,
+  // keeping the shared-verbatim contract honest for newline-tailed values
+  val EmailRe = "^[^@\\s]+@[^@\\s]+\\.[^@\\s]+\\z"
+  val UriRe = "^[A-Za-z][A-Za-z0-9+.-]*:[^\\s]*\\z"
+  val UrlRe = "^(https?|ftp)://[^\\s/]+[^\\s]*\\z"
   val Ipv4Re =
-    "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+    "^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\.){3}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\z"
   /** full 8-group form, or a compressed form REQUIRING a literal `::` with
     * 0-7 hex groups on either side (the standard no-lookahead approximation:
     * a `::` form with more than 8 total groups is not rejected; mixed
     * trailing-IPv4 forms are not recognized). */
   val Ipv6Re = {
     val h = "[0-9A-Fa-f]{1,4}"
-    s"^(($h:){7}$h|(($h:){0,6}$h)?::(($h:){0,6}$h)?)$$"
+    s"^(($h:){7}$h|(($h:){0,6}$h)?::(($h:){0,6}$h)?)\\z"
   }
-  val IntRe = "^[+-]?[0-9]+$"
-  val FloatRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
-  val Base64Re = "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{4}|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{2}==)?$"
+  val IntRe = "^[+-]?[0-9]+\\z"
+  val FloatRe = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)([eE][+-]?[0-9]+)?\\z"
+  val Base64Re = "^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{4}|[A-Za-z0-9+/]{3}=|[A-Za-z0-9+/]{2}==)?\\z"
 
   /** (max, |min|) decimal strings per signed width; unsigned max per width. */
   val SignedBounds: Map[String, (String, String)] = Map(

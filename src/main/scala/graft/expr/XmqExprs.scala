@@ -32,7 +32,12 @@ object XmqExprs {
     try {
       val ct = ctOf(lang)
       val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ct))
-      val effective = if (ct != null) ct else Xmq.detect(content)
+      // detect on the SAME BOM-stripped text the parser saw: detecting on
+      // the raw string would see U+FEFF as the first char and print a
+      // BOM-prefixed XML document back as XMQ
+      val stripped =
+        if (content.startsWith("\uFEFF")) content.substring(1) else content
+      val effective = if (ct != null) ct else Xmq.detect(stripped)
       effective match {
         case Xmq.XML => XmqEngine.toXml(doc)
         case Xmq.HTML => XmqEngine.toHtml(doc)
@@ -70,8 +75,14 @@ object XmqExprs {
   def probe(content: String, lang: String, countXpath: String,
             valueXpath: String, attr: String): Probe = try {
     val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
-    val n = XPath.matches(doc, countXpath).size.toLong
-    val s = stringOfFirstMatch(doc, valueXpath)
+    // xpath failures (bad path syntax) are caught PER FIELD: the document
+    // parsed, so wellformed must stay true — the single-output expressions
+    // this probe replaces (is_wellformed, xmq_count) decide independently,
+    // and the fused plan must agree with them column for column
+    val n = try XPath.matches(doc, countXpath).size.toLong
+            catch { case _: Exception => 0L }
+    val s = try stringOfFirstMatch(doc, valueXpath)
+            catch { case _: Exception => null }
     val firstLong = if (s == null) 0L else parseLongC(s)
     // annotation mutates the tree: run it last
     TreeOps.annotateOffsets(doc, attr)
@@ -392,7 +403,13 @@ case class XsdValid(first: Expression, second: Expression, third: Expression)
 }
 
 /** xmq_convert(content, lang, to, compact) */
-case class XmqConvert(children: Seq[Expression]) extends Expression with CodegenFallback {
+case class XmqConvert(children: Seq[Expression]) extends Expression
+  with ImplicitCastInputTypes with CodegenFallback {
+  // declared input types insert analysis-time casts for SQL callers —
+  // without them `xmq_convert(c, l, 'xml', 'true')` passes a string where
+  // eval asInstanceOf[Boolean]s, crashing the executor instead of the plan
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType, BooleanType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = {
@@ -582,7 +599,10 @@ object XmqTokenize {
   * bits so files of the same language cluster within a (repo,path) locality
   * cell. Pure, deterministic (SURVEY.md §4.3 item 2). */
 case class ZOrderInterleave(first: Expression, second: Expression, third: Expression)
-  extends TernaryExpression with CodegenFallback {
+  extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  // SQL callers pass integer literals (`zorder_interleave(h1, h2, 3)`);
+  // the declared types insert the long casts the raw asInstanceOf needs
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, LongType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
@@ -611,7 +631,8 @@ object ZOrderInterleave {
   * fallback for skewed repo distributions (SURVEY.md §4.3). Standard public
   * x/y-to-d algorithm (Wikipedia "Hilbert curve"). */
 case class HilbertIndex(first: Expression, second: Expression, third: Expression)
-  extends TernaryExpression with CodegenFallback {
+  extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, IntegerType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
   override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
@@ -679,9 +700,12 @@ object XmqFunctions {
                     coreType: String): Column = {
     import org.apache.spark.sql.functions._
     val raw = xmq_get_string(content, lang, path)
+    // coalesce: a missing xpath match (raw null) must verdict FALSE for
+    // every core type — the regex/range forms would yield null while the
+    // string form yields false, an inconsistent three-valued column
     element_at(transform(array(raw), x => struct(
       x.as("raw"),
-      graft.expr.CoreTypes.valid(x, coreType).as("ok"),
+      coalesce(graft.expr.CoreTypes.valid(x, coreType), lit(false)).as("ok"),
       graft.expr.CoreTypes.castTo(x, coreType).as("value"))), 1)
   }
   def is_wellformed(content: Column, lang: Column): Column =
@@ -719,9 +743,11 @@ object XmqFunctions {
     registerFunction(spark, "xmq_count", es => XmqCount(es(0), es(1), es(2)))
     registerFunction(spark, "is_wellformed", es => XmqWellformed(es(0), es(1)))
     registerFunction(spark, "ixml_parse", es => IxmlParse(es(0), es(1)))
+    registerFunction(spark, "ixml_parse_recover", es => IxmlParseRecover(es(0), es(1)))
     registerFunction(spark, "xslt_transform", es => XsltTransform(es))
     registerFunction(spark, "xsd_valid", es => XsdValid(es(0), es(1), es(2)))
     registerFunction(spark, "xmq_annotate_offsets", es => XmqAnnotate(es(0), es(1), es(2)))
+    registerFunction(spark, "xmq_probe", es => XmqProbe(es))
     registerFunction(spark, "zorder_interleave", es => ZOrderInterleave(es(0), es(1), es(2)))
     registerFunction(spark, "hilbert_index", es => HilbertIndex(es(0), es(1), es(2)))
   }

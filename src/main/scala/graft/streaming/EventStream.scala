@@ -45,13 +45,25 @@ object EventStream {
     * and the timeout is deterministic in event time rather than wall clock.
     * In batch (isStreaming == false) the function sees all events per user
     * at once and the trailing session closes at end of input (timeouts never
-    * fire in batch execution). */
-  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    * fire in batch execution).
+    *
+    * `latenessMinutes` is the watermark delay — the disorder budget ACROSS
+    * keys. The 0 default is exact only for GLOBALLY event-time-ordered
+    * arrival (the engine's ts-range-staged file replay): with 0, a key whose
+    * events lag the global max event time has them dropped as late once
+    * other keys advance the watermark (FlatMapGroupsWithStateExec filters
+    * rows behind it), fragmenting or losing sessions. Production feeds with
+    * cross-key disorder must set it to cover the ingest skew — state then
+    * lives `lateness` longer, the standard completeness/state trade. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30,
+                 latenessMinutes: Long = 0L): Dataset[UserSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
     val streaming = events.isStreaming
-    val withWm = if (streaming) events.withWatermark("ts", "0 seconds") else events
+    val withWm =
+      if (streaming) events.withWatermark("ts", s"$latenessMinutes minutes")
+      else events
     withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
@@ -107,20 +119,27 @@ object EventStream {
     * active within one TTL window, the property that holds at a 100-TB/day
     * feed where all-time key cardinality does not fit anywhere.
     *
-    * Deterministic given per-key ts-ordered arrival (batch sorts each
-    * group; a file stream staged in ts-range order arrives that way):
+    * Deterministic given GLOBALLY ts-ordered arrival at the 0 default
+    * lateness (batch sorts each group; a file stream staged in ts-range
+    * order arrives that way) — per-key order alone is NOT enough at
+    * lateness 0, because another key's events advance the watermark and a
+    * lagging key's in-flight events would be filtered as late; feeds with
+    * cross-key disorder set `latenessMinutes` to cover it. The chain is
     * the greedy emission chain per key ordered by (ts, event_id). All
     * arithmetic is in MICROSECONDS — the full precision of the timestamp
     * column — so arrival order (µs-ranged files) and the operator's sort
     * agree exactly, with no ms-truncation ties to break differently. Batch
     * execution (isStreaming == false) computes the identical chain in one
     * pass, so the same call serves backfill and the live stream. */
-  def dedupWithinTtl(events: Dataset[Event], ttlMinutes: Long): Dataset[EmittedEvent] = {
+  def dedupWithinTtl(events: Dataset[Event], ttlMinutes: Long,
+                     latenessMinutes: Long = 0L): Dataset[EmittedEvent] = {
     val spark = events.sparkSession
     import spark.implicits._
     val ttlUs = ttlMinutes * 60000000L
     val streaming = events.isStreaming
-    val withWm = if (streaming) events.withWatermark("ts", "0 seconds") else events
+    val withWm =
+      if (streaming) events.withWatermark("ts", s"$latenessMinutes minutes")
+      else events
     withWm.groupByKey(_.user_id)
       .flatMapGroupsWithState[DedupState, EmittedEvent](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -38,23 +38,38 @@ object SourceFiles {
   private def word(r: Long, salt: Int): String = words(((mix(r + salt) >>> 33) % words.length).toInt)
   private def num(r: Long, salt: Int, mod: Int): Int = (((mix(r + salt) >>> 33) % mod).toInt)
 
-  /** Zipf-ish repo id for row index: repo 0 gets ~20%, tail ~1/k. */
+  // cumulative 1/k weights for repos 1..nRepos-1, cached per nRepos: the
+  // mapPartitions hot path calls repoIdFor once per generated row, and
+  // recomputing the harmonic sum inline was O(nRepos) per row (~3e10 flops
+  // for a 10M-row generation). Same sequential accumulation order, so every
+  // cached prefix equals the old loop's float value bit for bit.
+  private val cumCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Double]]()
+  private def cumWeights(nRepos: Int): Array[Double] =
+    cumCache.computeIfAbsent(nRepos, n => {
+      val a = new Array[Double](n - 1) // a(i) = sum of 1/k for k = 1..i+1
+      var acc = 0.0
+      var k = 1
+      while (k < n) { acc += 1.0 / k; a(k - 1) = acc; k += 1 }
+      a
+    })
+
+  /** Zipf-ish repo id for row index: repo 0 gets ~20%, tail ~1/k.
+    * Binary search over the cached cumulative weights — picks the identical
+    * repo the original sequential scan did (same sums, same >= compare). */
   def repoIdFor(h: Long, nRepos: Int): Int = {
     val u = (h >>> 11).toDouble / (1L << 53).toDouble // uniform [0,1)
-    if (u < 0.20) 0
-    else {
-      // remaining 80% over repos 1..nRepos-1 with 1/k weights
-      val hm = (1 until nRepos).map(1.0 / _).sum
-      var acc = 0.0
-      val target = (u - 0.20) / 0.80 * hm
-      var k = 1
-      while (k < nRepos - 1) {
-        acc += 1.0 / k
-        if (acc >= target) return k
-        k += 1
-      }
-      nRepos - 1
+    if (u < 0.20 || nRepos <= 1) return 0
+    // remaining 80% over repos 1..nRepos-1 with 1/k weights
+    val cum = cumWeights(nRepos)
+    val target = (u - 0.20) / 0.80 * cum(cum.length - 1)
+    var lo = 1
+    var hi = nRepos - 2
+    var ans = nRepos - 1 // the scan's fall-through default
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (cum(mid - 1) >= target) { ans = mid; hi = mid - 1 } else lo = mid + 1
     }
+    ans
   }
 
   def repoName(id: Int): String = f"org${id % 97}%02d/repo-${word(id.toLong * 7919L, 1)}-$id"
@@ -118,9 +133,14 @@ object SourceFiles {
       case "json" => JsonPrinter.print(doc)
       case _ => XmqPrinter.print(doc)
     }
-    // normalize to a round-trip fixed point
+    // normalize to a round-trip fixed point; a null means the engine could
+    // not re-parse its OWN print — fail HERE, at the generator, rather than
+    // shipping a row that silently violates the sha256(roundtrip(content))
+    // == sha256(content) invariant and masquerades as an engine regression
     val normalized = XmqExprs.roundtrip(raw, lang)
-    if (normalized == null) raw else normalized
+    require(normalized != null,
+      s"synthesizer produced a non-round-trippable $lang document (h=$h)")
+    normalized
   }
 
   private def wrapHtml(doc: XDoc): String = {
