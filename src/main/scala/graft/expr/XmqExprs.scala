@@ -219,6 +219,43 @@ case class XmqRoundTripOk(left: Expression, right: Expression)
   override def prettyName: String = "xmq_roundtrip_ok"
 }
 
+/** Per-task compile cache for an expression's "program" child (ixml
+  * grammar, XSLT stylesheet, XSD schema). The child is usually a literal:
+  * compile once when foldable, otherwise memoize the last compiled text —
+  * expression instances are per-task after deserialization, so plain vars
+  * are safe. Held in a `@transient lazy val` by each expression, so the
+  * cache is rebuilt empty on the executor and never serialized. */
+private[expr] final class CompiledChild[T >: Null <: AnyRef](
+    child: Expression, compile: String => T) {
+  private lazy val const: T =
+    if (child.foldable) {
+      val v = child.eval(null)
+      if (v == null) null else compile(v.toString)
+    } else null
+  private var lastText: String = null
+  private var lastVal: T = null
+  /** compiled form of `v` (non-null child value). */
+  def get(v: Any): T =
+    if (const != null) const
+    else {
+      val text = v.toString
+      if (lastText != text) { lastVal = compile(text); lastText = text }
+      lastVal
+    }
+}
+
+/** Per-task instance cache keyed by reference identity: one derived
+  * worker (Transformer, Validator — reusable but not thread-safe) per
+  * compiled program, rebuilt only when the program object changes. */
+private[expr] final class DerivedFrom[K <: AnyRef, V](make: K => V) {
+  private var forKey: K = null.asInstanceOf[K]
+  private var value: V = null.asInstanceOf[V]
+  def get(k: K): V = {
+    if (forKey ne k) { value = make(k); forKey = k }
+    value
+  }
+}
+
 /** ixml_parse(grammar, input): parse input text with an Invisible-XML
   * grammar (reference: xmq --ixml=g.ixml, xmq.c ixml engine) and print the
   * resulting document as xmq. Parse failures return the reference's failure
@@ -231,23 +268,11 @@ case class IxmlParse(left: Expression, right: Expression)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  @transient private lazy val constGrammar =
-    if (left.foldable) {
-      val g = left.eval(null)
-      if (g == null) null else IxmlReader.parse(g.toString)
-    } else null
-  // non-foldable grammar column: memoize the last compiled grammar per task
-  @transient private var lastText: String = null
-  @transient private var lastGrammar: graft.xmq.ixml.Grammar = null
+  @transient private lazy val grammarOf =
+    new CompiledChild[graft.xmq.ixml.Grammar](left, IxmlReader.parse(_))
 
   override protected def nullSafeEval(g: Any, in: Any): Any = {
-    val grammar =
-      if (constGrammar != null) constGrammar
-      else {
-        val text = g.toString
-        if (lastText != text) { lastGrammar = IxmlReader.parse(text); lastText = text }
-        lastGrammar
-      }
+    val grammar = grammarOf.get(g)
     val input = in.toString
     val doc =
       try Earley.parse(grammar, input)
@@ -275,23 +300,11 @@ case class IxmlParseRecover(left: Expression, right: Expression)
   override def dataType: DataType = IxmlParseRecover.schema
   override def nullable: Boolean = true
 
-  @transient private lazy val constGrammar =
-    if (left.foldable) {
-      val g = left.eval(null)
-      if (g == null) null else IxmlReader.parse(g.toString)
-    } else null
-  @transient private var lastText: String = null
-  @transient private var lastGrammar: graft.xmq.ixml.Grammar = null
+  @transient private lazy val grammarOf =
+    new CompiledChild[graft.xmq.ixml.Grammar](left, IxmlReader.parse(_))
 
   override protected def nullSafeEval(g: Any, in: Any): Any = {
-    val grammar =
-      if (constGrammar != null) constGrammar
-      else {
-        val text = g.toString
-        if (lastText != text) { lastGrammar = IxmlReader.parse(text); lastText = text }
-        lastGrammar
-      }
-    val r = Ixml.parseRecover(grammar, in.toString)
+    val r = Ixml.parseRecover(grammarOf.get(g), in.toString)
     InternalRow(
       if (r.recovered) UTF8String.fromString(XmqEngine.toXmq(r.doc)) else null,
       r.skipped, r.recovered)
@@ -319,36 +332,19 @@ case class XsltTransform(children: Seq[Expression]) extends Expression with Code
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  @transient private lazy val constTemplates: javax.xml.transform.Templates =
-    if (children(2).foldable) {
-      val ss = children(2).eval(null)
-      if (ss == null) null else Xslt.compile(ss.toString.getBytes("UTF-8"))
-    } else null
-  @transient private var lastText: String = null
-  @transient private var lastTemplates: javax.xml.transform.Templates = null
-  // one Transformer per task (expression instances are per-task after
-  // deserialization): instantiation dominates per-row transform cost
-  @transient private var cachedFor: javax.xml.transform.Templates = null
-  @transient private var cachedTransformer: javax.xml.transform.Transformer = null
+  @transient private lazy val templatesOf =
+    new CompiledChild[javax.xml.transform.Templates](
+      children(2), t => Xslt.compile(t.getBytes("UTF-8")))
+  // one Transformer per Templates (instantiation dominates per-row cost)
+  @transient private lazy val transformerFor =
+    new DerivedFrom[javax.xml.transform.Templates,
+      javax.xml.transform.Transformer](Xslt.newTransformer(_))
 
   override def eval(input: InternalRow): Any = {
     val vals = children.map(_.eval(input))
     if (vals.exists(_ == null)) return null
-    val templates =
-      if (constTemplates != null) constTemplates
-      else {
-        val text = vals(2).toString
-        if (lastText != text) {
-          lastTemplates = Xslt.compile(text.getBytes("UTF-8")); lastText = text
-        }
-        lastTemplates
-      }
-    if (cachedFor ne templates) {
-      cachedTransformer = Xslt.newTransformer(templates)
-      cachedFor = templates
-    }
     val out = XmqExprs.xsltTransform(vals(0).toString, vals(1).toString,
-      cachedTransformer, vals(3).toString)
+      transformerFor.get(templatesOf.get(vals(2))), vals(3).toString)
     if (out == null) null else UTF8String.fromString(out)
   }
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
@@ -365,35 +361,22 @@ case class XsdValid(first: Expression, second: Expression, third: Expression)
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
 
-  @transient private lazy val constSchema: javax.xml.validation.Schema =
-    if (third.foldable) {
-      val x = third.eval(null)
-      if (x == null) null else Xsd.compile(x.toString.getBytes("UTF-8"))
-    } else null
-  @transient private var lastText: String = null
-  @transient private var lastSchema: javax.xml.validation.Schema = null
-  // one Validator per task: Validators are reusable (not thread-safe, but
-  // expression instances are per-task after deserialization)
-  @transient private var cachedFor: javax.xml.validation.Schema = null
-  @transient private var cachedValidator: javax.xml.validation.Validator = null
+  @transient private lazy val schemaOf =
+    new CompiledChild[javax.xml.validation.Schema](
+      third, t => Xsd.compile(t.getBytes("UTF-8")))
+  // one Validator per Schema: Validators are reusable (not thread-safe,
+  // but expression instances are per-task after deserialization)
+  @transient private lazy val validatorFor =
+    new DerivedFrom[javax.xml.validation.Schema,
+      javax.xml.validation.Validator](_.newValidator())
 
   override def eval(input: InternalRow): Any = {
     val c = first.eval(input)
     val l = second.eval(input)
     val x = third.eval(input)
     if (c == null || l == null || x == null) return false
-    val schema =
-      if (constSchema != null) constSchema
-      else {
-        val text = x.toString
-        if (lastText != text) { lastSchema = Xsd.compile(text.getBytes("UTF-8")); lastText = text }
-        lastSchema
-      }
-    if (cachedFor ne schema) {
-      cachedValidator = schema.newValidator()
-      cachedFor = schema
-    }
-    XmqExprs.xsdValid(c.toString, l.toString, cachedValidator)
+    XmqExprs.xsdValid(c.toString, l.toString,
+      validatorFor.get(schemaOf.get(x)))
   }
   override protected def nullSafeEval(c: Any, l: Any, x: Any): Any =
     throw new IllegalStateException("eval overridden")
