@@ -399,6 +399,8 @@ object SparkEntry {
       .option("maxFilesPerTrigger", "1")
       .parquet(staged)
     val agg = graft.streaming.EventStream.windowedCounts(stream)
+    // NOTE: no coalesce(1) here — it would merge the stateful aggregation
+    // stage itself into one task (all state stores loaded serially)
     val sink = (batch: DataFrame, _: Long) =>
       batch.write.mode("overwrite").parquet(out)
     agg.writeStream
@@ -492,9 +494,17 @@ object SparkEntry {
           val d = batch.sparkSession.read.format("graft").load(loc)
             .select(substring(col("repo"), 6, 20).cast("long").as("user_id"),
                     col("lang").as("tier"))
-          batch.join(broadcast(d), Seq("user_id"))
+          // stats-gated broadcast (r5 VERDICT #8): hint only while the
+          // dimension's plan-stats estimate is broadcast-sized — a 100-TB
+          // user dimension falls back to Spark's own join choice instead
+          // of an OOM-by-hint
+          val dimHinted =
+            if (d.queryExecution.optimizedPlan.stats.sizeInBytes <= (32L << 20))
+              broadcast(d)
+            else d
+          batch.join(dimHinted, Seq("user_id"))
             .select(col("tier"), col("event_type"), col("value"))
-            .write.mode("append").parquet(out)
+            .coalesce(1).write.mode("append").parquet(out)
         }
         .start().awaitTermination()
     }

@@ -1,0 +1,130 @@
+package graft.bench
+
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Extra, non-contract benchmarks for the optimization rounds (guide §1.4):
+  * noop-sink isolation of single queries, phase-level timing of the lake
+  * maintenance build, and `.explain("formatted")` dumps for the
+  * plans/r06/<query>_{before,after}.txt deliverables.
+  *
+  * Usage (never part of the driver contract — Bench.scala stays frozen):
+  *   sbt "runMain graft.bench.BenchExtra lake"            # phase timing
+  *   sbt "runMain graft.bench.BenchExtra q <name> [n]"    # noop-isolated query
+  *   sbt "runMain graft.bench.BenchExtra plan <name> <out.txt>"
+  */
+object BenchExtra {
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s.sparkContext.addSparkListener(new JobTally)
+    s
+  }
+
+  private val jobCount = new java.util.concurrent.atomic.AtomicInteger
+  private val jobNanos = new java.util.concurrent.atomic.AtomicLong
+
+  private final class JobTally extends org.apache.spark.scheduler.SparkListener {
+    private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      starts.put(js.jobId, System.nanoTime()); jobCount.incrementAndGet(); ()
+    }
+    override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      Option(starts.remove(je.jobId)).foreach(t0 => jobNanos.addAndGet(System.nanoTime() - t0)); ()
+    }
+  }
+
+  private def time[T](label: String)(f: => T): T = {
+    val (c0, n0) = (jobCount.get(), jobNanos.get())
+    val t0 = System.nanoTime()
+    val r = f
+    Thread.sleep(50) // let listener events drain
+    println(f"[phase] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
+      f"  jobs=${jobCount.get() - c0}%3d jobTime=${(jobNanos.get() - n0) / 1e9}%7.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = session()
+    args.headOption.getOrElse("lake") match {
+      case "lake" =>
+        lakePhases(spark, sfDir); println("[phase] --- warm pass ---")
+        lakePhases(spark, sfDir)
+      case "q" =>
+        val name = args(1)
+        val n = if (args.length > 2) args(2).toInt else 1
+        val fn = graft.SparkEntry.queries(name)
+        (1 to n).foreach { i =>
+          spark.sparkContext.setJobDescription(s"$name run $i")
+          time(s"$name run $i") {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          }
+        }
+      case "plan" =>
+        val name = args(1)
+        val out = args(2)
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          txt.getBytes("UTF-8"))
+        println(s"[plan] $name -> $out (${txt.length} bytes)")
+      case "plans" =>
+        // dump `.explain("formatted")` for many queries into <dir>/<q>_<suffix>.txt
+        val outDir = args(1)
+        val suffix = args(2)
+        val names = args.drop(3)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        names.foreach { name =>
+          try {
+            val df = graft.SparkEntry.queries(name)(spark, sfDir)
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
+              txt.getBytes("UTF-8"))
+            println(s"[plan] $name -> $outDir/${name}_$suffix.txt")
+          } catch { case e: Throwable => println(s"[plan] $name FAILED: $e") }
+        }
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+
+  /** Phase-by-phase timing of the q24 lake build + scan (the single most
+    * expensive bench entry), labelled per guide §1.5. */
+  private def lakePhases(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    def shaped(df: DataFrame, v2: Boolean) = df.select(
+      concat(lit("repo_"), ($"doc_id" % 10).cast("string")).as("repo"),
+      concat(lit("f/"), $"doc_id".cast("string"), lit(".txt")).as("path"),
+      lit("c0").as("commit"), $"lang",
+      (if (v2) concat(lit("v2 "), $"text") else $"text").as("content"))
+    val base = shaped(docs.filter($"doc_id" % 3 =!= 0), v2 = false)
+    val source = shaped(docs.filter($"doc_id" % 5 === 0), v2 = true)
+    val loc = java.nio.file.Files.createTempDirectory("graft-benchextra").toString
+    val table = new graft.lake.GraftTable(s, loc)
+    time("append(base repartition 8)") { table.append(base.repartition(8)) }
+    time("mergeInto") { graft.lake.Maintenance.mergeInto(table, "bx", source) }
+    time("compact") { graft.lake.Maintenance.compact(table, "bx",
+      smallBytes = Long.MaxValue, targetBytes = 4L << 20) }
+    time("cluster") { graft.lake.Maintenance.cluster(table, "bx") }
+    time("rewriteManifests") { table.rewriteManifests() }
+    time("expireSnapshots") { table.expireSnapshots(System.currentTimeMillis() + 1000) }
+    time("scan+sha+orderBy (noop)") {
+      table.scan()
+        .select($"repo", $"path", $"commit", $"lang", sha2($"content", 256).as("content_sha"))
+        .orderBy($"repo", $"path")
+        .write.format("noop").mode("overwrite").save()
+    }
+  }
+}

@@ -266,7 +266,18 @@ class GraftTable(val spark: SparkSession, val location: String,
     * and collects the surviving file list. */
   def manifest(s: Snapshot): DataFrame = manifestOf(manifestShards(s))
 
-  private def manifestOf(shards: Seq[ManifestShard]): DataFrame = {
+  private def manifestOf(shards: Seq[ManifestShard]): DataFrame =
+    localManifest(shards) match {
+      case Some(entries) =>
+        // metadata-small manifest: a LocalRelation — downstream
+        // filter/project/collect plan WITHOUT any Spark job (the optimizer
+        // folds them into the LocalRelation), so scan planning is jobless
+        import spark.implicits._
+        entries.toDF()
+      case None => distributedManifestOf(shards)
+    }
+
+  private def distributedManifestOf(shards: Seq[ManifestShard]): DataFrame = {
     val adds = shards.filter(_.kind == "add").map(sh => io.abs(sh.path).toString)
     val removes = shards.filter(_.kind == "remove").map(sh => io.abs(sh.path).toString)
     // a snapshot may legitimately have zero add shards (e.g. merge of an
@@ -281,6 +292,40 @@ class GraftTable(val spark: SparkSession, val location: String,
     else addDf.join(
       spark.read.schema("file_path STRING").parquet(removes: _*),
       Seq("file_path"), "left_anti")
+  }
+
+  /** Driver-side manifest materialization for METADATA-SMALL manifests
+    * (guide §5: metadata planning is driver work; a Spark job per tiny
+    * manifest read is pure fixed overhead). Returns None — keeping the
+    * distributed path — when the manifest's shard files exceed the
+    * size/count gate, so a 100-TB table (10^6+ files, manifest way past the
+    * gate) still plans distributed. The gate is scale-adaptive by
+    * construction: it measures the manifest's own bytes, not a cluster- or
+    * local-mode-specific constant. */
+  private[lake] def localManifest(shards: Seq[ManifestShard]): Option[Seq[ManifestEntry]] =
+    localManifestSeq(shards).map(_.map(_._1))
+
+  /** localManifest keeping each entry's add-shard seq (the MoR sequence-rule
+    * input) — shared gate, shared driver-side reads. */
+  private[lake] def localManifestSeq(shards: Seq[ManifestShard])
+      : Option[Seq[(ManifestEntry, Long)]] = {
+    val data = shards.filter(sh => sh.kind == "add" || sh.kind == "remove")
+    val maxBytes = spark.conf.get("spark.graft.manifest.localReadMaxBytes",
+      (4L << 20).toString).toLong
+    if (maxBytes <= 0 || data.size > 64) return None
+    var total = 0L
+    val it = data.iterator
+    while (it.hasNext) {
+      val sh = it.next()
+      total += (if (io.isDirectory(sh.path)) io.listWithSizes(sh.path).values.sum
+                else io.size(sh.path))
+      if (total > maxBytes) return None
+    }
+    val removed = data.filter(_.kind == "remove")
+      .flatMap(sh => MetaIO.readRemoves(io, sh.path)).toSet
+    val adds = data.filter(_.kind == "add")
+      .flatMap(sh => MetaIO.readEntries(io, sh.path).map(e => (e, sh.seq.toLong)))
+    Some(if (removed.isEmpty) adds else adds.filterNot(p => removed(p._1.file_path)))
   }
 
   def manifestEntries(s: Snapshot): Seq[ManifestEntry] =
@@ -329,18 +374,25 @@ class GraftTable(val spark: SparkSession, val location: String,
     * bounded by commits since the last manifest rewrite), metadata-scale. */
   def manifestWithSeq(s: Snapshot): DataFrame = {
     val shards = manifestShards(s)
-    val adds = shards.filter(_.kind == "add")
-    val removes = shards.filter(_.kind == "remove").map(sh => io.abs(sh.path).toString)
-    val addDf = adds.map { sh =>
-        spark.read.schema(GraftTable.manifestSchema).parquet(io.abs(sh.path).toString)
-          .withColumn("add_seq", lit(sh.seq.toLong))
-      }.reduceOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        GraftTable.manifestSchema).withColumn("add_seq", lit(-1L)))
-    if (removes.isEmpty) addDf
-    else addDf.join(
-      spark.read.schema("file_path STRING").parquet(removes: _*),
-      Seq("file_path"), "left_anti")
+    localManifestSeq(shards) match {
+      case Some(pairs) =>
+        // jobless LocalRelation path (see manifestOf)
+        import spark.implicits._
+        pairs.toDF("e", "add_seq").select(col("e.*"), col("add_seq"))
+      case None =>
+        val adds = shards.filter(_.kind == "add")
+        val removes = shards.filter(_.kind == "remove").map(sh => io.abs(sh.path).toString)
+        val addDf = adds.map { sh =>
+            spark.read.schema(GraftTable.manifestSchema).parquet(io.abs(sh.path).toString)
+              .withColumn("add_seq", lit(sh.seq.toLong))
+          }.reduceOption(_ unionByName _)
+          .getOrElse(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+            GraftTable.manifestSchema).withColumn("add_seq", lit(-1L)))
+        if (removes.isEmpty) addDf
+        else addDf.join(
+          spark.read.schema("file_path STRING").parquet(removes: _*),
+          Seq("file_path"), "left_anti")
+    }
   }
 
   /** Read data files tagged with their add shard seq: one spark.read per
@@ -744,10 +796,19 @@ class GraftTable(val spark: SparkSession, val location: String,
   def scan(): DataFrame = currentSnapshot match {
     case None => emptyDf
     case Some(s) if hasMorDeletes(s) =>
-      val pairs = manifestWithSeq(s)
-        .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+      val shards = manifestShards(s)
+      val pairs = localManifestSeq(shards) match {
+        case Some(ps) => ps.map(p => (p._1.file_path, p._2)) // jobless planning
+        case None => manifestWithSeq(s)
+          .select($"file_path", $"add_seq").as[(String, Long)].collect().toSeq
+      }
       morScan(s, pairs)
-    case Some(s) => readFiles(manifest(s).select("file_path").as[String].collect().toSeq)
+    case Some(s) =>
+      val paths = localManifest(manifestShards(s)) match {
+        case Some(entries) => entries.map(_.file_path) // jobless planning
+        case None => manifest(s).select("file_path").as[String].collect().toSeq
+      }
+      readFiles(paths)
   }
 
   /** Pruned scan: prune the manifest DataFrame with a predicate over min/max
@@ -801,11 +862,80 @@ class GraftTable(val spark: SparkSession, val location: String,
       graft.expr.XmqFunctions.zorder_interleave(
         xxhash64(col("repo")), xxhash64(col("path")),
         pmod(xxhash64(col("lang")), lit(256L))))
-    withZ.write.parquet(io.abs(outRel).toString)
 
-    // one stats pass over the freshly written batch (stats + per-file digest)
-    val written = spark.read.schema(withZ.schema).parquet(io.abs(outRel).toString)
-    entriesFor(written, tag, io.listWithSizes(outRel), bucketBy)
+    // FUSED single-pass write+stats (guide §1.2: one pass instead of two):
+    // the hash/bucket columns are computed by the SAME Column expressions the
+    // old read-back pass used, tee'd into a per-partition accumulator while
+    // the write job streams rows into parquet — no second job, no re-read.
+    val dataSchema = withZ.schema
+    val width = dataSchema.length
+    val repoIdx = dataSchema.fieldIndex("repo")
+    val pathIdx = dataSchema.fieldIndex("path")
+    val langIdx = dataSchema.fieldIndex("lang")
+    val zIdx = dataSchema.fieldIndex("z")
+    val teed0 = withZ
+      .withColumn("__h", GraftTable.rowHash())
+      .withColumn("__rh", xxhash64(col("repo")))
+    val teed = bucketBy match {
+      case Some((c, n)) => teed0.withColumn("__b", Bucketing.bucketCol(c, n))
+      case None => teed0
+    }
+    val bIdx = if (bucketBy.isDefined) width + 2 else -1
+    val acc = new WriteStats.Acc
+    spark.sparkContext.register(acc, s"graft-write-stats-$batch")
+    val stripped = teed.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val st = new WriteStats.Collector(repoIdx, pathIdx, langIdx, zIdx,
+        width, width + 1, bIdx)
+      var flushed = false
+      new Iterator[Row] {
+        override def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h && !flushed) {
+            flushed = true
+            if (st.count > 0) acc.add(pid -> st.result)
+          }
+          h
+        }
+        override def next(): Row = {
+          val r = it.next()
+          st.update(r)
+          val arr = new Array[Any](width)
+          var i = 0
+          while (i < width) { arr(i) = r.get(i); i += 1 }
+          Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(arr))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(dataSchema))
+    stripped.write.parquet(io.abs(outRel).toString)
+
+    val sizes = io.listWithSizes(outRel)
+      .filter { case (n, _) => !n.startsWith("_") && !n.startsWith(".") }
+    val stats = acc.value
+    val mapped = sizes.keys.map(n => n -> WriteStats.filePartIdx(n)).toMap
+    val ok = sizes.nonEmpty == stats.nonEmpty &&
+      mapped.values.forall(_ >= 0) &&
+      mapped.values.toSeq.sorted == stats.keys.toSeq.sorted
+    if (ok) {
+      sizes.toSeq.map { case (name, bytes) =>
+        val st = stats(mapped(name))
+        val bucket = bucketBy.map { _ =>
+          require(st.bMin == st.bMax,
+            s"bucketed write produced an impure file $outRel/$name (buckets ${st.bMin}..${st.bMax})")
+          st.bMin
+        }
+        ManifestEntry(s"$outRel/$name", tag, st.records, bytes,
+          st.minRepo, st.maxRepo, st.minPath, st.maxPath, st.langs,
+          if (st.hasZ) st.minZ else 0L, if (st.hasZ) st.maxZ else 0L,
+          st.minRh, st.maxRh, st.digest,
+          Some(st.nullsRepo), Some(st.nullsPath), Some(st.nullsLang), bucket)
+      }
+    } else {
+      // unexpected file↔partition mapping (e.g. maxRecordsPerFile split a
+      // task's output): fall back to the read-back stats pass
+      val written = spark.read.schema(withZ.schema).parquet(io.abs(outRel).toString)
+      entriesFor(written, tag, sizes, bucketBy)
+    }
   }
 
   /** writeDataFiles PRESERVING the table's bucket layout: when a bucket spec
@@ -1724,15 +1854,31 @@ class GraftTable(val spark: SparkSession, val location: String,
     val (expired, kept) = all.partition(s =>
       s.tsMillis < olderThanMillis && !protectedVersions(s.version))
     if (expired.isEmpty) return (0, 0)
-    val keptFiles = kept.map(s => manifest(s).select("file_path"))
-      .reduceOption(_ unionByName _).map(_.distinct())
-    val expiredFiles = expired.map(s => manifest(s).select("file_path"))
-      .reduce(_ unionByName _).distinct()
-    val toDelete = keptFiles match {
-      case Some(k) => expiredFiles.join(k, Seq("file_path"), "left_anti")
-      case None => expiredFiles
+    // small-manifest fast path: the kept/expired path sets are computed
+    // driver-side (zero jobs) when every snapshot's manifest is under the
+    // localManifest gate; any large manifest falls back to the distributed
+    // union/distinct/anti-join
+    val localSets: Option[(Set[String], Set[String])] = {
+      val keptLocal = kept.map(s => localManifest(manifestShards(s)))
+      val expLocal = expired.map(s => localManifest(manifestShards(s)))
+      if ((keptLocal ++ expLocal).forall(_.isDefined))
+        Some((keptLocal.flatMap(_.get.map(_.file_path)).toSet,
+              expLocal.flatMap(_.get.map(_.file_path)).toSet))
+      else None
     }
-    val deleted = toDelete.as[String].collect().toSeq
+    val deleted = localSets match {
+      case Some((keptSet, expSet)) => (expSet -- keptSet).toSeq
+      case None =>
+        val keptFiles = kept.map(s => manifest(s).select("file_path"))
+          .reduceOption(_ unionByName _).map(_.distinct())
+        val expiredFiles = expired.map(s => manifest(s).select("file_path"))
+          .reduce(_ unionByName _).distinct()
+        val toDelete = keptFiles match {
+          case Some(k) => expiredFiles.join(k, Seq("file_path"), "left_anti")
+          case None => expiredFiles
+        }
+        toDelete.as[String].collect().toSeq
+    }
     deleted.foreach(io.delete)
 
     // manifest shards still referenced by kept snapshots must survive
@@ -1816,11 +1962,17 @@ class GraftTable(val spark: SparkSession, val location: String,
       s"cherry-pick supports append snapshots only; v$v's delta contains " +
       s"${nonAdd.mkString(", ")} shards — a rewrite/delete delta is only " +
       "meaningful against its own parent rowset")
-    val deltaEntries = spark.read.schema(GraftTable.manifestSchema)
+    val localDelta = localManifest(delta)
+    def deltaEntriesDf = spark.read.schema(GraftTable.manifestSchema)
       .parquet(delta.map(s => io.abs(s.path).toString): _*)
-    val agg = deltaEntries.agg(
-      coalesce(sum("record_count"), lit(0L)), count(lit(1))).head()
-    val (addedRecords, addedFiles) = (agg.getLong(0), agg.getLong(1))
+    val (addedRecords, addedFiles) = localDelta match {
+      case Some(entries) => // driver-side: the delta is metadata-small
+        (entries.map(_.record_count).sum, entries.size.toLong)
+      case None =>
+        val agg = deltaEntriesDf.agg(
+          coalesce(sum("record_count"), lit(0L)), count(lit(1))).head()
+        (agg.getLong(0), agg.getLong(1))
+    }
     val parentRecords = parentOfV.map(_.recordCount).getOrElse(0L)
     require(target.recordCount - parentRecords == addedRecords,
       s"v$v is not a pure append: its delta lists $addedRecords rows but the " +
@@ -1828,9 +1980,14 @@ class GraftTable(val spark: SparkSession, val location: String,
       "(rewrites and manifest rewrites re-list files they did not add)")
     val head = currentSnapshot
     head.foreach { h =>
-      val overlap = deltaEntries.select($"file_path")
-        .join(manifest(h).select($"file_path"), Seq("file_path"), "left_semi")
-        .count()
+      val overlap = (localDelta, localManifest(manifestShards(h))) match {
+        case (Some(d), Some(hm)) => // both metadata-small: zero jobs
+          val live = hm.map(_.file_path).toSet
+          d.count(e => live(e.file_path)).toLong
+        case _ => deltaEntriesDf.select($"file_path")
+          .join(manifest(h).select($"file_path"), Seq("file_path"), "left_semi")
+          .count()
+      }
       require(overlap == 0L,
         s"$overlap of v$v's files are already live at head — the delta is " +
         "already present (cherry-picking an ancestor would double-count rows)")
@@ -1966,6 +2123,24 @@ class GraftTable(val spark: SparkSession, val location: String,
         val root = location
         // batched existence: each data dir is listed ONCE, on executors
         val dataDirs = io.list("data").map(d => s"data/$d")
+        // metadata-small fast path: listing, existence filter, sort and the
+        // single-shard write all run driver-side — zero Spark jobs (the
+        // size/count gate keeps 10^8-file tables on the distributed path,
+        // and a rewrite that needs MORE than one output shard keeps the
+        // distributed multi-shard write — no single-task funnel)
+        localManifest(manifestShards(s)) match {
+          case Some(entries) if dataDirs.size <= 64 =>
+            val existingSet = dataDirs.flatMap(d => io.list(d).map(n => s"$d/$n")).toSet
+            val live = entries.filter(e => existingSet(e.file_path))
+            if (live.size <= targetEntriesPerShard) {
+              val sorted = live.sortBy(e => (e.partition, e.min_z, e.file_path))
+              val addRel = s"meta/manifest-add-${UUID.randomUUID().toString.take(12)}.parquet"
+              MetaIO.writeEntries(io, addRel, sorted)
+              return publish(Some(s), Seq(ManifestShard(1, "add", addRel)),
+                "manifest_rewrite", sorted.map(_.record_count).sum, sorted.size.toLong)
+            }
+          case _ => ()
+        }
         val existing = spark.createDataset(dataDirs)
           .repartition(math.max(1, math.min(dataDirs.size, spark.sparkContext.defaultParallelism)))
           .flatMap(d => LakeIO.of(root).list(d).map(n => s"$d/$n"))
@@ -2016,9 +2191,14 @@ class GraftTable(val spark: SparkSession, val location: String,
   def commitFull(entries: Seq[ManifestEntry], operation: String): Snapshot =
     currentSnapshot match {
       case None => commitDelta(entries, None, operation)
-      case Some(s) => commitDelta(entries, Some(manifest(s).select("file_path")),
-        operation, removedRecords = s.recordCount, removedFiles = s.fileCount,
-        basis = Some(s))
+      case Some(s) => localManifest(manifestShards(s)) match {
+        case Some(prev) => // metadata-small: driver-side remove set, zero jobs
+          commit(entries, prev.map(_.file_path).toSet, operation,
+            removedRecords = s.recordCount, basis = Some(s))
+        case None => commitDelta(entries, Some(manifest(s).select("file_path")),
+          operation, removedRecords = s.recordCount, removedFiles = s.fileCount,
+          basis = Some(s))
+      }
     }
 
   // tiny flat-json parser for our own snapshot files

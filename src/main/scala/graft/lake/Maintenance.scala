@@ -307,45 +307,38 @@ object Maintenance {
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     // 1. the ONLY full-table pass: rows whose key the source touches, with
-    //    their file — yields affected files, matched keys AND the updated
-    //    count from one cached (small: <= |source|) frame
+    //    their file — one action yields the affected file set AND the
+    //    updated count (each extra action costs a full job of overhead)
     val matched = table.scan().withColumn("_file", input_file_name())
       .join(hinted(srcKeys), keys, "left_semi")
-      .select((keys.map(col) :+ col("_file")): _*)
-      .cache()
-    // one action: affected file set + updated count together (each extra
-    // action on a toy-sized table costs a full job of fixed overhead)
     val head = matched.agg(collect_set($"_file").as("files"),
                            count(lit(1)).as("n")).head()
     val affectedRel = head.getSeq[String](0).map(table.io.relativize).toSet
     val updatedCount = head.getLong(1)
-    val matchedKeys = matched.select(keys.map(col): _*).distinct()
 
-    // 2. classify source rows against the matched key set (⊆ source keys,
-    //    so it inherits the same broadcast-vs-shuffle decision)
-    val updates = src.join(hinted(matchedKeys), keys, "left_semi")
-    val inserts = src.join(hinted(matchedKeys), keys, "left_anti")
+    // 2. ONE copy-on-write write job for the whole merge delta: affected
+    //    files keep their untouched rows (left_anti on the source keys) and
+    //    every source row lands — matched keys as updates, the rest as
+    //    inserts. The old updates/inserts split cost two classification
+    //    joins and a second write; (affected ∖ srcKeys) ∪ src is the same
+    //    row multiset because (repo,path,commit) is the row identity on
+    //    both sides. The insert count is observed during the same write
+    //    (src rows − matched keys), not paid as an extra job.
+    val obs = org.apache.spark.sql.Observation()
+    val srcObs = src.observe(obs, count(lit(1)).as("n"))
+    val mergedRows =
+      if (affectedRel.isEmpty) srcObs
+      else table.readFiles(affectedRel.toSeq)
+        .select(dataCols.map(col): _*)
+        .join(hinted(srcKeys), keys, "left_anti")
+        .unionByName(srcObs)
+    val added = table.writeDataFilesRouted(mergedRows, "merge")
+    val insertedCount =
+      obs.get("n").asInstanceOf[Long] - updatedCount
 
-    // 3. copy-on-write: affected files keep their untouched rows, matched
-    //    keys take the source's row
-    val addedRewrite =
-      if (affectedRel.isEmpty) Seq.empty
-      else {
-        val rewritten = table.readFiles(affectedRel.toSeq)
-          .select(dataCols.map(col): _*)
-          .join(hinted(srcKeys), keys, "left_anti")
-          .unionByName(updates)
-        table.writeDataFilesRouted(rewritten, "merge-cow")
-      }
-    // the insert count falls out of the write's own stats pass — no pre-count
-    val addedInsert = table.writeDataFilesRouted(inserts, "merge-insert")
-    val insertedCount = addedInsert.map(_.record_count).sum
-
-    table.commit(addedRewrite ++ addedInsert, affectedRel, "merge",
-      basis = basisSnap)
-    matched.unpersist()
+    table.commit(added, affectedRel, "merge", basis = basisSnap)
     src.unpersist()
-    Lineage.record(table, jobId, phase, affectedRel.toSeq, addedRewrite ++ addedInsert)
+    Lineage.record(table, jobId, phase, affectedRel.toSeq, added)
     MergeResult(updatedCount, insertedCount, affectedRel.size)
   }
 

@@ -159,15 +159,29 @@ object MetaIO {
     } finally w.close()
   }
 
+  private def parquetFilesAt(io: LakeIO, rel: String): Seq[String] =
+    if (!io.exists(rel)) Seq.empty
+    else if (io.isDirectory(rel))
+      io.list(rel).filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        .map(n => s"$rel/$n")
+    else Seq(rel)
+
+  /** total row count at rel from parquet FOOTERS only — driver-side, zero
+    * Spark jobs (counting a freshly written shard used to cost a whole
+    * metadata job). */
+  def rowCount(io: LakeIO, rel: String): Long = {
+    val conf = new Configuration(io.hadoopConf)
+    parquetFilesAt(io, rel).map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader
+        .open(HadoopInputFile.fromPath(io.abs(f), conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** every row of every parquet file at rel (a file, or a directory of
     * part files — Spark- and MetaIO-written alike). */
   private def readGroups(io: LakeIO, rel: String): Seq[Group] = {
-    val files: Seq[String] =
-      if (!io.exists(rel)) Seq.empty
-      else if (io.isDirectory(rel))
-        io.list(rel).filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-          .map(n => s"$rel/$n")
-      else Seq(rel)
+    val files: Seq[String] = parquetFilesAt(io, rel)
     val out = ArrayBuffer.empty[Group]
     val conf = new Configuration(io.hadoopConf)
     files.foreach { f =>
@@ -182,6 +196,35 @@ object MetaIO {
     }
     out.toSeq
   }
+
+  private def optLong(g: Group, field: String): Option[Long] =
+    if (g.getFieldRepetitionCount(field) == 0) None else Some(g.getLong(field, 0))
+
+  private def optStr(g: Group, field: String): String =
+    if (g.getFieldRepetitionCount(field) == 0) null else g.getString(field, 0)
+
+  /** manifest entries of one shard, read driver-side — the small-manifest
+    * fast path that lets scan planning skip Spark jobs entirely. Reads both
+    * MetaIO- and Spark-written shards (same 3-level LIST layout). */
+  def readEntries(io: LakeIO, rel: String): Seq[ManifestEntry] =
+    readGroups(io, rel).map { g =>
+      ManifestEntry(
+        optStr(g, "file_path"), optStr(g, "partition"),
+        g.getLong("record_count", 0), g.getLong("file_bytes", 0),
+        optStr(g, "min_repo"), optStr(g, "max_repo"),
+        optStr(g, "min_path"), optStr(g, "max_path"),
+        getList(g, "langs"),
+        g.getLong("min_z", 0), g.getLong("max_z", 0),
+        g.getLong("min_rh", 0), g.getLong("max_rh", 0),
+        g.getLong("digest", 0),
+        optLong(g, "nulls_repo"), optLong(g, "nulls_path"), optLong(g, "nulls_lang"),
+        if (g.getFieldRepetitionCount("bucket") == 0) None
+        else Some(g.getInteger("bucket", 0)))
+    }
+
+  /** removed file paths of one remove shard, driver-side. */
+  def readRemoves(io: LakeIO, rel: String): Seq[String] =
+    readGroups(io, rel).map(g => g.getString("file_path", 0))
 
   def readShards(io: LakeIO, rel: String): Seq[ManifestShard] =
     readGroups(io, rel).map { g =>

@@ -71,10 +71,9 @@ object MorDelete {
     val shardRel = s"meta/manifest-eqdel-$uid.parquet"
     val abs = table.io.abs(shardRel).toString
     keys.write.mode("overwrite").parquet(abs)
-    // matched count from the freshly written shard's parquet footers — a
-    // metadata-only job, no second pass over the data
-    val matched = table.spark.read.schema(GraftTable.eqDeleteSchema)
-      .parquet(abs).count()
+    // matched count from the freshly written shard's parquet footers —
+    // driver-side, zero jobs
+    val matched = MetaIO.rowCount(table.io, shardRel)
     if (matched == 0L) { table.io.delete(shardRel); return 0L }
     table.commitEqDelete(shardRel, matched, basis)
     matched
@@ -119,8 +118,7 @@ object MorDelete {
     val shardRel = s"meta/manifest-posdel-$uid.parquet"
     val abs = table.io.abs(shardRel).toString
     keys.write.mode("overwrite").parquet(abs)
-    val matched = table.spark.read.schema(GraftTable.posDeleteSchema)
-      .parquet(abs).count()
+    val matched = MetaIO.rowCount(table.io, shardRel)
     if (matched == 0L) { table.io.delete(shardRel); return 0L }
     table.commitPosDelete(shardRel, matched, Some(basis))
     matched

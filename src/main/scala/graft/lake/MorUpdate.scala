@@ -222,8 +222,7 @@ object MorUpdate {
     val rel = s"meta/manifest-posdel-$uid.parquet"
     matching.select(col("_file").as("file_path"), col("_pos").as("pos"))
       .write.mode("overwrite").parquet(table.io.abs(rel).toString)
-    val n = table.spark.read.schema(GraftTable.posDeleteSchema)
-      .parquet(table.io.abs(rel).toString).count()
+    val n = MetaIO.rowCount(table.io, rel)
     if (n == 0L) { table.io.delete(rel); None } else Some(rel)
   }
 }

@@ -40,6 +40,12 @@ object Dedup {
                    shingleSize: Int = 5, threshold: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
     val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // ONE explicit exchange on the LSH bucket key: every consumer of the
+    // banded signature table (both sides of the candidate self-join) reuses
+    // this shuffle, so the minhash signature pass over the corpus runs ONCE
+    // — without it the planner broadcast-joins the self-join and recomputes
+    // the whole signature subtree per side (guide §8: the fingerprint pass
+    // is the expensive stage; compute it once, decide on small rows).
     val banded = base
       .withColumn("sig", TextFunctions.minhash_sig(col("text"), lit(numHashes), lit(shingleSize)))
       .select(col("id"),
@@ -47,6 +53,7 @@ object Dedup {
           s"array_join(transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand), " +
           s"x -> cast(x as string)), ','))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      .repartition(col("band"), col("band_key"))
 
     val a = banded.select(col("band"), col("band_key"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("band_key"), col("id").as("id_b"))
@@ -79,9 +86,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.25,
                         maxDocFreq: Int = 50): DataFrame = {
+    // ONE explicit exchange on the shingle key: the docfreq aggregate, the
+    // boilerplate-cutoff join and both sides of the inverted-index self-join
+    // all reuse this single shuffle of the (id, shingle) table — without it
+    // the planner broadcast-joins everything at small scale and recomputes
+    // the shingle explode once per consumer (4-6 passes over the corpus;
+    // guide §2.4/§8: share the exchange, compute features once).
     val sh0 = df.select(col(idCol).cast("long").as("id"),
       explode(array_distinct(
         TextFunctions.shingle_hashes(col(textCol), lit(n)))).as("sh"))
+      .repartition(col("sh"))
     val keep = sh0.groupBy("sh").agg(count(lit(1)).as("docfreq"))
       .filter(col("docfreq") <= maxDocFreq).select("sh")
     val sh = sh0.join(keep, "sh")
@@ -228,6 +242,9 @@ object Dedup {
         posexplode(expr(s"transform(sequence(0, ${chunks - 1}), " +
           s"c -> (sh >> (c * $w)) & ${(1L << w) - 1})")))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+      // one reused exchange for both self-join sides: the simhash pass runs
+      // once (see minHashPairs)
+      .repartition(col("chunk"), col("chunk_val"))
     val a = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = chunked.select(col("chunk"), col("chunk_val"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("chunk", "chunk_val"))
@@ -497,6 +514,9 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"),
         posexplode(TextFunctions.lsh_buckets(col(vecCol), planes, bands, seed)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      // one reused exchange for both self-join sides: the projection pass
+      // runs once and the vectors cross the wire once (see minHashPairs)
+      .repartition(col("band"), col("bucket"))
     val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("band", "bucket"))
