@@ -1773,12 +1773,17 @@ object SparkEntry {
     // instead of falling back to a shuffle when the sets differ
     s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
     // plan pin: the raw join (MERGE hint keeps the small side from
-    // broadcasting) must contain no Exchange of any kind
+    // broadcasting) must contain no Exchange of any kind. SPJ is a STATIC
+    // planning decision (KeyGroupedPartitioning is recognized before any
+    // adaptive re-optimization), so the pin asserts on the planned physical
+    // tree without executing a probe join — the old `probe.count()` paid a
+    // full extra join execution for the same evidence
     val probe = s.sql(
       s"""SELECT /*+ MERGE(b) */ a.repo FROM $cat.ns.a a
          |JOIN $cat.ns.b b ON a.repo = b.repo""".stripMargin)
-    assert(probe.count() > 0)
     val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"storage-partitioned join did not plan a sort-merge join:\n$plan")
     assert(!plan.contains("Exchange"),
       s"storage-partitioned join must not shuffle or broadcast:\n$plan")
     s.sql(

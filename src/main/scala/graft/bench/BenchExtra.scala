@@ -77,6 +77,26 @@ object BenchExtra {
         java.nio.file.Files.write(java.nio.file.Paths.get(out),
           txt.getBytes("UTF-8"))
         println(s"[plan] $name -> $out (${txt.length} bytes)")
+      case "planexec" =>
+        // execute (noop sink) FIRST, then dump the FINAL adaptive plan —
+        // AQE runtime decisions (ReusedExchange/stage reuse, coalesced
+        // reads, join rewrites) only appear post-execution
+        val outDir = args(1)
+        val suffix = args(2)
+        val names = args.drop(3)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+        names.foreach { name =>
+          try {
+            val df = graft.SparkEntry.queries(name)(spark, sfDir)
+            df.collect() // executes THIS QueryExecution, finalizing AQE
+            val txt = df.queryExecution.explainString(
+              org.apache.spark.sql.execution.FormattedMode)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"),
+              txt.getBytes("UTF-8"))
+            println(s"[plan] $name -> $outDir/${name}_$suffix.txt (final)")
+          } catch { case e: Throwable => println(s"[plan] $name FAILED: $e") }
+        }
       case "plans" =>
         // dump `.explain("formatted")` for many queries into <dir>/<q>_<suffix>.txt
         val outDir = args(1)
@@ -93,6 +113,28 @@ object BenchExtra {
               txt.getBytes("UTF-8"))
             println(s"[plan] $name -> $outDir/${name}_$suffix.txt")
           } catch { case e: Throwable => println(s"[plan] $name FAILED: $e") }
+        }
+      case "mg" =>
+        // pure vs mutable Misra–Gries kernel on a synthetic heavy-tail
+        // stream (m and n sized like a corpus n-gram pass)
+        val m = 4096
+        val n = 2000000
+        val rnd = new scala.util.Random(3)
+        val stream = Array.fill(n) {
+          val r = rnd.nextInt(1000)
+          if (r < 100) s"hot_${r % 40}" else s"cold_${rnd.nextInt(500000)}"
+        }
+        (1 to 3).foreach { round =>
+          val t0 = System.nanoTime()
+          var pure = Map.empty[String, Long]
+          stream.foreach(i => pure = graft.pipeline.HeavyHitters.mgReduce(pure, i, m))
+          val tPure = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime()
+          val mut = new java.util.HashMap[String, java.lang.Long]()
+          stream.foreach(graft.pipeline.HeavyHitters.mgReduceMut(mut, _, m))
+          val tMut = (System.nanoTime() - t1) / 1e9
+          println(f"[mg] round $round n=$n m=$m pure=$tPure%.3f s mutable=$tMut%.3f s speedup=${tPure / tMut}%.1fx" +
+            s" identical=${mut.size == pure.size}")
         }
       case other => sys.error(s"unknown mode $other")
     }

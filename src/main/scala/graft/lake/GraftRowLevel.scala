@@ -203,9 +203,15 @@ class GraftReplaceDataWrite(location: String, op: GraftRowLevelOperation,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val table = new GraftTable(spark, location)
-    val files = messages.collect { case GraftStreamCommit(ps) => ps }.flatten.toSeq
+    val files = messages.collect { case GraftStreamCommit(ps, _) => ps }.flatten.toSeq
     val opName = s"sql-${op.command().toString.toLowerCase}"
-    val added = table.statsForFiles(files, opName)
+    // fused task-side stats (see GraftStreamingWrite.commit): zero-job
+    // commit when every writer carried its entry, distributed pass otherwise
+    val fused = messages.collect { case GraftStreamCommit(_, es) => es }.flatten.toSeq
+    val added =
+      if (fused.map(_.file_path).sorted == files.sorted)
+        fused.map(_.copy(partition = opName))
+      else table.statsForFiles(files, opName)
     val removed = op.scannedFiles
     table.commit(added, removed.map(_._1).toSet, opName,
       removedRecords = removed.map(_._2).sum, basis = op.basis)
@@ -213,7 +219,7 @@ class GraftReplaceDataWrite(location: String, op: GraftRowLevelOperation,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val table = new GraftTable(SparkSession.active, location)
-    messages.collect { case GraftStreamCommit(ps) => ps }.flatten
+    messages.collect { case GraftStreamCommit(ps, _) => ps }.flatten
       .foreach(table.io.delete)
   }
 
@@ -295,6 +301,11 @@ class GraftCowDataWriter(location: String, relPath: String,
     else org.apache.spark.sql.catalyst.expressions.XxHash64Function
       .hash(row.getUTF8String(idx), StringType, 42L)
 
+  // fused per-file manifest stats (WriteStats.TaskStats): the ReplaceData
+  // commit uses them directly instead of a distributed stats job
+  private val stats = new WriteStats.TaskStats(
+    repoIdx, pathIdx, strIdx(2), langIdx, strIdx(4))
+
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
       writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(absPath, conf))
@@ -313,8 +324,10 @@ class GraftCowDataWriter(location: String, relPath: String,
     }
     // z recomputed per row (the library merge path's contract: dataCols
     // exclude z, writeDataFiles re-derives it)
-    g.add("z", graft.expr.ZOrderInterleave.interleave(
-      hash(row, repoIdx), hash(row, pathIdx), hash(row, langIdx)))
+    val z = graft.expr.ZOrderInterleave.interleave(
+      hash(row, repoIdx), hash(row, pathIdx), hash(row, langIdx))
+    g.add("z", z)
+    stats.update(row, java.lang.Long.valueOf(z))
     var e = 0
     while (e < extraIdx.length) {
       val idx = extraIdx(e)
@@ -336,7 +349,12 @@ class GraftCowDataWriter(location: String, relPath: String,
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) { writer.close(); writer = null }
-    GraftStreamCommit(if (wroteAny) Seq(relPath) else Seq.empty)
+    if (!wroteAny) GraftStreamCommit(Seq.empty)
+    else {
+      val bytes = absPath.getFileSystem(conf).getFileStatus(absPath).getLen
+      // tag filled in by the commit (it knows the SQL op name)
+      GraftStreamCommit(Seq(relPath), Seq(stats.entry(relPath, "cow", bytes)))
+    }
   }
 
   override def abort(): Unit = {
@@ -389,7 +407,9 @@ class GraftDeltaOperation(location: String, cmd: RowLevelOperation.Command)
 /** one task's delta output: new data files, position-delete address files,
   * and the count of deleted addresses. */
 case class GraftDeltaCommit(dataFiles: Seq[String], posFiles: Seq[String],
-                            deleted: Long) extends WriterCommitMessage
+                            deleted: Long,
+                            entries: Seq[ManifestEntry] = Seq.empty)
+  extends WriterCommitMessage
 
 class GraftDeltaWrite(location: String, op: GraftDeltaOperation,
                       schema: StructType)
@@ -416,8 +436,13 @@ class GraftDeltaWrite(location: String, op: GraftDeltaOperation,
     val posFiles = ms.flatMap(_.posFiles).toSeq
     val deleted = ms.map(_.deleted).sum
     if (dataFiles.isEmpty && posFiles.isEmpty) return
+    // fused task-side stats; distributed fallback (see GraftReplaceData)
+    val fused = ms.flatMap(_.entries).toSeq
     val added =
-      if (dataFiles.isEmpty) Seq.empty else table.statsForFiles(dataFiles, "sql-mor")
+      if (dataFiles.isEmpty) Seq.empty
+      else if (fused.map(_.file_path).sorted == dataFiles.sorted)
+        fused.map(_.copy(partition = "sql-mor"))
+      else table.statsForFiles(dataFiles, "sql-mor")
     op.basis match {
       case Some(basis) =>
         table.commitMorRowChange(basis, added, posFiles, deleted,
@@ -509,12 +534,13 @@ class GraftDeltaDataWriter(location: String, batch: String, suffix: String,
       "updates are represented as delete+insert (representUpdateAsDeleteAndInsert)")
 
   override def commit(): WriterCommitMessage = {
-    val dataMsg = inserts.commit() match {
-      case GraftStreamCommit(ps) => ps
-      case _ => Seq.empty
+    val (dataMsg, dataEntries) = inserts.commit() match {
+      case GraftStreamCommit(ps, es) => (ps, es)
+      case _ => (Seq.empty[String], Seq.empty[ManifestEntry])
     }
     if (posWriter != null) { posWriter.close(); posWriter = null }
-    GraftDeltaCommit(dataMsg, if (deleted > 0) Seq(posRel) else Seq.empty, deleted)
+    GraftDeltaCommit(dataMsg, if (deleted > 0) Seq(posRel) else Seq.empty,
+      deleted, dataEntries)
   }
 
   override def abort(): Unit = {

@@ -61,7 +61,14 @@ class GraftStreamingWrite(location: String, queryId: String, inputSchema: Struct
       files.foreach(table.io.delete)
     } else {
       table.init()
-      val entries = table.statsForFiles(files, tag = "stream")
+      // manifest stats were computed TASK-SIDE while each writer streamed
+      // its rows (guide §1.2: one pass) — an epoch commit costs zero Spark
+      // jobs. Writers predating the fused stats (empty entry list with
+      // non-empty files) fall back to the distributed stats pass.
+      val fused = messages.collect { case m: GraftStreamCommit => m.entries }.flatten.toSeq
+      val entries =
+        if (fused.map(_.file_path).sorted == files.sorted) fused
+        else table.statsForFiles(files, tag = "stream")
       val snap = table.commit(entries, Set.empty, op)
       table.io.writeAtomic(markerRel, s"$epochId ${snap.version}")
     }
@@ -74,7 +81,9 @@ class GraftStreamingWrite(location: String, queryId: String, inputSchema: Struct
   }
 }
 
-case class GraftStreamCommit(relPaths: Seq[String]) extends WriterCommitMessage
+case class GraftStreamCommit(relPaths: Seq[String],
+                             entries: Seq[ManifestEntry] = Seq.empty)
+  extends WriterCommitMessage
 
 class GraftStreamWriterFactory(location: String, queryId: String, inputSchema: StructType)
   extends StreamingDataWriterFactory {
@@ -145,6 +154,11 @@ class GraftStreamDataWriter(location: String, relPath: String, inputSchema: Stru
     else org.apache.spark.sql.catalyst.expressions.XxHash64Function
       .hash(row.getUTF8String(idx), StringType, 42L)
 
+  // fused per-file manifest stats, collected while writing (one pass,
+  // zero-job epoch commits) — shared kernels in WriteStats.TaskStats
+  private val stats = new WriteStats.TaskStats(
+    repoIdx, pathIdx, strIdx(2), langIdx, strIdx(4))
+
   override def write(row: InternalRow): Unit = {
     if (writer == null) {
       writer = ExampleParquetWriter.builder(HadoopOutputFile.fromPath(absPath, conf))
@@ -161,20 +175,27 @@ class GraftStreamDataWriter(location: String, relPath: String, inputSchema: Stru
         g.add(strCols(i), Binary.fromString(row.getUTF8String(idx).toString))
       i += 1
     }
-    if (zIdx >= 0) {
-      if (!row.isNullAt(zIdx)) g.add("z", row.getLong(zIdx))
-    } else {
-      // interleave masks the lang hash to its low byte, which equals
-      // pmod(hash, 256) — the batch Column expression bit for bit
-      g.add("z", graft.expr.ZOrderInterleave.interleave(
-        hash(row, repoIdx), hash(row, pathIdx), hash(row, langIdx)))
-    }
+    val z: java.lang.Long =
+      if (zIdx >= 0) {
+        if (row.isNullAt(zIdx)) null else java.lang.Long.valueOf(row.getLong(zIdx))
+      } else {
+        // interleave masks the lang hash to its low byte, which equals
+        // pmod(hash, 256) — the batch Column expression bit for bit
+        java.lang.Long.valueOf(graft.expr.ZOrderInterleave.interleave(
+          hash(row, repoIdx), hash(row, pathIdx), hash(row, langIdx)))
+      }
+    if (z != null) g.add("z", z.longValue())
     writer.write(g)
+    stats.update(row, z)
   }
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) { writer.close(); writer = null }
-    GraftStreamCommit(if (wroteAny) Seq(relPath) else Seq.empty)
+    if (!wroteAny) GraftStreamCommit(Seq.empty)
+    else {
+      val bytes = absPath.getFileSystem(conf).getFileStatus(absPath).getLen
+      GraftStreamCommit(Seq(relPath), Seq(stats.entry(relPath, "stream", bytes)))
+    }
   }
 
   override def abort(): Unit = {

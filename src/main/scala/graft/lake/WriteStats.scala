@@ -107,6 +107,94 @@ object WriteStats {
     }
   }
 
+  /** Fused per-file stats for the TASK-SIDE parquet writers (streaming sink
+    * and SQL CoW rewrite): same aggregates as the batch Collector, computed
+    * from InternalRow while writing, replicating the batch Column kernels
+    * bit for bit — UTF8String binary order for min/max, and the per-row
+    * content hash xxhash64(repo, path, commit, sha2(content,256)) with
+    * Spark's null-skip rule. */
+  final class TaskStats(repoIdx: Int, pathIdx: Int, commitIdx: Int,
+                        langIdx: Int, contentIdx: Int) {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.StringType
+    private val sha = java.security.MessageDigest.getInstance("SHA-256")
+    private val hexDigits = "0123456789abcdef".toCharArray
+    private var n = 0L
+    private var minRepo: UTF8String = null; private var maxRepo: UTF8String = null
+    private var minPath: UTF8String = null; private var maxPath: UTF8String = null
+    private val langs = scala.collection.mutable.HashSet.empty[String]
+    private var minZ = Long.MaxValue; private var maxZ = Long.MinValue
+    private var minRh = Long.MaxValue; private var maxRh = Long.MinValue
+    private var digest = 0L
+    private var nullsRepo = 0L; private var nullsPath = 0L; private var nullsLang = 0L
+
+    private def shaHexUtf8(content: UTF8String): UTF8String = {
+      sha.reset()
+      val d = sha.digest(content.getBytes)
+      val out = new Array[Byte](64)
+      var i = 0
+      while (i < 32) {
+        out(2 * i) = hexDigits((d(i) >> 4) & 0xf).toByte
+        out(2 * i + 1) = hexDigits(d(i) & 0xf).toByte
+        i += 1
+      }
+      UTF8String.fromBytes(out)
+    }
+
+    private def hashInto(row: InternalRow, idx: Int, h: Long): Long =
+      if (idx < 0 || row.isNullAt(idx)) h
+      else XxHash64Function.hash(row.getUTF8String(idx), StringType, h)
+
+    /** xxhash64 of one string column (seed 42, null keeps the seed). */
+    def colHash(row: InternalRow, idx: Int): Long = hashInto(row, idx, 42L)
+
+    /** record one written row; `z` is the z value written (null = none). */
+    def update(row: InternalRow, z: java.lang.Long): Unit = {
+      n += 1
+      if (repoIdx < 0 || row.isNullAt(repoIdx)) nullsRepo += 1
+      else {
+        // getUTF8String may point into a reused buffer — copy when retained
+        val u = row.getUTF8String(repoIdx)
+        if (minRepo == null || u.compareTo(minRepo) < 0) minRepo = u.clone()
+        if (maxRepo == null || u.compareTo(maxRepo) > 0) maxRepo = u.clone()
+      }
+      if (pathIdx < 0 || row.isNullAt(pathIdx)) nullsPath += 1
+      else {
+        val u = row.getUTF8String(pathIdx)
+        if (minPath == null || u.compareTo(minPath) < 0) minPath = u.clone()
+        if (maxPath == null || u.compareTo(maxPath) > 0) maxPath = u.clone()
+      }
+      if (langIdx < 0 || row.isNullAt(langIdx)) nullsLang += 1
+      else langs += row.getUTF8String(langIdx).toString
+      if (z != null) {
+        if (z.longValue() < minZ) minZ = z.longValue()
+        if (z.longValue() > maxZ) maxZ = z.longValue()
+      }
+      val rh = colHash(row, repoIdx)
+      if (rh < minRh) minRh = rh
+      if (rh > maxRh) maxRh = rh
+      var h = hashInto(row, repoIdx, 42L)
+      h = hashInto(row, pathIdx, h)
+      h = hashInto(row, commitIdx, h)
+      if (contentIdx >= 0 && !row.isNullAt(contentIdx))
+        h = XxHash64Function.hash(shaHexUtf8(row.getUTF8String(contentIdx)), StringType, h)
+      digest ^= h
+    }
+
+    def entry(relPath: String, tag: String, bytes: Long): ManifestEntry =
+      ManifestEntry(relPath, tag, n, bytes,
+        if (minRepo == null) null else minRepo.toString,
+        if (maxRepo == null) null else maxRepo.toString,
+        if (minPath == null) null else minPath.toString,
+        if (maxPath == null) null else maxPath.toString,
+        langs.toSeq.sorted,
+        if (minZ == Long.MaxValue) 0L else minZ,
+        if (maxZ == Long.MinValue) 0L else maxZ,
+        minRh, maxRh, digest,
+        Some(nullsRepo), Some(nullsPath), Some(nullsLang), None)
+  }
+
   /** partition index of a Spark output file name ("part-00007-<uuid>..."),
     * or -1 when the name doesn't follow the FileFormatWriter pattern. */
   def filePartIdx(name: String): Int = {

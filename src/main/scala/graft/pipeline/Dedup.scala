@@ -374,7 +374,10 @@ object Dedup {
     * and in a self-join loop those estimates square every round until the
     * driver drowns in BigInt stats math (round-4 find). */
   private def truncate(d: DataFrame, reliable: Boolean): DataFrame = {
-    val c = if (reliable) d.checkpoint(true) else d.localCheckpoint(true)
+    // LAZY checkpoint: the next action over the frame (each round runs its
+    // convergence agg immediately) materializes the checkpoint as a side
+    // effect — eager would pay a separate materialization job per round
+    val c = if (reliable) d.checkpoint(false) else d.localCheckpoint(false)
     d.sparkSession.createDataFrame(c.rdd, c.schema)
   }
 

@@ -138,6 +138,55 @@ object HeavyHitters {
     }
   }
 
+  // ---- mutable kernel (the aggregator's hot path — r5 VERDICT #5):
+  // identical arithmetic to the pure kernel above (PipelineSpec asserts
+  // equality), but counters update IN PLACE: O(1) per present/new item, and
+  // the full-buffer decrement walks the map once without rebuilding it —
+  // the pure version's per-row `updated` copy made corpus-scale n-gram
+  // streams pay O(m) allocations per unseen item.
+
+  private[graft] def mgReduceMut(c: java.util.HashMap[String, java.lang.Long],
+                                 item: String, m: Int): Unit = {
+    if (item == null) return
+    val cur = c.get(item)
+    if (cur != null) { c.put(item, cur + 1L); () }
+    else if (c.size < m) { c.put(item, 1L); () }
+    else {
+      val it = c.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue - 1L
+        if (v <= 0L) it.remove() else e.setValue(v)
+      }
+    }
+  }
+
+  /** merge b into a (counter-wise sum, cut at the (m+1)-th largest). */
+  private[graft] def mgMergeMut(a: java.util.HashMap[String, java.lang.Long],
+                                b: java.util.HashMap[String, java.lang.Long],
+                                m: Int): Unit = {
+    val bi = b.entrySet().iterator()
+    while (bi.hasNext) {
+      val e = bi.next()
+      val cur = a.get(e.getKey)
+      a.put(e.getKey, if (cur == null) e.getValue else cur + e.getValue)
+    }
+    if (a.size > m) {
+      val vals = new Array[Long](a.size)
+      var i = 0
+      val vi = a.values().iterator()
+      while (vi.hasNext) { vals(i) = vi.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - (m + 1)) // the (m+1)-th largest
+      val it = a.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue - cut
+        if (v <= 0L) it.remove() else e.setValue(v)
+      }
+    }
+  }
+
   /** Exact corpus-wide top-k frequent items via sketch-then-verify:
     * pass 1 folds `items` into one m-counter summary (ObjectHashAggregate,
     * partial per partition + one merge); pass 2 recounts the candidates
@@ -158,19 +207,35 @@ object HeavyHitters {
   }
 }
 
+/** mutable Misra–Gries buffer: a plain java HashMap wrapper, held as an
+  * OBJECT by ObjectHashAggregate for the whole partition and kryo-encoded
+  * only at the partial→merge shuffle boundary. */
+final class MgBuffer extends Serializable {
+  val counts = new java.util.HashMap[String, java.lang.Long]()
+}
+
 /** The bounded Misra–Gries summary; finishes to its candidate item set
-  * (counts are sketch lower-ish estimates — the verify pass recounts). */
-class MisraGriesAgg(m: Int) extends Aggregator[String, Map[String, Long], Array[String]] {
+  * (counts are sketch lower-ish estimates — the verify pass recounts).
+  * Mutable in-place buffer (r5 VERDICT #5): reduce/merge return the same
+  * instance after updating it, so the hot path allocates nothing per row —
+  * the previous immutable-Map buffer copied up to m entries per unseen
+  * item. Arithmetic is the pure kernel's, asserted equal in PipelineSpec. */
+class MisraGriesAgg(m: Int) extends Aggregator[String, MgBuffer, Array[String]] {
   require(m >= 1, "MisraGries needs m >= 1")
-  def zero: Map[String, Long] = Map.empty
-  def reduce(buf: Map[String, Long], item: String): Map[String, Long] =
-    HeavyHitters.mgReduce(buf, item, m)
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    HeavyHitters.mgMerge(a, b, m)
-  def finish(buf: Map[String, Long]): Array[String] =
-    buf.toArray.sortBy { case (i, c) => (-c, i) }.map(_._1)
-  def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  def zero: MgBuffer = new MgBuffer
+  def reduce(buf: MgBuffer, item: String): MgBuffer = {
+    HeavyHitters.mgReduceMut(buf.counts, item, m); buf
+  }
+  def merge(a: MgBuffer, b: MgBuffer): MgBuffer = {
+    HeavyHitters.mgMergeMut(a.counts, b.counts, m); a
+  }
+  def finish(buf: MgBuffer): Array[String] = {
+    import scala.jdk.CollectionConverters._
+    buf.counts.asScala.toArray
+      .sortBy { case (i, c) => (-c.longValue(), i) }.map(_._1)
+  }
+  def bufferEncoder: org.apache.spark.sql.Encoder[MgBuffer] =
+    org.apache.spark.sql.Encoders.kryo[MgBuffer]
   def outputEncoder: org.apache.spark.sql.Encoder[Array[String]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[String]]()
 }

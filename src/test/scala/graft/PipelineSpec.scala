@@ -876,6 +876,34 @@ class PipelineSpec extends SparkTestBase {
     }
   }
 
+  test("mutable Misra–Gries kernel computes exactly the pure kernel's summary") {
+    import graft.pipeline.HeavyHitters
+    import scala.jdk.CollectionConverters._
+    val m = 16
+    val rnd = new scala.util.Random(11)
+    val stream = rnd.shuffle(
+      (0 until 8).flatMap(h => Seq.fill(150)(s"hot_$h")) ++
+      (0 until 3000).map(i => s"cold_${i % 1500}")).toList
+    def pureFold(xs: Seq[String]) =
+      xs.foldLeft(Map.empty[String, Long])(HeavyHitters.mgReduce(_, _, m))
+    def mutFold(xs: Seq[String]) = {
+      val c = new java.util.HashMap[String, java.lang.Long]()
+      xs.foreach(HeavyHitters.mgReduceMut(c, _, m))
+      c
+    }
+    def toScala(c: java.util.HashMap[String, java.lang.Long]): Map[String, Long] =
+      c.asScala.map { case (k, v) => k -> v.longValue() }.toMap
+    // single fold identical
+    assert(toScala(mutFold(stream)) == pureFold(stream))
+    // partitioned fold + pairwise merge identical (the distributed shape)
+    val parts = stream.grouped(400).toList
+    val pureMerged = parts.map(pureFold).reduce(HeavyHitters.mgMerge(_, _, m))
+    val mutMerged = parts.map(mutFold).reduce { (a, b) =>
+      HeavyHitters.mgMergeMut(a, b, m); a
+    }
+    assert(toScala(mutMerged) == pureMerged)
+  }
+
   test("topKExact returns the true top-k when cardinality overflows the summary") {
     import spark.implicits._
     // 50 heavy items (freq 100) + 5000 distinct light items (freq 1):

@@ -294,6 +294,15 @@ class StreamingSpec extends SparkTestBase {
     assert(tableDigest(dst) == tableDigest(bt), "streamed digest drifted from batch contract")
     // record counts survive arithmetically
     assert(dst.currentSnapshot.get.recordCount == 120)
+    // the FUSED task-side stats (computed while writing, zero-job epoch
+    // commits) must be bit-identical to the distributed stats pass over the
+    // same files: min/max in UTF8 binary order, null counts, digest, langs
+    val streamed = dst.manifestEntries(dst.currentSnapshot.get)
+      .map(e => e.copy(langs = e.langs.sorted)).sortBy(_.file_path)
+    val recomputed = dst.statsForFiles(streamed.map(_.file_path), "stream")
+      .map(e => e.copy(langs = e.langs.sorted)).sortBy(_.file_path)
+    assert(streamed == recomputed,
+      "fused task-side stats drifted from the distributed stats pass")
 
     // a restarted stream sees only new source snapshots — no re-appends
     src.append(batch(120 until 130, "c"))
