@@ -114,6 +114,38 @@ object BenchExtra {
             println(s"[plan] $name -> $outDir/${name}_$suffix.txt")
           } catch { case e: Throwable => println(s"[plan] $name FAILED: $e") }
         }
+      case "stream" =>
+        // per-microbatch duration breakdown of the q33-shaped stream
+        import org.apache.spark.sql.functions.{col => c}
+        val staged = java.nio.file.Files.createTempDirectory("bx-stream-in").toString
+        val out = java.nio.file.Files.createTempDirectory("bx-stream-out").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("bx-stream-ck").toString
+        val events = spark.read.parquet(s"$sfDir/events.parquet")
+          .withColumn("ts", c("ts").cast("timestamp"))
+        events.repartition(4).write.mode("overwrite").parquet(staged)
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "4")
+        ss.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+          override def onQueryStarted(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+          override def onQueryProgress(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+            val p = e.progress
+            println(s"[batch] id=${p.batchId} rows=${p.numInputRows} " +
+              s"durations=${p.durationMs}")
+          }
+          override def onQueryTerminated(e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+        })
+        val t0 = System.nanoTime()
+        val stream = ss.readStream.schema(events.schema)
+          .option("maxFilesPerTrigger", "1").parquet(staged)
+        val agg = graft.streaming.EventStream.windowedCounts(stream)
+        agg.writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.write.mode("overwrite").parquet(out))
+          .start().awaitTermination()
+        Thread.sleep(300)
+        println(f"[stream] total ${(System.nanoTime() - t0) / 1e9}%.3f s")
       case "mg" =>
         // pure vs mutable Misra–Gries kernel on a synthetic heavy-tail
         // stream (m and n sized like a corpus n-gram pass)

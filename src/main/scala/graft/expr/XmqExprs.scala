@@ -47,14 +47,47 @@ object XmqExprs {
     } catch { case _: Exception => null }
   }
 
+  /** Per-thread LAST-PARSE memo for the READ-ONLY getter kernels: a row
+    * evaluated by several getter expressions over the same (content, lang)
+    * — the typed-get shape, 8 getters per row — parses once instead of
+    * once per getter (rows evaluate expression-by-expression, so the
+    * previous parse is almost always the one needed). Only non-mutating
+    * consumers may use it: probe/annotate mutate the tree and parse their
+    * own copy. A parse failure memoizes as doc=null, so repeated
+    * wellformed-checks of a bad document stay cheap. */
+  private final class ParseMemo {
+    var content: String = null
+    var lang: String = null
+    var doc: XDoc = null
+  }
+  private val parseMemo = new ThreadLocal[ParseMemo] {
+    override def initialValue(): ParseMemo = new ParseMemo
+  }
+
+  /** memoized parse; null when content does not parse as lang. */
+  private def parsedOrNull(content: String, lang: String): XDoc = {
+    val m = parseMemo.get()
+    if (m.content != null && m.lang == lang && m.content == content) m.doc
+    else {
+      m.content = content
+      m.lang = lang
+      m.doc =
+        try XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
+        catch { case _: Exception => null }
+      m.doc
+    }
+  }
+
   /** first xpath match's string content (reference xmqGetString →
     * catch_single_content, xmq.c:4343): element → its direct text children
     * concatenated; attribute → its value; text node → its content.
     * null when nothing matches or the document does not parse. */
-  def getString(content: String, lang: String, path: String): String = try {
-    val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
-    stringOfFirstMatch(doc, path)
-  } catch { case _: Exception => null }
+  def getString(content: String, lang: String, path: String): String = {
+    val doc = parsedOrNull(content, lang)
+    if (doc == null) null
+    else try stringOfFirstMatch(doc, path)
+    catch { case _: Exception => null }
+  }
 
   private def stringOfFirstMatch(doc: XDoc, path: String): String =
     XPath.matches(doc, path).headOption.map {
@@ -131,17 +164,17 @@ object XmqExprs {
     if (m.find()) m.group(0).trim.toDouble else 0.0
   }
 
-  def countMatches(content: String, lang: String, path: String): Long = try {
-    val doc = XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
-    XPath.matches(doc, path).size.toLong
-  } catch { case _: Exception => 0L }
+  def countMatches(content: String, lang: String, path: String): Long = {
+    val doc = parsedOrNull(content, lang)
+    if (doc == null) 0L
+    else try XPath.matches(doc, path).size.toLong
+    catch { case _: Exception => 0L }
+  }
 
   /** structural well-formedness: does the content parse as `lang`?
     * (the v1 slice of the reference's validate command — SURVEY.md §2.3) */
-  def isWellformed(content: String, lang: String): Boolean = try {
-    XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
-    true
-  } catch { case _: Exception => false }
+  def isWellformed(content: String, lang: String): Boolean =
+    parsedOrNull(content, lang) != null
 
   /** xmqAnnotateOffsets as a conversion: parse, annotate, print compact xmq. */
   def annotateOffsets(content: String, lang: String, attr: String): String = try {
