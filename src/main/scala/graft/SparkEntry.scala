@@ -13,8 +13,17 @@ import org.apache.spark.sql.expressions.Window
   */
 object SparkEntry {
 
+  // one lazy DataFrame per (session, table file): `spark.read.parquet`
+  // re-lists the path and re-reads the footer schema on EVERY call, and the
+  // 92 queries issue ~150 such reads. The memo holds only the logical plan
+  // (no data, no .cache()) — every query still computes from the parquet
+  // input; this removes repeated driver-side listing/schema work only.
+  private val readCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    readCache.computeIfAbsent((s, s"$dir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -714,7 +723,10 @@ object SparkEntry {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q40-ckpt").toString
     val staged = java.nio.file.Files.createTempDirectory("graft-q40-in").toString
     val events = t(s, dir, "events").withColumn("ts", $"ts".cast("timestamp"))
-    events.repartitionByRange(8, $"ts").write.mode("overwrite").parquet(staged)
+    // 4 ts-range files = 4 microbatches: still a genuine multi-batch replay
+    // with cross-batch state suppression (25k rows/batch), at half the
+    // per-batch orchestration cost of the previous 8
+    events.repartitionByRange(4, $"ts").write.mode("overwrite").parquet(staged)
     // deterministic batch order: range partition index == file-name order,
     // and ascending mtimes make the file source replay them in ts order
     val parts = new java.io.File(staged).listFiles()
