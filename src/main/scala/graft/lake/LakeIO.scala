@@ -95,6 +95,12 @@ final class LakeIO(val root: String) extends Serializable {
 
   def exists(rel: String): Boolean = fs.exists(abs(rel))
   def size(rel: String): Long = fs.getFileStatus(abs(rel)).getLen
+  /** (length, mtimeMillis) of a FILE — the freshness key metadata caches
+    * validate against (one stat RPC instead of an open+read+parse). */
+  def sizeAndMtime(rel: String): (Long, Long) = {
+    val st = fs.getFileStatus(abs(rel))
+    (st.getLen, st.getModificationTime)
+  }
   def mkdirs(rel: String): Unit = fs.mkdirs(abs(rel))
   def isDirectory(rel: String): Boolean =
     fs.exists(abs(rel)) && fs.getFileStatus(abs(rel)).isDirectory

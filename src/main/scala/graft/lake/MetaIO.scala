@@ -203,10 +203,21 @@ object MetaIO {
   private def optStr(g: Group, field: String): String =
     if (g.getFieldRepetitionCount(field) == 0) null else g.getString(field, 0)
 
-  /** manifest entries of one shard, read driver-side — the small-manifest
-    * fast path that lets scan planning skip Spark jobs entirely. Reads both
-    * MetaIO- and Spark-written shards (same 3-level LIST layout). */
-  def readEntries(io: LakeIO, rel: String): Seq[ManifestEntry] =
+  // Bounded LRU over parsed shard files: scan/maintenance planning re-reads
+  // the SAME shard (shards are uid-named and immutable once committed)
+  // many times per pipeline; each hit is validated against the file's
+  // (length, mtime) — one stat RPC instead of an open+read+parse. Small
+  // shards only (the localManifest gate keeps them ≤ a few MiB anyway).
+  private val entryCacheCap = 512
+  private val entryCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Long, Seq[ManifestEntry])](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long, Seq[ManifestEntry])]): Boolean =
+          size() > entryCacheCap
+      })
+
+  private def parseEntries(io: LakeIO, rel: String): Seq[ManifestEntry] =
     readGroups(io, rel).map { g =>
       ManifestEntry(
         optStr(g, "file_path"), optStr(g, "partition"),
@@ -222,14 +233,56 @@ object MetaIO {
         else Some(g.getInteger("bucket", 0)))
     }
 
+  /** manifest entries of one shard, read driver-side — the small-manifest
+    * fast path that lets scan planning skip Spark jobs entirely. Reads both
+    * MetaIO- and Spark-written shards (same 3-level LIST layout). */
+  def readEntries(io: LakeIO, rel: String): Seq[ManifestEntry] = {
+    val key = io.abs(rel).toString
+    val fresh =
+      try { if (io.isDirectory(rel)) null else io.sizeAndMtime(rel) }
+      catch { case _: Exception => null }
+    if (fresh == null) return parseEntries(io, rel) // dirs/missing: no cache
+    val hit = entryCache.get(key)
+    if (hit != null && hit._1 == fresh._1 && hit._2 == fresh._2) hit._3
+    else {
+      val entries = parseEntries(io, rel)
+      entryCache.put(key, (fresh._1, fresh._2, entries))
+      entries
+    }
+  }
+
   /** removed file paths of one remove shard, driver-side. */
   def readRemoves(io: LakeIO, rel: String): Seq[String] =
     readGroups(io, rel).map(g => g.getString("file_path", 0))
 
-  def readShards(io: LakeIO, rel: String): Seq[ManifestShard] =
-    readGroups(io, rel).map { g =>
+  private val shardCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Long, Long, Seq[ManifestShard])](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Long, Long, Seq[ManifestShard])]): Boolean =
+          size() > entryCacheCap
+      })
+
+  def readShards(io: LakeIO, rel: String): Seq[ManifestShard] = {
+    def parse() = readGroups(io, rel).map { g =>
       ManifestShard(g.getInteger("seq", 0), g.getString("kind", 0), g.getString("path", 0))
     }
+    // same (length, mtime)-validated LRU as readEntries: every snapshot
+    // access re-reads its shard list, and the lists are immutable once
+    // published — one stat RPC per hit
+    val key = io.abs(rel).toString
+    val fresh =
+      try { if (io.isDirectory(rel)) null else io.sizeAndMtime(rel) }
+      catch { case _: Exception => null }
+    if (fresh == null) return parse()
+    val hit = shardCache.get(key)
+    if (hit != null && hit._1 == fresh._1 && hit._2 == fresh._2) hit._3
+    else {
+      val shards = parse()
+      shardCache.put(key, (fresh._1, fresh._2, shards))
+      shards
+    }
+  }
 
   def readLineage(io: LakeIO, rel: String): Seq[Lineage.LineageRow] =
     readGroups(io, rel).map { g =>
