@@ -243,7 +243,11 @@ class GraftTable(val spark: SparkSession, val location: String,
     // answers existence (the old io.exists call) and validates the cache.
     val fresh =
       try io.sizeAndMtime(rel)
-      catch { case _: Exception => return None } // absent → no snapshot
+      catch {
+        // absent → no snapshot; any OTHER IO failure must stay loud — a
+        // transient fault mapped to None would read as "empty table"
+        case _: java.io.FileNotFoundException => return None
+      }
     val key = io.abs(rel).toString
     val hit = GraftTable.snapCache.get(key)
     if (hit != null && hit._1 == fresh._1 && hit._2 == fresh._2) return hit._3
