@@ -45,8 +45,9 @@ object BenchExtra {
     val (c0, n0) = (jobCount.get(), jobNanos.get())
     val t0 = System.nanoTime()
     val r = f
+    val elapsed = (System.nanoTime() - t0) / 1e9 // before the drain sleep
     Thread.sleep(50) // let listener events drain
-    println(f"[phase] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s" +
+    println(f"[phase] $label%-40s $elapsed%8.3f s" +
       f"  jobs=${jobCount.get() - c0}%3d jobTime=${(jobNanos.get() - n0) / 1e9}%7.3f s")
     r
   }

@@ -64,17 +64,30 @@ object XmqExprs {
     override def initialValue(): ParseMemo = new ParseMemo
   }
 
+  /** documents above this size are parsed without memoizing — bounds the
+    * per-thread retention (content string + tree) the memo pins. */
+  private val memoMaxChars = 4 << 20
+
   /** memoized parse; null when content does not parse as lang. */
   private def parsedOrNull(content: String, lang: String): XDoc = {
     val m = parseMemo.get()
     if (m.content != null && m.lang == lang && m.content == content) m.doc
     else {
-      m.content = content
-      m.lang = lang
-      m.doc =
+      // invalidate BEFORE parsing: a non-Exception Throwable (e.g. a
+      // StackOverflowError on pathological nesting) must not leave the memo
+      // claiming the new content maps to the previous document's tree
+      m.content = null
+      m.lang = null
+      m.doc = null
+      val doc =
         try XmqEngine.parse(content.getBytes("UTF-8"), XmqEngine.ParseFlags(forced = ctOf(lang)))
         catch { case _: Exception => null }
-      m.doc
+      if (content.length <= memoMaxChars) {
+        m.content = content
+        m.lang = lang
+        m.doc = doc
+      }
+      doc
     }
   }
 

@@ -165,6 +165,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (!tableExists(ident)) return false
     val io = LakeIO.of(tablePath(ident))
     io.delete("")
+    // a recreated table at the same path could otherwise hit a stale
+    // snapshot-json cache entry if length and mtime-millis happen to match
+    GraftTable.invalidateLocation(tablePath(ident))
     true
   }
 

@@ -119,6 +119,14 @@ object GraftTable {
           size() > 1024
       })
 
+  /** drop every cached snapshot under a table location (DROP TABLE path —
+    * a recreated table must never be served the old table's metadata). */
+  private[lake] def invalidateLocation(location: String): Unit =
+    snapCache.synchronized {
+      val it = snapCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(location)) it.remove()
+    }
+
   /** per-row content hash whose xor is the order-independent file digest. */
   def rowHash(): org.apache.spark.sql.Column =
     xxhash64(col("repo"), col("path"), col("commit"), sha2(col("content"), 256))

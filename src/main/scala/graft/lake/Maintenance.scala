@@ -307,36 +307,42 @@ object Maintenance {
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
 
     // 1. the ONLY full-table pass: rows whose key the source touches, with
-    //    their file — one action yields the affected file set AND the
-    //    updated count (each extra action costs a full job of overhead)
+    //    their file — one action (on the cached frame) yields the affected
+    //    file set AND the updated count; the cache then feeds the
+    //    classification keys without re-scanning the table
     val matched = table.scan().withColumn("_file", input_file_name())
       .join(hinted(srcKeys), keys, "left_semi")
+      .select((keys.map(col) :+ col("_file")): _*)
+      .cache()
     val head = matched.agg(collect_set($"_file").as("files"),
                            count(lit(1)).as("n")).head()
     val affectedRel = head.getSeq[String](0).map(table.io.relativize).toSet
     val updatedCount = head.getLong(1)
+    val matchedKeys = matched.select(keys.map(col): _*).distinct()
 
     // 2. ONE copy-on-write write job for the whole merge delta: affected
-    //    files keep their untouched rows (left_anti on the source keys) and
-    //    every source row lands — matched keys as updates, the rest as
-    //    inserts. The old updates/inserts split cost two classification
-    //    joins and a second write; (affected ∖ srcKeys) ∪ src is the same
-    //    row multiset because (repo,path,commit) is the row identity on
-    //    both sides. The insert count is observed during the same write
-    //    (src rows − matched keys), not paid as an extra job.
+    //    files keep their untouched rows (left_anti on the source keys),
+    //    matched source keys land as updates, the rest as inserts —
+    //    (affected ∖ srcKeys) ∪ updates ∪ inserts, written once where the
+    //    old code paid two writes. The insert count is OBSERVED on the
+    //    insert branch during the same write (exact even when duplicate
+    //    keys make |src| − updatedCount wrong), not paid as an extra job.
     val obs = org.apache.spark.sql.Observation()
-    val srcObs = src.observe(obs, count(lit(1)).as("n"))
+    val updates = src.join(hinted(matchedKeys), keys, "left_semi")
+    val inserts = src.join(hinted(matchedKeys), keys, "left_anti")
+      .observe(obs, count(lit(1)).as("n"))
+    val srcRows = updates.unionByName(inserts)
     val mergedRows =
-      if (affectedRel.isEmpty) srcObs
+      if (affectedRel.isEmpty) srcRows
       else table.readFiles(affectedRel.toSeq)
         .select(dataCols.map(col): _*)
         .join(hinted(srcKeys), keys, "left_anti")
-        .unionByName(srcObs)
+        .unionByName(srcRows)
     val added = table.writeDataFilesRouted(mergedRows, "merge")
-    val insertedCount =
-      obs.get("n").asInstanceOf[Long] - updatedCount
+    val insertedCount = obs.get("n").asInstanceOf[Long]
 
     table.commit(added, affectedRel, "merge", basis = basisSnap)
+    matched.unpersist()
     src.unpersist()
     Lineage.record(table, jobId, phase, affectedRel.toSeq, added)
     MergeResult(updatedCount, insertedCount, affectedRel.size)
