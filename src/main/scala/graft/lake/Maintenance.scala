@@ -328,10 +328,13 @@ object Maintenance {
     //    insert branch during the same write (exact even when duplicate
     //    keys make |src| − updatedCount wrong), not paid as an extra job.
     val obs = org.apache.spark.sql.Observation()
-    val updates = src.join(hinted(matchedKeys), keys, "left_semi")
-    val inserts = src.join(hinted(matchedKeys), keys, "left_anti")
-      .observe(obs, count(lit(1)).as("n"))
-    val srcRows = updates.unionByName(inserts)
+    // one flagged left join classifies updates vs inserts (matchedKeys is
+    // key-distinct, so no row duplication); the insert count is the flag's
+    // null count, observed during the write
+    val srcRows = src
+      .join(hinted(matchedKeys.withColumn("_m", lit(1))), keys, "left")
+      .observe(obs, count(when(col("_m").isNull, 1)).as("n"))
+      .drop("_m")
     val mergedRows =
       if (affectedRel.isEmpty) srcRows
       else table.readFiles(affectedRel.toSeq)
