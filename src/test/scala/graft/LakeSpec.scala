@@ -759,6 +759,17 @@ class LakeSpec extends SparkTestBase {
     assert(t.scan().count() == 400L - vanishedRecords)
   }
 
+  test("merge with an EMPTY source on a non-empty table is a counted no-op") {
+    // guards the observed-insert-count path: a zero-row write must still
+    // resolve the observation (no hang) and report 0/0/0
+    val t = freshTable("graft-merge-empty")
+    t.append(synthDf(50).repartition(2))
+    val before = t.currentSnapshot.get.recordCount
+    val r = Maintenance.mergeInto(t, "jobme", synthDf(5).filter(lit(false)))
+    assert(r.updated == 0 && r.inserted == 0 && r.rewrittenFiles == 0, s"$r")
+    assert(t.scan().count() == before)
+  }
+
   test("merge with a source past the broadcast key limit takes the shuffle path, same result") {
     import spark.implicits._
     val t = freshTable("graft-merge-big")
