@@ -30,6 +30,7 @@ object BenchExtra {
 
   private val jobCount = new java.util.concurrent.atomic.AtomicInteger
   private val jobNanos = new java.util.concurrent.atomic.AtomicLong
+  private val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
 
   private final class JobTally extends org.apache.spark.scheduler.SparkListener {
     private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
@@ -39,16 +40,20 @@ object BenchExtra {
     override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
       Option(starts.remove(je.jobId)).foreach(t0 => jobNanos.addAndGet(System.nanoTime() - t0)); ()
     }
+    override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      shuffleWrite.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten); ()
+    }
   }
 
   private def time[T](label: String)(f: => T): T = {
-    val (c0, n0) = (jobCount.get(), jobNanos.get())
+    val (c0, n0, s0) = (jobCount.get(), jobNanos.get(), shuffleWrite.get())
     val t0 = System.nanoTime()
     val r = f
     val elapsed = (System.nanoTime() - t0) / 1e9 // before the drain sleep
     Thread.sleep(50) // let listener events drain
     println(f"[phase] $label%-40s $elapsed%8.3f s" +
-      f"  jobs=${jobCount.get() - c0}%3d jobTime=${(jobNanos.get() - n0) / 1e9}%7.3f s")
+      f"  jobs=${jobCount.get() - c0}%3d jobTime=${(jobNanos.get() - n0) / 1e9}%7.3f s" +
+      f"  shuffleWrite=${(shuffleWrite.get() - s0) / 1024}%8d KiB")
     r
   }
 
